@@ -1,0 +1,56 @@
+"""Scalar-function helpers, including the Snowflake-dialect mappings the
+reference relies on (SURVEY.md §2.7 F11-F12; reference
+``spark-jobs/snowflake_pipeline.py:305-345``,
+``sql-scripts/snowflake/analytics_views.sql``).
+
+All helpers return plain Column expressions — JVM-side, codegen-friendly,
+no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def month_name(col: Column | str) -> Column:
+    """Snowflake ``MONTHNAME`` → full month name ('January')."""
+    return F.date_format(col, "MMMM")
+
+
+def day_name(col: Column | str) -> Column:
+    """Snowflake ``DAYNAME`` → full day name ('Monday')."""
+    return F.date_format(col, "EEEE")
+
+
+def time_key(col: Column | str) -> Column:
+    """Star-schema surrogate date key ``y*10000 + m*100 + d``
+    (reference ``snowflake_pipeline.py:319``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.year(c) * 10000 + F.month(c) * 100 + F.dayofmonth(c)).cast("int")
+
+
+def epoch_us(col: Column | str) -> Column:
+    """Microseconds since epoch as BIGINT, timezone-stable.
+
+    TIMESTAMP_NTZ columns are interpreted as UTC wall clock (the session
+    timezone is pinned to UTC by :mod:`..session`), matching DuckDB's
+    timezone-naive ``epoch_us``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def floor_div(col: Column, divisor: int) -> Column:
+    """Integer floor-division for non-negative BIGINT columns."""
+    return (col / F.lit(divisor)).cast("long")
+
+
+def window_start_sec(ts: Column | str, width_sec: int) -> Column:
+    """Tumbling-window start in epoch seconds.
+
+    Batch-side equivalent of ``F.window(ts, f"{width_sec} seconds")
+    .start`` — emitted as a BIGINT so Spark and the DuckDB oracle agree
+    bit-for-bit (no timestamp round-tripping).
+    """
+    return floor_div(epoch_us(ts), width_sec * 1_000_000) * width_sec

@@ -1,0 +1,20 @@
+from .dedup import dedup_keep_latest, exact_dedup_groups, minhash_lsh_candidates
+from .merge import merge_upsert
+from .quality import dq_summary
+from .sessionize import gap_sessionize
+from .similarity import cosine_topk, label_centroid_norms
+from .text import add_text_features, doc_fingerprint, shingles
+
+__all__ = [
+    "add_text_features",
+    "cosine_topk",
+    "dedup_keep_latest",
+    "doc_fingerprint",
+    "dq_summary",
+    "exact_dedup_groups",
+    "gap_sessionize",
+    "label_centroid_norms",
+    "merge_upsert",
+    "minhash_lsh_candidates",
+    "shingles",
+]

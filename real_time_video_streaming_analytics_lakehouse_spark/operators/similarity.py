@@ -1,0 +1,98 @@
+"""Vector-similarity operators over ``array<float>`` embedding columns.
+
+Not present in the reference (which has no vector data); part of the
+large-scale-training-pipeline surface (BASELINE.json north star).
+
+Design:
+  * All arithmetic is JVM-side higher-order functions (``zip_with`` +
+    ``aggregate``) on double-cast arrays — no Python, no UDFs.
+  * :func:`cosine_topk` broadcasts the (small) query set against the
+    candidate corpus: at 100 TB the candidates stay partitioned, the
+    query side ships with the task, and the per-partition top-k is
+    reduced by the final window — the brute-force baseline.
+    The LSH-bucketed scale path shares banding machinery with
+    :func:`..dedup.minhash_lsh_candidates`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra_cols: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query row.
+
+    ``query_pred`` splits the table: rows matching it are queries, the
+    rest are candidates. Returns ``(query_id, <id_col>, *extra, cosine,
+    rk)`` with rk 1..k per query; ties broken by candidate id so the
+    result is deterministic.
+    """
+    emb = _as_double(F.col(vec_col))
+    base = embeddings.withColumn("_e", emb).withColumn("_n", _norm(F.col("_e")))
+    queries = base.filter(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_e").alias("_qe"),
+        F.col("_n").alias("_qn"),
+    )
+    candidates = base.filter(~query_pred).select(
+        id_col, *extra_cols, F.col("_e").alias("_ce"), F.col("_n").alias("_cn")
+    )
+    cosine = F.round(
+        _dot(F.col("_qe"), F.col("_ce")) / (F.col("_qn") * F.col("_cn")), 6
+    )
+    scored = (
+        candidates.crossJoin(F.broadcast(queries))
+        .withColumn("cosine", cosine)
+        .select("query_id", id_col, *extra_cols, "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def label_centroid_norms(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid L2 norm — array processing via posexplode →
+    per-dimension mean → re-reduce. One shuffle on (label, dim)."""
+    flat = embeddings.select(
+        F.col(label_col),
+        F.posexplode(_as_double(F.col(vec_col))).alias("dim", "v"),
+    )
+    cent = flat.groupBy(label_col, "dim").agg(F.avg("v").alias("c"))
+    norms = cent.groupBy(label_col).agg(
+        F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("centroid_norm")
+    )
+    counts = embeddings.groupBy(label_col).agg(F.count("*").alias("n_vectors"))
+    return counts.join(norms, label_col).select(
+        label_col, "n_vectors", "centroid_norm"
+    )

@@ -1,0 +1,138 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Large-scale-training-pipeline surface (BASELINE.json north star): token
+counting, quality scoring, deterministic fingerprinting, n-gram Jaccard
+near-dup pairs. Everything is built-in ``pyspark.sql.functions`` —
+string/array higher-order functions compile into whole-stage codegen;
+no Python touches the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (array<string>)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def add_text_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document quality features + quality bucket.
+
+    Columns: n_tokens, n_chars_measured, avg_token_len, vowel_ratio,
+    quality. The bucket thresholds use the *rounded* ratio so the DuckDB
+    oracle lands on identical CASE branches.
+    """
+    t = tokens(text_col)
+    text = F.col(text_col)
+    n_tokens = F.size(t)
+    n_chars = F.length(text)
+    # Raw ratios of integer operands: both engines divide identical
+    # BIGINTs, so the doubles match bit-for-bit — no rounding needed
+    # (and rounding would reintroduce decimal-midpoint ambiguity).
+    vowel_ratio = (
+        n_chars - F.length(F.regexp_replace(text, "[aeiou]", ""))
+    ) / n_chars.cast("double")
+    avg_token_len = F.length(F.regexp_replace(text, r"\s+", "")) / n_tokens
+    quality = (
+        F.when((n_tokens >= 60) & (vowel_ratio > 0.25), "high")
+        .when(n_tokens >= 30, "medium")
+        .otherwise("low")
+    )
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars_measured"),
+        avg_token_len.alias("avg_token_len"),
+        vowel_ratio.alias("vowel_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def shingles(text: Column | str, size: int = 3) -> Column:
+    """Distinct character n-gram shingles of ``text`` (array<string>)."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.greatest(F.length(c) - (size - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: c.substr(i, F.lit(size)))
+    )
+
+
+def word_shingles(text: Column | str, size: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined word windows)."""
+    w = tokens(text)
+    n = F.greatest(F.size(w) - (size - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, (i + k + 1).cast("int")) for k in range(size)]
+            ),
+        )
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", size: int = 3
+) -> DataFrame:
+    """Order-insensitive content fingerprint: md5 over the sorted
+    distinct character-shingle set. Identical for any permutation-
+    preserving re-encoding of the same shingle set, and portable (the
+    oracle reproduces it with DuckDB list functions)."""
+    fp = F.md5(F.concat_ws("", F.array_sort(shingles(text_col, size))))
+    return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    top_n: int = 50,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity — top-N most-similar pairs.
+
+    Explode distinct shingles, self-join on shingle (the inverted-index
+    trick: only docs sharing ≥1 shingle ever meet), count shared, and
+    compute |A∩B| / (|A|+|B|-|A∩B|). Deterministic top-N by (rounded
+    jaccard DESC, ids ASC).
+
+    Scale note: this is the exact-verification companion to
+    :func:`..dedup.minhash_lsh_candidates`; at 100 TB run LSH first and
+    this join only within candidate buckets.
+    """
+    sh = df.select(F.col(id_col), F.explode(word_shingles(text_col, shingle_words)).alias("sh"))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "sh")
+    b = sh.select(F.col(id_col).alias("doc_b"), "sh")
+    shared = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("words_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("words_b"))
+    jac = F.round(
+        F.col("shared")
+        / (F.col("words_a") + F.col("words_b") - F.col("shared")).cast("double"),
+        6,
+    )
+    from pyspark.sql.window import Window
+
+    scored = (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+    )
+    w = Window.orderBy(F.col("jaccard").desc(), F.col("doc_a"), F.col("doc_b"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_n)
+        .select("doc_a", "doc_b", "shared", "words_a", "words_b", "jaccard", "rk")
+    )

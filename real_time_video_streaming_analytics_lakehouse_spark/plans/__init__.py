@@ -1,0 +1,3 @@
+from .catalog import CATALOG, QuerySpec
+
+__all__ = ["CATALOG", "QuerySpec"]

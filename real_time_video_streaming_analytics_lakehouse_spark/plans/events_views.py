@@ -1,0 +1,639 @@
+"""The reference's 11-view analytics workload re-expressed over the
+driver's generic ``events`` table (FIXTURES.md §6 mapping: user_id =
+entity key, event_type = category, ts = timestamp, value = measure).
+
+View correspondence (reference ``sql-scripts/snowflake/analytics_views.sql``):
+  daily_active_users     ≙ V_DAILY_ACTIVE_USERS   (:9-24)
+  user_cohorts           ≙ V_USER_COHORTS         (:27-60, J9 range join
+                            rewritten as week-bucket arithmetic)
+  user_segments          ≙ V_USER_SEGMENTS        (:63-102)
+  event_type_rank        ≙ V_TOP_CONTENT          (:109-128, RANK W3)
+  value_bucket_dropoff   ≙ V_CONTENT_DROPOFF      (:149-181, CASE buckets
+                            P11 + percent-of-total W5)
+  executive_kpis         ≙ V_EXECUTIVE_KPIS       (:256-295, cross join J4
+                            + guarded growth ratios A9)
+  weekly_revenue_growth  ≙ V_MRR_ANALYSIS         (:298-330, LAG W4)
+  churn_risk             ≙ V_CHURN_RISK           (:333-375)
+
+Plus the streaming aggregations' batch-equivalents (same grouping logic
+the Structured Streaming pipelines emit — reference
+``spark-jobs/real_time_streaming.py:273-403``) and the ETL-framework
+operators (keep-latest dedup W1, window enrichment W2, sessionization/
+rollup A1, MERGE upsert J7, single-pass DQ).
+
+Determinism: all dates are anchored to AS_OF = 2024-01-31 (the test
+corpus covers Jan 2024) instead of current_date(), per SURVEY §7.3(5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.dialect import epoch_us, window_start_sec
+from ..operators.dedup import dedup_keep_latest
+from ..operators.merge import merge_upsert
+from ..operators.quality import dq_summary
+from ..operators.sessionize import gap_sessionize, session_rollup
+from ..sources.readers import load_table
+from .catalog import QuerySpec
+
+AS_OF_DATE = "2024-01-31"
+AS_OF_TS = "2024-01-31 00:00:00"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# --- daily_active_users ---------------------------------------------------
+
+def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    is_type = lambda t: F.when(F.col("event_type") == t, 1)  # noqa: E731
+    return e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count_distinct("user_id").alias("dau"),
+        F.count("*").alias("total_events"),
+        F.count(is_type("view")).alias("views"),
+        F.count(is_type("click")).alias("clicks"),
+        F.count(is_type("error")).alias("errors"),
+        F.count_distinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("purchasers"),
+        F.round(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                    0.0
+                )
+            ),
+            2,
+        ).alias("revenue"),
+        (F.count(is_type("error")) * 100.0 / F.count("*")).alias(
+            "error_rate_pct"
+        ),
+    )
+
+
+DAILY_ACTIVE_USERS_SQL = """
+SELECT CAST(ts AS DATE) AS day,
+       COUNT(DISTINCT user_id) AS dau,
+       COUNT(*) AS total_events,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS views,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS errors,
+       COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS purchasers,
+       ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS revenue,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) * 100.0 / COUNT(*) AS error_rate_pct
+FROM events GROUP BY 1
+"""
+
+
+# --- user_cohorts ---------------------------------------------------------
+
+def user_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = e.join(F.broadcast(first_seen), "user_id").select(
+        "user_id",
+        "cohort_week",
+        F.floor(
+            F.datediff(F.to_date("ts"), F.col("cohort_week")) / 7
+        ).alias("weeks_since"),
+    )
+    return activity.groupBy("cohort_week", "weeks_since").agg(
+        F.count_distinct("user_id").alias("active_users"),
+        F.count("*").alias("events_cnt"),
+    )
+
+
+USER_COHORTS_SQL = """
+WITH first_seen AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY 1),
+activity AS (
+  SELECT e.user_id, f.cohort_week,
+         CAST(floor(date_diff('day', f.cohort_week, CAST(e.ts AS DATE)) / 7.0) AS BIGINT) AS weeks_since
+  FROM events e JOIN first_seen f ON e.user_id = f.user_id)
+SELECT cohort_week, weeks_since,
+       COUNT(DISTINCT user_id) AS active_users,
+       COUNT(*) AS events_cnt
+FROM activity GROUP BY 1, 2
+"""
+
+
+# --- user_segments --------------------------------------------------------
+
+def user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    per_user = e.groupBy("user_id").agg(
+        F.count("*").alias("events_cnt"),
+        F.count_distinct(F.to_date("ts")).alias("active_days"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+        F.round(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                    0.0
+                )
+            ),
+            2,
+        ).alias("revenue"),
+    )
+    seg = per_user.withColumn(
+        "segment",
+        F.when(
+            (F.col("purchases") >= 20) & (F.col("revenue") >= 3000), "vip"
+        )
+        .when(F.col("purchases") >= 5, "buyer")
+        .when(F.col("events_cnt") >= 30, "engaged")
+        .otherwise("casual"),
+    )
+    return seg.groupBy("segment").agg(
+        F.count("*").alias("users"),
+        (F.sum("events_cnt") / F.count("*")).alias("avg_events"),
+        (F.round(F.sum("revenue"), 2) / F.count("*")).alias("avg_revenue"),
+        F.sum("purchases").alias("total_purchases"),
+    )
+
+
+USER_SEGMENTS_SQL = """
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS events_cnt,
+         COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
+         COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
+         ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS revenue
+  FROM events GROUP BY 1)
+SELECT CASE WHEN purchases >= 20 AND revenue >= 3000 THEN 'vip'
+            WHEN purchases >= 5 THEN 'buyer'
+            WHEN events_cnt >= 30 THEN 'engaged'
+            ELSE 'casual' END AS segment,
+       COUNT(*) AS users,
+       SUM(events_cnt) / COUNT(*) AS avg_events,
+       ROUND(SUM(revenue), 2) / COUNT(*) AS avg_revenue,
+       SUM(purchases) AS total_purchases
+FROM per_user GROUP BY 1
+"""
+
+
+# --- event_type_rank (V_TOP_CONTENT shape) --------------------------------
+
+def event_type_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    agg = e.groupBy("event_type").agg(
+        F.count("*").alias("events_cnt"),
+        F.count_distinct("user_id").alias("users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        (F.round(F.sum("value"), 2) / F.count("*")).alias("avg_value"),
+    )
+    return agg.withColumn(
+        "value_rank", F.rank().over(Window.orderBy(F.col("total_value").desc()))
+    ).withColumn(
+        "volume_rank", F.rank().over(Window.orderBy(F.col("events_cnt").desc()))
+    )
+
+
+EVENT_TYPE_RANK_SQL = """
+WITH t AS (
+  SELECT event_type, COUNT(*) AS events_cnt, COUNT(DISTINCT user_id) AS users,
+         ROUND(SUM(value), 2) AS total_value,
+         ROUND(SUM(value), 2) / COUNT(*) AS avg_value
+  FROM events GROUP BY 1)
+SELECT event_type, events_cnt, users, total_value, avg_value,
+       RANK() OVER (ORDER BY total_value DESC) AS value_rank,
+       RANK() OVER (ORDER BY events_cnt DESC) AS volume_rank
+FROM t
+"""
+
+
+# --- value_bucket_dropoff (CASE buckets + pct-of-total) -------------------
+
+def value_bucket_dropoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    bucket = (
+        F.when(F.col("value") < 50, "0-49")
+        .when(F.col("value") < 100, "50-99")
+        .when(F.col("value") < 200, "100-199")
+        .when(F.col("value") < 300, "200-299")
+        .when(F.col("value") < 400, "300-399")
+        .otherwise("400+")
+    )
+    agg = e.groupBy(
+        "event_type", bucket.alias("value_bucket")
+    ).agg(F.count("*").alias("events_cnt"))
+    w = Window.partitionBy("event_type")
+    return agg.withColumn(
+        "pct_of_type",
+        F.col("events_cnt") * 100.0 / F.sum("events_cnt").over(w),
+    )
+
+
+VALUE_BUCKET_DROPOFF_SQL = """
+WITH bucketed AS (
+  SELECT event_type,
+         CASE WHEN value < 50 THEN '0-49' WHEN value < 100 THEN '50-99'
+              WHEN value < 200 THEN '100-199' WHEN value < 300 THEN '200-299'
+              WHEN value < 400 THEN '300-399' ELSE '400+' END AS value_bucket
+  FROM events)
+SELECT event_type, value_bucket, COUNT(*) AS events_cnt,
+       COUNT(*) * 100.0 / SUM(COUNT(*)) OVER (PARTITION BY event_type) AS pct_of_type
+FROM bucketed GROUP BY 1, 2
+"""
+
+
+# --- executive_kpis (cross join + growth ratios) --------------------------
+
+def executive_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+
+    def period(start: str, end: str, prefix: str) -> DataFrame:
+        return e.filter(
+            (F.col("ts") >= F.lit(start).cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit(end).cast("timestamp_ntz"))
+        ).agg(
+            F.count("*").alias(f"{prefix}_events"),
+            F.count_distinct("user_id").alias(f"{prefix}_active_users"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase", F.col("value")
+                    ).otherwise(0.0)
+                ),
+                2,
+            ).alias(f"{prefix}_revenue"),
+        )
+
+    cur = period("2024-01-16 00:00:00", "2024-01-31 00:00:00", "cur")
+    prev = period("2024-01-01 00:00:00", "2024-01-16 00:00:00", "prev")
+    return cur.crossJoin(prev).select(
+        "cur_events",
+        "prev_events",
+        "cur_active_users",
+        "prev_active_users",
+        "cur_revenue",
+        "prev_revenue",
+        (
+            (F.col("cur_events") - F.col("prev_events"))
+            * 100.0
+            / F.col("prev_events")
+        ).alias("events_growth_pct"),
+        F.when(
+            F.col("prev_revenue") > 0,
+            (F.col("cur_revenue") - F.col("prev_revenue"))
+            * 100.0
+            / F.col("prev_revenue"),
+        ).alias("revenue_growth_pct"),
+    )
+
+
+EXECUTIVE_KPIS_SQL = """
+WITH cur AS (
+  SELECT COUNT(*) AS cur_events, COUNT(DISTINCT user_id) AS cur_active_users,
+         ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS cur_revenue
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' AND ts < TIMESTAMP '2024-01-31 00:00:00'),
+prev AS (
+  SELECT COUNT(*) AS prev_events, COUNT(DISTINCT user_id) AS prev_active_users,
+         ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS prev_revenue
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-16 00:00:00')
+SELECT cur_events, prev_events, cur_active_users, prev_active_users,
+       cur_revenue, prev_revenue,
+       (cur_events - prev_events) * 100.0 / prev_events AS events_growth_pct,
+       CASE WHEN prev_revenue > 0
+            THEN (cur_revenue - prev_revenue) * 100.0 / prev_revenue
+       END AS revenue_growth_pct
+FROM cur CROSS JOIN prev
+"""
+
+
+# --- weekly_revenue_growth (LAG analytics W4) -----------------------------
+
+def weekly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    weekly = e.groupBy(
+        "event_type",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+    ).agg(F.round(F.sum("value"), 2).alias("revenue"))
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("revenue").over(w)
+    return weekly.select(
+        "event_type",
+        "week",
+        "revenue",
+        prev.alias("prev_revenue"),
+        (
+            (F.col("revenue") - prev) * 100.0 / F.nullif(prev, F.lit(0.0))
+        ).alias("wow_growth_pct"),
+    )
+
+
+WEEKLY_REVENUE_GROWTH_SQL = """
+WITH weekly AS (
+  SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week,
+         ROUND(SUM(value), 2) AS revenue
+  FROM events GROUP BY 1, 2)
+SELECT event_type, week, revenue,
+       LAG(revenue) OVER (PARTITION BY event_type ORDER BY week) AS prev_revenue,
+       (revenue - LAG(revenue) OVER (PARTITION BY event_type ORDER BY week)) * 100.0
+             / NULLIF(LAG(revenue) OVER (PARTITION BY event_type ORDER BY week), 0) AS wow_growth_pct
+FROM weekly
+"""
+
+
+# --- churn_risk -----------------------------------------------------------
+
+def churn_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    last_active = e.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"), F.count("*").alias("lifetime_events")
+    )
+    days_inactive = F.datediff(
+        F.lit(AS_OF_DATE).cast("date"), F.to_date("last_ts")
+    )
+    return last_active.select(
+        "user_id",
+        F.to_date("last_ts").alias("last_day"),
+        days_inactive.alias("days_inactive"),
+        "lifetime_events",
+        F.when(days_inactive > 14, "high")
+        .when(days_inactive > 7, "medium")
+        .otherwise("low")
+        .alias("churn_risk"),
+    )
+
+
+CHURN_RISK_SQL = f"""
+WITH last_active AS (
+  SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS lifetime_events
+  FROM events GROUP BY 1)
+SELECT user_id, CAST(last_ts AS DATE) AS last_day,
+       CAST(date_diff('day', CAST(last_ts AS DATE), DATE '{AS_OF_DATE}') AS INTEGER) AS days_inactive,
+       lifetime_events,
+       CASE WHEN date_diff('day', CAST(last_ts AS DATE), DATE '{AS_OF_DATE}') > 14 THEN 'high'
+            WHEN date_diff('day', CAST(last_ts AS DATE), DATE '{AS_OF_DATE}') > 7 THEN 'medium'
+            ELSE 'low' END AS churn_risk
+FROM last_active
+"""
+
+
+# --- props_key_distribution (JSON parse S2-analog) ------------------------
+
+def props_key_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy((k % 10).alias("k_mod")).agg(
+        F.count("*").alias("events_cnt"),
+        (F.round(F.sum("value"), 2) / F.count("*")).alias("avg_value"),
+    )
+
+
+PROPS_KEY_DISTRIBUTION_SQL = """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+       COUNT(*) AS events_cnt,
+       ROUND(SUM(value), 2) / COUNT(*) AS avg_value
+FROM events GROUP BY 1
+"""
+
+
+# --- streaming batch-equivalents (A2/A4, T2 tumbling windows) -------------
+
+def user_activity_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return e.groupBy(
+        window_start_sec("ts", 300).alias("window_start_sec"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("events_cnt"),
+        F.count_distinct("user_id").alias("users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+USER_ACTIVITY_5MIN_SQL = """
+SELECT (epoch_us(ts) // 300000000) * 300 AS window_start_sec,
+       event_type,
+       COUNT(*) AS events_cnt,
+       COUNT(DISTINCT user_id) AS users,
+       ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def anomaly_1min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = e.groupBy(
+        "user_id", window_start_sec("ts", 60).alias("window_start_sec")
+    ).agg(
+        F.count("*").alias("events_cnt"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("errors"),
+    )
+    anomaly = (
+        F.when((F.col("events_cnt") >= 2) & (F.col("errors") >= 1), "error_burst")
+        .when(F.col("events_cnt") >= 2, "high_activity")
+        .when(F.col("errors") >= 1, "error")
+    )
+    return w.withColumn("anomaly_type", anomaly).filter(
+        (F.col("events_cnt") >= 2) | (F.col("errors") >= 1)
+    )
+
+
+ANOMALY_1MIN_SQL = """
+WITH w AS (
+  SELECT user_id, (epoch_us(ts) // 60000000) * 60 AS window_start_sec,
+         COUNT(*) AS events_cnt,
+         COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS errors
+  FROM events GROUP BY 1, 2)
+SELECT user_id, window_start_sec, events_cnt, errors,
+       CASE WHEN events_cnt >= 2 AND errors >= 1 THEN 'error_burst'
+            WHEN events_cnt >= 2 THEN 'high_activity'
+            WHEN errors >= 1 THEN 'error' END AS anomaly_type
+FROM w WHERE events_cnt >= 2 OR errors >= 1
+"""
+
+
+# --- ETL-framework operators over events ----------------------------------
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    kept = dedup_keep_latest(e, ["user_id"], "ts", tiebreak=["event_id"])
+    return kept.select(
+        "user_id",
+        "event_id",
+        epoch_us(F.col("ts")).alias("ts_us"),
+        "event_type",
+        "value",
+    )
+
+
+LATEST_EVENT_PER_USER_SQL = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+def user_event_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    first_us = epoch_us(F.min("ts").over(w))
+    last_us = epoch_us(F.max("ts").over(w))
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("user_event_count"),
+        first_us.alias("first_ts_us"),
+        last_us.alias("last_ts_us"),
+        ((last_us - first_us) / F.lit(1_000_000)).cast("long").alias(
+            "user_span_sec"
+        ),
+    )
+
+
+USER_EVENT_ENRICHMENT_SQL = """
+SELECT event_id, user_id,
+       COUNT(*) OVER (PARTITION BY user_id) AS user_event_count,
+       epoch_us(MIN(ts) OVER (PARTITION BY user_id)) AS first_ts_us,
+       epoch_us(MAX(ts) OVER (PARTITION BY user_id)) AS last_ts_us,
+       (epoch_us(MAX(ts) OVER (PARTITION BY user_id))
+        - epoch_us(MIN(ts) OVER (PARTITION BY user_id))) // 1000000 AS user_span_sec
+FROM events
+"""
+
+
+def session_rollup_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return session_rollup(gap_sessionize(e, gap_sec=1800))
+
+
+SESSION_ROLLUP_30MIN_SQL = """
+WITH marked AS (
+  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000 THEN 1
+              ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+sess AS (
+  SELECT *, SUM(new_sess) OVER (
+      PARTITION BY user_id ORDER BY us, event_id
+      ROWS UNBOUNDED PRECEDING) AS session_num
+  FROM marked)
+SELECT user_id, session_num,
+       COUNT(*) AS events,
+       COUNT(DISTINCT event_type) AS distinct_event_types,
+       MIN(us) AS start_us,
+       MAX(us) AS end_us,
+       (MAX(us) - MIN(us)) // 1000000 AS duration_sec,
+       ROUND(SUM(value), 2) AS total_value,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases
+FROM sess GROUP BY 1, 2
+"""
+
+
+def merge_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    split_ts = F.lit("2024-01-21 00:00:00").cast("timestamp_ntz")
+    src_ts = F.lit("2024-01-11 00:00:00").cast("timestamp_ntz")
+    target = e.filter(F.col("ts") < split_ts).select(
+        "event_id", "user_id", "event_type", "value", F.lit("target").alias("src")
+    )
+    source = e.filter(F.col("ts") >= src_ts).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 2, 2).alias("value"),
+        F.lit("source").alias("src"),
+    )
+    return merge_upsert(target, source, ["event_id"])
+
+
+MERGE_UPSERT_EVENTS_SQL = """
+WITH target AS (
+  SELECT event_id, user_id, event_type, value, 'target' AS src
+  FROM events WHERE ts < TIMESTAMP '2024-01-21 00:00:00'),
+source AS (
+  SELECT event_id, user_id, event_type, ROUND(value * 2, 2) AS value, 'source' AS src
+  FROM events WHERE ts >= TIMESTAMP '2024-01-11 00:00:00')
+SELECT * FROM source
+UNION ALL
+SELECT t.* FROM target t
+WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.event_id = t.event_id)
+"""
+
+
+def dq_validation_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return dq_summary(
+        e,
+        not_null_cols=["user_id", "value", "event_type"],
+        id_col="event_id",
+        future_ts_col="ts",
+        as_of=AS_OF_TS,
+    )
+
+
+DQ_VALIDATION_EVENTS_SQL = f"""
+SELECT COUNT(*) AS total_rows,
+       COUNT(CASE WHEN user_id IS NULL THEN 1 END) AS null_user_id,
+       COUNT(CASE WHEN value IS NULL THEN 1 END) AS null_value,
+       COUNT(CASE WHEN event_type IS NULL THEN 1 END) AS null_event_type,
+       COUNT(CASE WHEN ts > TIMESTAMP '{AS_OF_TS}' THEN 1 END) AS future_ts,
+       COUNT(*) - COUNT(DISTINCT event_id) AS duplicate_ids,
+       ROUND((COUNT(*) - COUNT(CASE WHEN user_id IS NULL OR value IS NULL
+                                      OR event_type IS NULL THEN 1 END))
+             * 100.0 / COUNT(*), 4) AS valid_pct
+FROM events
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "daily_active_users": QuerySpec(
+        daily_active_users, DAILY_ACTIVE_USERS_SQL, "V_DAILY_ACTIVE_USERS analog"
+    ),
+    "user_cohorts": QuerySpec(
+        user_cohorts, USER_COHORTS_SQL, "V_USER_COHORTS (J9 → week buckets)"
+    ),
+    "user_segments": QuerySpec(
+        user_segments, USER_SEGMENTS_SQL, "V_USER_SEGMENTS CASE segmentation"
+    ),
+    "event_type_rank": QuerySpec(
+        event_type_rank, EVENT_TYPE_RANK_SQL, "V_TOP_CONTENT rank (W3)"
+    ),
+    "value_bucket_dropoff": QuerySpec(
+        value_bucket_dropoff, VALUE_BUCKET_DROPOFF_SQL, "V_CONTENT_DROPOFF (P11+W5)"
+    ),
+    "executive_kpis": QuerySpec(
+        executive_kpis, EXECUTIVE_KPIS_SQL, "V_EXECUTIVE_KPIS cross join (J4+A9)"
+    ),
+    "weekly_revenue_growth": QuerySpec(
+        weekly_revenue_growth, WEEKLY_REVENUE_GROWTH_SQL, "V_MRR_ANALYSIS LAG (W4)"
+    ),
+    "churn_risk": QuerySpec(churn_risk, CHURN_RISK_SQL, "V_CHURN_RISK"),
+    "props_key_distribution": QuerySpec(
+        props_key_distribution, PROPS_KEY_DISTRIBUTION_SQL, "JSON parse (S2 analog)"
+    ),
+    "user_activity_5min": QuerySpec(
+        user_activity_5min, USER_ACTIVITY_5MIN_SQL, "5-min tumbling agg (A2 batch)"
+    ),
+    "anomaly_1min": QuerySpec(
+        anomaly_1min, ANOMALY_1MIN_SQL, "1-min anomaly windows (A4 batch)"
+    ),
+    "latest_event_per_user": QuerySpec(
+        latest_event_per_user, LATEST_EVENT_PER_USER_SQL, "keep-latest dedup (W1)"
+    ),
+    "user_event_enrichment": QuerySpec(
+        user_event_enrichment, USER_EVENT_ENRICHMENT_SQL, "partition windows (W2)"
+    ),
+    "session_rollup_30min": QuerySpec(
+        session_rollup_30min, SESSION_ROLLUP_30MIN_SQL, "sessionize + rollup (A1)"
+    ),
+    "merge_upsert_events": QuerySpec(
+        merge_upsert_events, MERGE_UPSERT_EVENTS_SQL, "logical MERGE upsert (J7)"
+    ),
+    "dq_validation_events": QuerySpec(
+        dq_validation_events, DQ_VALIDATION_EVENTS_SQL, "single-pass DQ profile"
+    ),
+}

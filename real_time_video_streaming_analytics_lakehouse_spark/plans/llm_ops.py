@@ -1,0 +1,218 @@
+"""Large-scale training-data-pipeline operators (BASELINE.json north
+star): deduplication, text analysis, fingerprinting, and vector
+similarity over the ``documents`` and ``embeddings`` tables.
+
+All are oracle-checked except MinHash-LSH (hash-function-specific →
+rows-only check; its exact companion ``ngram_jaccard_pairs`` IS
+oracle-checked and validates the same semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import exact_dedup_groups, minhash_lsh_candidates
+from ..operators.similarity import cosine_topk, label_centroid_norms
+from ..operators.text import add_text_features, doc_fingerprint, ngram_jaccard_pairs
+from ..sources.readers import load_table
+from .catalog import QuerySpec
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --- exact dedup ----------------------------------------------------------
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(_docs(spark, sf_dir), "text", "doc_id")
+
+
+DEDUP_EXACT_DOCS_SQL = """
+SELECT md5(text) AS text_hash, COUNT(*) AS dup_count,
+       MIN(doc_id) AS canonical_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+# --- token statistics -----------------------------------------------------
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("docs"),
+        (F.sum(n_tokens) / F.count("*")).alias("avg_tokens"),
+        F.max(n_tokens).alias("max_tokens"),
+        (F.sum("n_chars") / F.count("*")).alias("avg_chars"),
+    )
+
+
+DOC_TOKEN_STATS_SQL = r"""
+SELECT lang, COUNT(*) AS docs,
+       SUM(len(string_split_regex(trim(text), '\s+'))) / COUNT(*) AS avg_tokens,
+       CAST(MAX(len(string_split_regex(trim(text), '\s+'))) AS INTEGER) AS max_tokens,
+       SUM(n_chars) / COUNT(*) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+# --- per-doc quality features ----------------------------------------------
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return add_text_features(_docs(spark, sf_dir))
+
+
+TEXT_QUALITY_SQL = r"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars_measured,
+       length(regexp_replace(text, '\s+', '', 'g'))
+             / len(string_split_regex(trim(text), '\s+')) AS avg_token_len,
+       (length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')))
+             / CAST(length(text) AS DOUBLE) AS vowel_ratio,
+       CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 60
+                 AND (length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')))
+                           / CAST(length(text) AS DOUBLE) > 0.25 THEN 'high'
+            WHEN len(string_split_regex(trim(text), '\s+')) >= 30 THEN 'medium'
+            ELSE 'low' END AS quality
+FROM documents
+"""
+
+
+# --- content fingerprint ----------------------------------------------------
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_fingerprint(_docs(spark, sf_dir))
+
+
+DOC_FINGERPRINTS_SQL = """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(
+         list_transform(generate_series(1, greatest(length(text) - 2, 1)),
+                        i -> substr(text, CAST(i AS INTEGER), 3)))), '')) AS fingerprint
+FROM documents
+"""
+
+
+# --- exact n-gram Jaccard near-dup pairs -------------------------------------
+
+def ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), top_n=50)
+
+
+NGRAM_JACCARD_TOP_PAIRS_SQL = r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', w[i+1], w[i+2], w[i+3]) AS sh
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(0, greatest(len(w) - 2, 1) - 1)) AS i
+        FROM words)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+pair_counts AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+scored AS (
+  SELECT doc_a, doc_b, shared,
+         sa.n_sh AS words_a, sb.n_sh AS words_b,
+         ROUND(shared / CAST(sa.n_sh + sb.n_sh - shared AS DOUBLE), 6) AS jaccard
+  FROM pair_counts
+  JOIN sizes sa ON pair_counts.doc_a = sa.doc_id
+  JOIN sizes sb ON pair_counts.doc_b = sb.doc_id)
+SELECT doc_a, doc_b, shared, words_a, words_b, jaccard,
+       CAST(rk AS INTEGER) AS rk
+FROM (SELECT scored.*, ROW_NUMBER() OVER (
+          ORDER BY jaccard DESC, doc_a, doc_b) AS rk FROM scored)
+WHERE rk <= 50
+"""
+
+
+# --- MinHash + LSH (scale path; rows-only check) ------------------------------
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_candidates(_docs(spark, sf_dir), min_est_jaccard=0.2)
+
+
+# --- vector similarity ---------------------------------------------------------
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return cosine_topk(emb, F.col("vec_id") < 5, k=5)
+
+
+ANN_COSINE_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+  FROM embeddings WHERE vec_id < 5),
+c AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS ce
+  FROM embeddings WHERE vec_id >= 5),
+pairs AS (
+  SELECT q.query_id, c.vec_id, c.label,
+         list_sum(list_transform(range(1, 65), i -> qe[i] * ce[i])) AS dot,
+         sqrt(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i]))) AS nq,
+         sqrt(list_sum(list_transform(range(1, 65), i -> ce[i] * ce[i]))) AS nc
+  FROM q CROSS JOIN c)
+SELECT query_id, vec_id, label, cosine, CAST(rk AS INTEGER) AS rk FROM (
+  SELECT query_id, vec_id, label,
+         ROUND(dot / (nq * nc), 6) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ROUND(dot / (nq * nc), 6) DESC, vec_id) AS rk
+  FROM pairs)
+WHERE rk <= 5
+"""
+
+
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return label_centroid_norms(_emb(spark, sf_dir))
+
+
+EMBEDDING_CENTROIDS_SQL = """
+WITH flat AS (
+  SELECT label, unnest(generate_series(1, 64)) AS dim,
+         unnest(embedding::DOUBLE[]) AS v
+  FROM embeddings),
+cent AS (SELECT label, dim, AVG(v) AS c FROM flat GROUP BY 1, 2),
+norms AS (SELECT label, ROUND(sqrt(SUM(c * c)), 6) AS centroid_norm
+          FROM cent GROUP BY 1),
+counts AS (SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY 1)
+SELECT counts.label, counts.n_vectors, norms.centroid_norm
+FROM counts JOIN norms ON counts.label = norms.label
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "dedup_exact_docs": QuerySpec(
+        dedup_exact_docs, DEDUP_EXACT_DOCS_SQL, "exact dedup via hash-groupBy"
+    ),
+    "doc_token_stats": QuerySpec(
+        doc_token_stats, DOC_TOKEN_STATS_SQL, "token counting per language"
+    ),
+    "text_quality": QuerySpec(
+        text_quality, TEXT_QUALITY_SQL, "per-doc quality scoring"
+    ),
+    "doc_fingerprints": QuerySpec(
+        doc_fingerprints, DOC_FINGERPRINTS_SQL, "shingle-set content fingerprint"
+    ),
+    "ngram_jaccard_top_pairs": QuerySpec(
+        ngram_jaccard_top_pairs,
+        NGRAM_JACCARD_TOP_PAIRS_SQL,
+        "exact word-3gram Jaccard near-dup pairs",
+    ),
+    "minhash_lsh_pairs": QuerySpec(
+        minhash_lsh_pairs, None, "MinHash+LSH candidates (scale path; rows-only)"
+    ),
+    "ann_cosine_topk": QuerySpec(
+        ann_cosine_topk, ANN_COSINE_TOPK_SQL, "brute-force cosine top-k"
+    ),
+    "embedding_centroids": QuerySpec(
+        embedding_centroids, EMBEDDING_CENTROIDS_SQL, "per-label centroid norms"
+    ),
+}

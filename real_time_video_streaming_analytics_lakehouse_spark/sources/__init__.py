@@ -1,0 +1,3 @@
+from .readers import TABLES, load_table, register_views
+
+__all__ = ["TABLES", "load_table", "register_views"]

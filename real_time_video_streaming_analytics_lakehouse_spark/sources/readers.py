@@ -1,0 +1,64 @@
+"""Batch readers for the test lakehouse tables.
+
+Equivalent role to the reference's Delta batch sources
+(``spark-jobs/etl_framework.py:224,243,600``; ``delta-lake/delta_setup.py``):
+one place that knows how to produce a normalized DataFrame per table.
+
+The parquet scan stays fully pushdown-capable: we read with
+``spark.read.parquet`` (no schema inference pass, vectorized reader,
+predicate/column pushdown by Catalyst). The only normalization is the
+``events.ts`` column, written by the generator as parquet TIMESTAMP(NANOS)
+which Spark's vectorized reader rejects; with
+``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as int64
+nanoseconds and is converted here to ``TIMESTAMP_NTZ`` (microsecond
+precision — the synthetic data carries at most µs of sub-second detail, so
+the conversion is lossless for this corpus and deterministic regardless).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from ..session import apply_runtime_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table, normalizing nanosecond timestamps."""
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # Normalize any int64-nanosecond column produced by nanosAsLong back to
+    # a timestamp. Only `events.ts` matches in this corpus; detection is by
+    # (name, type) so other tables pass through untouched.
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # Integer division (DIV), not `/`: ns values ~1.7e18 exceed double's
+        # 53-bit mantissa, so float division would be off by ±1 µs.
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz"),
+        )
+    return df
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> None:
+    """Register each table as a temp view (for spark.sql-based plans)."""
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
