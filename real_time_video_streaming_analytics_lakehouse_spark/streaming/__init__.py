@@ -1,0 +1,19 @@
+from .pipelines import (
+    anomaly_stream,
+    content_popularity_stream,
+    kafka_stream,
+    parse_kafka_events,
+    run_available_now,
+    stream_events_from_files,
+    user_activity_stream,
+)
+
+__all__ = [
+    "anomaly_stream",
+    "content_popularity_stream",
+    "kafka_stream",
+    "parse_kafka_events",
+    "run_available_now",
+    "stream_events_from_files",
+    "user_activity_stream",
+]

@@ -1,0 +1,214 @@
+"""Structured Streaming pipelines.
+
+Re-expresses the reference's four streaming jobs
+(``spark-jobs/real_time_streaming.py``):
+
+  raw ingest   (:98-211)  → :func:`kafka_stream` / :func:`parse_kafka_events`
+                            + file-source variant for broker-less runs
+  user activity (:261-312) → :func:`user_activity_stream` (5-min tumbling)
+  content popularity (:314-359) → :func:`content_popularity_stream` (10-min)
+  anomaly detection (:367-422)  → :func:`anomaly_stream` (1-min + CASE)
+
+Deviations from the reference, by design:
+  * Streaming **exact** ``countDistinct`` is unsupported in append mode
+    (the reference code would not run — SURVEY.md §5.1); we use
+    ``approx_count_distinct`` and verify exact values in the batch
+    equivalents (plans/events_views.py), per SURVEY §7.3(1).
+  * Sources are swappable: Kafka when a broker exists, parquet-dir file
+    streams otherwise — identical downstream plans either way.
+
+Scale notes: each pipeline is watermark + tumbling window → state store
+keyed by (window, group). Watermarks bound state size; rate limits
+(``maxOffsetsPerTrigger`` / ``maxFilesPerTrigger``) bound micro-batch
+size; ``Trigger.AvailableNow`` drains a backlog with those same bounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+
+def kafka_stream(
+    spark: SparkSession,
+    topics: list[str],
+    bootstrap_servers: str,
+    max_offsets_per_trigger: int = 1000,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Kafka streaming source (reference real_time_streaming.py:98-132).
+
+    Requires the spark-sql-kafka package on the classpath; kept behind
+    this factory so everything downstream is source-agnostic.
+    """
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", ",".join(topics))
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", "false")
+        .option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+        .load()
+    )
+
+
+def parse_kafka_events(raw: DataFrame, schema: StructType) -> DataFrame:
+    """Parse Kafka JSON payloads (reference real_time_streaming.py:134-186):
+    from_json against a declared schema, flatten, carry Kafka metadata +
+    ingestion timestamp."""
+    return (
+        raw.select(
+            F.from_json(F.col("value").cast("string"), schema).alias("e"),
+            F.col("topic"),
+            F.col("partition").alias("kafka_partition"),
+            F.col("offset").alias("kafka_offset"),
+            F.col("timestamp").alias("kafka_timestamp"),
+        )
+        .select("e.*", "topic", "kafka_partition", "kafka_offset", "kafka_timestamp")
+        .withColumn("ingestion_timestamp", F.current_timestamp())
+    )
+
+
+def stream_events_from_files(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    max_files_per_trigger: int = 100,
+) -> DataFrame:
+    """File-source stream over a parquet directory (reference's Delta
+    stream source, real_time_streaming.py:226-230, minus the Delta log)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(path)
+    )
+
+
+def user_activity_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    window: str = "5 minutes",
+) -> DataFrame:
+    """5-minute tumbling user-activity aggregate
+    (reference real_time_streaming.py:273-298)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("events_cnt"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "events_cnt",
+            "approx_users",
+            "total_value",
+        )
+    )
+
+
+def content_popularity_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "15 minutes",
+    window: str = "10 minutes",
+) -> DataFrame:
+    """10-minute content-popularity aggregate with derived engagement
+    ratio (reference real_time_streaming.py:314-345)."""
+    purchases = F.sum(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    )
+    views = F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"))
+        .agg(
+            F.count("*").alias("events_cnt"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            purchases.alias("purchases"),
+            views.alias("views"),
+            F.max("value").alias("max_value"),
+        )
+        .withColumn(
+            "purchase_per_view",
+            F.when(F.col("views") > 0, F.col("purchases") / F.col("views")),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "events_cnt",
+            "approx_users",
+            "purchases",
+            "views",
+            "max_value",
+            "purchase_per_view",
+        )
+    )
+
+
+def anomaly_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "5 minutes",
+    window: str = "1 minute",
+    burst_threshold: int = 2,
+) -> DataFrame:
+    """Per-user 1-minute anomaly windows with rule-based labels
+    (reference real_time_streaming.py:379-403): aggregate → CASE →
+    filter non-normal."""
+    agg = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count("*").alias("events_cnt"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).alias("errors"),
+        )
+    )
+    anomaly = (
+        F.when(
+            (F.col("events_cnt") >= burst_threshold) & (F.col("errors") >= 1),
+            "error_burst",
+        )
+        .when(F.col("events_cnt") >= burst_threshold, "high_activity")
+        .when(F.col("errors") >= 1, "error")
+        .otherwise("normal")
+    )
+    return (
+        agg.withColumn("anomaly_type", anomaly)
+        .filter(F.col("anomaly_type") != "normal")
+        .select(
+            F.col("w.start").alias("window_start"),
+            "user_id",
+            "events_cnt",
+            "errors",
+            "anomaly_type",
+        )
+    )
+
+
+def run_available_now(
+    result: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    output_mode: str = "append",
+) -> StreamingQuery:
+    """Drain the stream's current backlog into a parquet sink and stop
+    (reference's availableNow config flag, config.py:104-106). The
+    checkpoint gives exactly-once across re-runs (T6)."""
+    return (
+        result.writeStream.format("parquet")
+        .outputMode(output_mode)
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,117 @@
+"""Golden-frame unit tests for the operator library (SURVEY §5.2)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from real_time_video_streaming_analytics_lakehouse_spark.operators import (
+    dedup_keep_latest,
+    dq_summary,
+    exact_dedup_groups,
+    gap_sessionize,
+    merge_upsert,
+    minhash_lsh_candidates,
+)
+from real_time_video_streaming_analytics_lakehouse_spark.operators.sessionize import (
+    session_rollup,
+)
+
+
+def ts(minute: int, second: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 10, minute, second)
+
+
+def test_dedup_keep_latest_picks_latest_and_breaks_ties(spark):
+    df = spark.createDataFrame(
+        [
+            Row(k="a", ts=ts(0), event_id=1, v="old"),
+            Row(k="a", ts=ts(5), event_id=2, v="new"),
+            Row(k="a", ts=ts(5), event_id=3, v="tie-winner"),
+            Row(k="b", ts=ts(1), event_id=4, v="only"),
+        ]
+    )
+    out = {
+        r["k"]: r["v"]
+        for r in dedup_keep_latest(df, ["k"], "ts", ["event_id"]).collect()
+    }
+    assert out == {"a": "tie-winner", "b": "only"}
+
+
+def test_exact_dedup_groups_counts_and_canonical_id(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=3, text="xx"), Row(doc_id=1, text="xx"), Row(doc_id=2, text="yy")]
+    )
+    rows = {
+        r["canonical_doc_id"]: r["dup_count"]
+        for r in exact_dedup_groups(df, "text", "doc_id").collect()
+    }
+    assert rows == {1: 2, 2: 1}
+
+
+def test_merge_upsert_source_wins_and_inserts(spark):
+    target = spark.createDataFrame(
+        [Row(id=1, v="t1"), Row(id=2, v="t2")]
+    )
+    source = spark.createDataFrame(
+        [Row(id=2, v="s2"), Row(id=3, v="s3")]
+    )
+    out = {r["id"]: r["v"] for r in merge_upsert(target, source, ["id"]).collect()}
+    assert out == {1: "t1", 2: "s2", 3: "s3"}
+
+
+def test_dq_summary_single_pass_profile(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, u="a", ts=ts(0)),
+            Row(id=1, u="b", ts=ts(1)),  # duplicate id
+            Row(id=2, u=None, ts=ts(2)),  # null u
+            Row(id=3, u="c", ts=dt.datetime(2030, 1, 1)),  # future ts
+        ]
+    )
+    row = dq_summary(
+        df, ["u"], "id", future_ts_col="ts", as_of="2024-06-01 00:00:00"
+    ).collect()[0]
+    assert row["total_rows"] == 4
+    assert row["null_u"] == 1
+    assert row["future_ts"] == 1
+    assert row["duplicate_ids"] == 1
+    assert row["valid_pct"] == 75.0
+
+
+def test_gap_sessionize_splits_on_gap(spark):
+    df = spark.createDataFrame(
+        [
+            Row(user_id=1, event_id=1, ts=ts(0), value=1.0, event_type="view"),
+            Row(user_id=1, event_id=2, ts=ts(10), value=1.0, event_type="view"),
+            # 40-minute gap → new session
+            Row(user_id=1, event_id=3, ts=ts(50), value=1.0, event_type="click"),
+            Row(user_id=2, event_id=4, ts=ts(0), value=1.0, event_type="view"),
+        ]
+    )
+    sess = gap_sessionize(df, gap_sec=1800)
+    nums = {
+        (r["user_id"], r["event_id"]): r["session_num"] for r in sess.collect()
+    }
+    assert nums == {(1, 1): 1, (1, 2): 1, (1, 3): 2, (2, 4): 1}
+    rollup = {
+        (r["user_id"], r["session_num"]): r["events"]
+        for r in session_rollup(sess).collect()
+    }
+    assert rollup == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_minhash_lsh_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "sleepy")  # one token of ~60 changed
+    other = "completely different content about spark query planning " * 6
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=base), Row(doc_id=2, text=near), Row(doc_id=3, text=other)]
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_candidates(df, min_est_jaccard=0.3).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(k == (1, 2) for k in pairs)

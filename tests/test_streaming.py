@@ -1,0 +1,134 @@
+"""Streaming semantics tests (SURVEY §5.2): file-source streams drained
+with Trigger.AvailableNow into parquet sinks; assertions on window
+boundaries [start, end), append-mode emission (windows flush only once
+the watermark passes their end), late-data drop, and checkpoint
+idempotence."""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from real_time_video_streaming_analytics_lakehouse_spark.streaming import (
+    anomaly_stream,
+    run_available_now,
+    stream_events_from_files,
+    user_activity_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("events_src") / "data")
+    rows = [
+        # window [10:00, 10:05)
+        Row(event_id=1, ts=dt.datetime(2024, 1, 1, 10, 0, 30), user_id=1,
+            event_type="view", value=10.0),
+        Row(event_id=2, ts=dt.datetime(2024, 1, 1, 10, 4, 59), user_id=2,
+            event_type="view", value=20.0),
+        # boundary: 10:05:00 belongs to the NEXT window
+        Row(event_id=3, ts=dt.datetime(2024, 1, 1, 10, 5, 0), user_id=1,
+            event_type="view", value=30.0),
+        # error burst for anomaly: 2 events same user same minute
+        Row(event_id=4, ts=dt.datetime(2024, 1, 1, 10, 7, 1), user_id=3,
+            event_type="error", value=1.0),
+        Row(event_id=5, ts=dt.datetime(2024, 1, 1, 10, 7, 2), user_id=3,
+            event_type="error", value=1.0),
+        # watermark advancer: pushes the watermark past every window end
+        # above so append mode flushes them; its own window never emits.
+        Row(event_id=99, ts=dt.datetime(2024, 1, 1, 11, 0, 0), user_id=99,
+            event_type="advance", value=0.0),
+    ]
+    spark.createDataFrame(rows).write.parquet(path)
+    return path
+
+
+def _drain(stream_df, tmp_path, name):
+    out, ckpt = f"{tmp_path}/{name}_out", f"{tmp_path}/{name}_ckpt"
+    q = run_available_now(stream_df, out, ckpt)
+    q.awaitTermination(120)
+    return out, ckpt
+
+
+def test_user_activity_tumbling_windows(spark, events_dir, tmp_path):
+    src = stream_events_from_files(
+        spark, events_dir, spark.read.parquet(events_dir).schema
+    )
+    out, ckpt = _drain(user_activity_stream(src), tmp_path, "ua")
+    got = {
+        (r["window_start"], r["event_type"]): (r["events_cnt"], r["total_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    w0 = dt.datetime(2024, 1, 1, 10, 0)
+    w1 = dt.datetime(2024, 1, 1, 10, 5)
+    assert got[(w0, "view")] == (2, 30.0)  # 10:05:00 excluded from first window
+    assert got[(w1, "view")] == (1, 30.0)
+    assert got[(w1, "error")] == (2, 2.0)
+    # the advancer's own window ([11:00,11:05)) is still open → not emitted
+    assert all(ws < dt.datetime(2024, 1, 1, 11, 0) for ws, _ in got)
+
+    # checkpoint idempotence (T6): re-running the same drain adds nothing
+    src2 = stream_events_from_files(
+        spark, events_dir, spark.read.parquet(events_dir).schema
+    )
+    q2 = run_available_now(user_activity_stream(src2), out, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == len(got)
+
+
+def test_anomaly_stream_flags_error_burst_only(spark, events_dir, tmp_path):
+    src = stream_events_from_files(
+        spark, events_dir, spark.read.parquet(events_dir).schema
+    )
+    out, _ = _drain(anomaly_stream(src), tmp_path, "anom")
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["user_id"], r["anomaly_type"], r["events_cnt"]) == (3, "error_burst", 2)
+
+
+def test_late_data_dropped_after_watermark(spark, tmp_path):
+    """Rows older than the current watermark are dropped (T1/T3).
+
+    Four single-file micro-batches (maxFilesPerTrigger=1, file order
+    pinned via mtime): 12:00 → watermark 11:50; 13:00 → watermark
+    12:50; then a 9:00 straggler arrives hours behind the watermark in
+    its own batch and is dropped (numRowsDroppedByWatermark); a 14:00
+    advancer flushes [13:00,13:05). The straggler's window must never
+    appear. (Observed Spark nuance: a straggler SHARING a micro-batch
+    with the row that advances the watermark can still be admitted —
+    the drop is enforced against the watermark at batch start.)"""
+    src_dir = str(tmp_path / "late_src")
+    batches = [
+        [Row(event_id=1, ts=dt.datetime(2024, 1, 1, 12, 0, 0), user_id=1,
+             event_type="view", value=1.0)],
+        [Row(event_id=2, ts=dt.datetime(2024, 1, 1, 13, 0, 0), user_id=1,
+             event_type="view", value=1.0)],
+        [Row(event_id=3, ts=dt.datetime(2024, 1, 1, 9, 0, 0), user_id=1,
+             event_type="view", value=1.0)],  # hours late, own batch
+        [Row(event_id=4, ts=dt.datetime(2024, 1, 1, 14, 0, 0), user_id=1,
+             event_type="view", value=1.0)],
+    ]
+    for i, rows in enumerate(batches):
+        before = set(glob.glob(f"{src_dir}/*.parquet"))
+        spark.createDataFrame(rows).coalesce(1).write.mode("append").parquet(src_dir)
+        # FileStreamSource orders files by modification time; pin it so
+        # micro-batch order matches write order.
+        for f in set(glob.glob(f"{src_dir}/*.parquet")) - before:
+            os.utime(f, (1700000000 + i * 100, 1700000000 + i * 100))
+
+    src = stream_events_from_files(
+        spark, src_dir, spark.read.parquet(src_dir).schema, max_files_per_trigger=1
+    )
+    out, _ = _drain(
+        user_activity_stream(src, watermark="10 minutes"), tmp_path, "late"
+    )
+    emitted = {r["window_start"] for r in spark.read.parquet(out).collect()}
+    assert emitted == {
+        dt.datetime(2024, 1, 1, 12, 0),
+        dt.datetime(2024, 1, 1, 13, 0),
+    }
