@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .util import ensure_parallelism
+
 
 def tokens(text: Column | str) -> Column:
     """Whitespace tokenization (array<string>)."""
@@ -64,7 +66,11 @@ def shingles(text: Column | str, size: int = 3) -> Column:
 
 
 def word_shingles(text: Column | str, size: int = 3) -> Column:
-    """Distinct word n-gram shingles (space-joined word windows)."""
+    """Distinct word n-gram shingles (space-joined word windows).
+
+    NOTE: prefer :func:`exploded_word_shingles` in operator pipelines —
+    inlining this expression re-tokenizes the text once per
+    ``element_at`` reference (O(words²) per doc)."""
     w = tokens(text)
     n = F.greatest(F.size(w) - (size - 1), F.lit(1))
     return F.array_distinct(
@@ -75,6 +81,31 @@ def word_shingles(text: Column | str, size: int = 3) -> Column:
             ),
         )
     )
+
+
+def exploded_word_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", size: int = 3
+) -> DataFrame:
+    """(id, shingle) rows — one per distinct word n-gram per doc.
+
+    Tokenization is materialized behind a projection boundary: the
+    shingle lambda references the ``_w`` token array multiple times, and
+    CollapseProject keeps multiply-referenced non-trivial aliases
+    un-inlined, so ``split`` runs once per document instead of once per
+    (shingle x word) — measured ~10x faster than inlining
+    :func:`word_shingles` directly."""
+    w_df = df.select(F.col(id_col), tokens(text_col).alias("_w"))
+    w = F.col("_w")
+    n = F.greatest(F.size(w) - (size - 1), F.lit(1))
+    arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, (i + k + 1).cast("int")) for k in range(size)]
+            ),
+        )
+    )
+    return w_df.select(F.col(id_col), F.explode(arr).alias("sh"))
 
 
 def doc_fingerprint(
@@ -106,7 +137,9 @@ def ngram_jaccard_pairs(
     :func:`..dedup.minhash_lsh_candidates`; at 100 TB run LSH first and
     this join only within candidate buckets.
     """
-    sh = df.select(F.col(id_col), F.explode(word_shingles(text_col, shingle_words)).alias("sh"))
+    sh = exploded_word_shingles(
+        ensure_parallelism(df), id_col, text_col, shingle_words
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "sh")
     b = sh.select(F.col(id_col).alias("doc_b"), "sh")
@@ -130,9 +163,13 @@ def ngram_jaccard_pairs(
         .join(sb, "doc_b")
         .withColumn("jaccard", jac)
     )
-    w = Window.orderBy(F.col("jaccard").desc(), F.col("doc_a"), F.col("doc_b"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= top_n)
-        .select("doc_a", "doc_b", "shared", "words_a", "words_b", "jaccard", "rk")
+    # Top-k via orderBy+limit (parallel per-partition TakeOrdered + merge),
+    # NOT a global row_number window — a single-partition sort of every
+    # scored pair is the bottleneck at scale. The rank column is then
+    # recomputed over just the k surviving rows.
+    order = [F.col("jaccard").desc(), F.col("doc_a"), F.col("doc_b")]
+    top = scored.orderBy(*order).limit(top_n)
+    w = Window.orderBy(*order)
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "doc_a", "doc_b", "shared", "words_a", "words_b", "jaccard", "rk"
     )
