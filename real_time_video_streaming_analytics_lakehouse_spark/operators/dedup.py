@@ -143,3 +143,80 @@ def minhash_lsh_candidates(
         .filter(F.col("est_jaccard") >= min_est_jaccard)
         .select("id_a", "id_b", "est_jaccard")
     )
+
+
+def simhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    chunks: int = 8,
+    max_hamming: int = 7,
+) -> DataFrame:
+    """Near-duplicate candidates via 64-bit SimHash + chunk banding.
+
+    SimHash bit i is the sign of Σ_tokens (±1 by bit i of
+    ``xxhash64(token)``) — computed as one codegen'd hash aggregate with
+    64 conditional sums (same shape as the MinHash signature aggregate).
+    Candidate generation uses the pigeonhole guarantee: split the 64
+    bits into ``chunks`` equal chunks; any pair with Hamming distance
+    < ``chunks`` shares at least one identical chunk, so an equi-join on
+    (chunk_idx, chunk_value) finds every such pair. Exact Hamming
+    distance is then verified with ``zip_with``.
+
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``,
+    ``hamming <= max_hamming``.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    )
+    h = F.xxhash64("tok")
+    sig = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    sig = sig.select(
+        id_col,
+        F.array(
+            *[(F.col(f"b{i}") > 0).cast("int") for i in range(bits)]
+        ).alias("sig"),
+    )
+    chunk_width = bits // chunks
+    buckets = sig.withColumn(
+        "chunk", F.explode(F.sequence(F.lit(0), F.lit(chunks - 1)))
+    ).select(
+        id_col,
+        "chunk",
+        F.xxhash64(
+            "chunk", F.slice("sig", F.col("chunk") * chunk_width + 1, chunk_width)
+        ).alias("chunk_hash"),
+    )
+    pairs = (
+        buckets.select(F.col(id_col).alias("id_a"), "chunk", "chunk_hash")
+        .join(
+            buckets.select(F.col(id_col).alias("id_b"), "chunk", "chunk_hash"),
+            ["chunk", "chunk_hash"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    with_sigs = pairs.join(
+        sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
+    ).join(
+        sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")), "id_b"
+    )
+    hamming = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda a, b: (a != b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        with_sigs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

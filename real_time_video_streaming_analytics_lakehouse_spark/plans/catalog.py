@@ -32,10 +32,10 @@ class QuerySpec:
 
 
 def _build() -> dict[str, QuerySpec]:
-    from . import events_views, llm_ops, relational
+    from . import events_views, extended, llm_ops, relational
 
     catalog: dict[str, QuerySpec] = {}
-    for mod in (relational, events_views, llm_ops):
+    for mod in (relational, events_views, llm_ops, extended):
         overlap = catalog.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate catalog keys: {overlap}")

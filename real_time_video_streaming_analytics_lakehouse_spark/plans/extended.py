@@ -1,0 +1,251 @@
+"""Extended coverage: cleaning transforms, array aggregation, exact
+percentiles, corpus-trained language ID, multimodal decode plumbing,
+SimHash near-dup (rows-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.dedup import simhash_candidates
+from ..operators.multimodal import attach_fake_media, decode_media_features
+from ..operators.transforms import clean_and_standardize
+from ..sources.readers import load_table
+from .catalog import QuerySpec
+
+
+# --- clean_standardize_customers (F2-F5: trim / empty→NULL / upper / IP) --
+
+def clean_standardize_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty columns are derived deterministically from ``customer`` in
+    BOTH engines (padding, lowercasing, injected bad IPs), then cleaned
+    with the reference's pipeline (etl_framework.py:337-365)."""
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    dirty = cust.select(
+        "c_custkey",
+        F.concat(F.lit("  "), F.col("c_name"), F.lit("\t")).alias("name_raw"),
+        F.when(k % 5 == 0, "").otherwise(F.col("c_mktsegment")).alias("segment_raw"),
+        F.lower(F.col("c_mktsegment")).alias("country_raw"),
+        F.when(k % 3 == 0, F.concat(F.lit("192.168.1."), (k % 256).cast("string")))
+        .when(k % 3 == 1, F.lit("999.999.1.1"))
+        .alias("ip_raw"),
+    )
+    return clean_and_standardize(
+        dirty,
+        text_cols=["name_raw", "segment_raw"],
+        country_col="country_raw",
+        ip_col="ip_raw",
+    ).select(
+        "c_custkey",
+        F.col("name_raw").alias("name_clean"),
+        F.col("segment_raw").alias("segment_clean"),
+        F.col("country_raw").alias("country_clean"),
+        F.col("ip_raw").alias("ip_clean"),
+    )
+
+
+CLEAN_STANDARDIZE_CUSTOMERS_SQL = r"""
+WITH dirty AS (
+  SELECT c_custkey,
+         '  ' || c_name || chr(9) AS name_raw,
+         CASE WHEN c_custkey % 5 = 0 THEN '' ELSE c_mktsegment END AS segment_raw,
+         lower(c_mktsegment) AS country_raw,
+         CASE WHEN c_custkey % 3 = 0
+              THEN '192.168.1.' || CAST(c_custkey % 256 AS VARCHAR)
+              WHEN c_custkey % 3 = 1 THEN '999.999.1.1'
+         END AS ip_raw
+  FROM customer)
+SELECT c_custkey,
+       NULLIF(regexp_replace(name_raw, '^\s+|\s+$', '', 'g'), '') AS name_clean,
+       NULLIF(regexp_replace(segment_raw, '^\s+|\s+$', '', 'g'), '') AS segment_clean,
+       upper(country_raw) AS country_clean,
+       CASE WHEN regexp_matches(ip_raw,
+              '^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$')
+            THEN ip_raw END AS ip_clean
+FROM dirty
+"""
+
+
+# --- user_event_type_sets (collect_set / array agg, F16) ------------------
+
+def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias(
+            "event_types_csv"
+        ),
+        F.count_distinct("event_type").alias("n_types"),
+        F.count("*").alias("events_cnt"),
+    )
+
+
+USER_EVENT_TYPE_SETS_SQL = """
+SELECT user_id,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types_csv,
+       COUNT(DISTINCT event_type) AS n_types,
+       COUNT(*) AS events_cnt
+FROM events GROUP BY 1
+"""
+
+
+# --- value_percentiles (exact interpolated percentiles) -------------------
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+VALUE_PERCENTILES_SQL = """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.95) AS p95,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events GROUP BY 1
+"""
+
+
+# --- lang_id_confusion (corpus-trained unigram language ID) ---------------
+
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage heuristic language ID: learn the top-20 most frequent
+    tokens per language from the corpus (ties broken lexically), then
+    classify each doc by profile-overlap argmax (ties → lexically first
+    language). Output is the confusion matrix against the labeled
+    ``lang`` column."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    )
+    counts = words.groupBy("lang", "w").agg(F.count("*").alias("cnt"))
+    wr = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("w"))
+    profile = (
+        counts.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 20)
+        .select(F.col("lang").alias("cand_lang"), "w")
+    )
+    doc_words = words.select("doc_id", "w").distinct()
+    overlap = (
+        doc_words.join(profile, "w")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count("*").alias("overlap"))
+    )
+    wp = Window.partitionBy("doc_id").orderBy(
+        F.col("overlap").desc(), F.col("cand_lang")
+    )
+    pred = (
+        overlap.withColumn("prk", F.row_number().over(wp))
+        .filter(F.col("prk") == 1)
+        .select("doc_id", F.col("cand_lang").alias("predicted_lang"))
+    )
+    return (
+        docs.join(pred, "doc_id")
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("docs"))
+    )
+
+
+LANG_ID_CONFUSION_SQL = r"""
+WITH words AS (
+  SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\s+')) AS w
+  FROM documents),
+counts AS (SELECT lang, w, COUNT(*) AS cnt FROM words GROUP BY 1, 2),
+profile AS (
+  SELECT lang AS cand_lang, w FROM (
+    SELECT lang, w, ROW_NUMBER() OVER (
+        PARTITION BY lang ORDER BY cnt DESC, w) AS rk
+    FROM counts) WHERE rk <= 20),
+doc_words AS (SELECT DISTINCT doc_id, w FROM words),
+overlap AS (
+  SELECT d.doc_id, p.cand_lang, COUNT(*) AS overlap
+  FROM doc_words d JOIN profile p ON d.w = p.w
+  GROUP BY 1, 2),
+pred AS (
+  SELECT doc_id, cand_lang AS predicted_lang FROM (
+    SELECT doc_id, cand_lang, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY overlap DESC, cand_lang) AS prk
+    FROM overlap) WHERE prk = 1)
+SELECT d.lang, p.predicted_lang, COUNT(*) AS docs
+FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+GROUP BY 1, 2
+"""
+
+
+# --- multimodal_decode_stats (binary columns + mapInPandas decode) --------
+
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized binary media column → Arrow-batched mapInPandas
+    decode (deterministic fake; real decoder is the documented
+    NotImplementedError plug-in point) → per-format stats. The oracle
+    reproduces the fake decode with hex arithmetic over md5(text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_media_features(attach_fake_media(docs))
+    return decoded.groupBy("media_format").agg(
+        F.count("*").alias("files"),
+        (F.sum("width") / F.count("*")).alias("avg_width"),
+        (F.sum("height") / F.count("*")).alias("avg_height"),
+        F.max("n_frames").alias("max_frames"),
+        F.sum("payload_bytes").alias("total_bytes"),
+    )
+
+
+MULTIMODAL_DECODE_STATS_SQL = """
+WITH decoded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'png'
+              WHEN doc_id % 3 = 1 THEN 'jpeg'
+              ELSE 'mp4' END AS media_format,
+         16 AS payload_bytes,
+         ('0x' || substr(md5(text), 1, 2))::INTEGER % 128 + 1 AS width,
+         ('0x' || substr(md5(text), 3, 2))::INTEGER % 128 + 1 AS height,
+         ('0x' || substr(md5(text), 5, 2))::INTEGER % 120 + 1 AS n_frames
+  FROM documents)
+SELECT media_format,
+       COUNT(*) AS files,
+       SUM(width) / COUNT(*) AS avg_width,
+       SUM(height) / COUNT(*) AS avg_height,
+       CAST(MAX(n_frames) AS INTEGER) AS max_frames,
+       SUM(payload_bytes) AS total_bytes
+FROM decoded GROUP BY 1
+"""
+
+
+# --- simhash_pairs (rows-only; hash-function-specific) --------------------
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_candidates(docs, max_hamming=7)
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "clean_standardize_customers": QuerySpec(
+        clean_standardize_customers,
+        CLEAN_STANDARDIZE_CUSTOMERS_SQL,
+        "trim / empty→NULL / upper / IPv4 validation (F2-F5)",
+    ),
+    "user_event_type_sets": QuerySpec(
+        user_event_type_sets, USER_EVENT_TYPE_SETS_SQL, "collect_set array agg (F16)"
+    ),
+    "value_percentiles": QuerySpec(
+        value_percentiles, VALUE_PERCENTILES_SQL, "exact interpolated percentiles"
+    ),
+    "lang_id_confusion": QuerySpec(
+        lang_id_confusion, LANG_ID_CONFUSION_SQL, "corpus-trained unigram language ID"
+    ),
+    "multimodal_decode_stats": QuerySpec(
+        multimodal_decode_stats,
+        MULTIMODAL_DECODE_STATS_SQL,
+        "binary media column + mapInPandas decode stub",
+    ),
+    "simhash_pairs": QuerySpec(
+        simhash_pairs, None, "SimHash near-dup candidates (rows-only)"
+    ),
+}
