@@ -77,6 +77,66 @@ def cosine_topk(
     )
 
 
+def cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine similarity above ``threshold`` — embedding
+    near-duplicate detection, vectorized.
+
+    Built-in ``zip_with``/``aggregate`` expressions evaluate
+    interpreted per element — O(n²·d) interpreted ops is the wrong tool
+    for all-pairs. Instead: L2-normalize the corpus once, broadcast it
+    (ids + float64 matrix — the same build-side boundary as a broadcast
+    join), and run blocked ``numpy`` matmul inside Arrow-batched
+    ``mapInPandas`` over the distributed rows. Each task computes
+    (block × corpusᵀ) with SIMD and emits only pairs ≥ threshold with
+    ``id_a < id_b``.
+
+    Scale note: valid while the corpus matrix fits in executor memory
+    (64-dim float64: ~0.5 GB per million vectors). Beyond that, bucket
+    first (LSH over random hyperplanes — :func:`..dedup.simhash_candidates`
+    machinery — or IVF coarse quantization) and run this within buckets.
+    """
+    import numpy as np
+
+    from .util import ensure_parallelism
+
+    rows = embeddings.select(id_col, vec_col).orderBy(id_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    m = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sc = embeddings.sparkSession.sparkContext
+    bc_ids, bc_m = sc.broadcast(ids), sc.broadcast(m)
+
+    def block(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids_b = pdf[id_col].to_numpy(dtype="int64")
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            s = v @ bc_m.value.T
+            bi, ci = np.nonzero(s >= threshold)
+            ia, ib, cos = ids_b[bi], bc_ids.value[ci], s[bi, ci]
+            keep = ia < ib
+            yield pd.DataFrame(
+                {
+                    "id_a": ia[keep],
+                    "id_b": ib[keep],
+                    "cosine": np.round(cos[keep], 6),
+                }
+            )
+
+    return ensure_parallelism(embeddings.select(id_col, vec_col)).mapInPandas(
+        block, "id_a BIGINT, id_b BIGINT, cosine DOUBLE"
+    )
+
+
 def label_centroid_norms(
     embeddings: DataFrame,
     label_col: str = "label",

@@ -96,7 +96,9 @@ def user_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     first_seen = e.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
     )
-    activity = e.join(F.broadcast(first_seen), "user_id").select(
+    # first_seen has one row per user — scales with data; no broadcast
+    # hint (AQE broadcasts at runtime when small enough).
+    activity = e.join(first_seen, "user_id").select(
         "user_id",
         "cohort_week",
         F.floor(

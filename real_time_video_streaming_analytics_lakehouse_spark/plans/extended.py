@@ -218,6 +218,73 @@ FROM decoded GROUP BY 1
 """
 
 
+# --- user_value_timeline (W6: lead / dense_rank / first_value) ------------
+
+def user_value_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises the window functions the reference imports but never
+    uses (etl_framework.py:29-30 — lead, dense_rank, first_value):
+    per-user event timeline with next-event gap, per-user value dense
+    rank, and first value."""
+    from ..functions.dialect import epoch_us
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wv = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    us = epoch_us(F.col("ts"))
+    return e.select(
+        "user_id",
+        "event_id",
+        us.alias("ts_us"),
+        ((F.lead(us).over(w) - us)).alias("gap_to_next_us"),
+        F.dense_rank().over(wv).alias("value_dense_rank"),
+        F.first("value").over(w).alias("first_value_seen"),
+    )
+
+
+USER_VALUE_TIMELINE_SQL = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       LEAD(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_to_next_us,
+       DENSE_RANK() OVER (PARTITION BY user_id ORDER BY value DESC, event_id)
+           AS value_dense_rank,
+       FIRST_VALUE(value) OVER w AS first_value_seen
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+"""
+
+
+# --- incremental_extract (P5 range predicate + A6 global max watermark) ---
+
+def incremental_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's incremental-extract pattern (etl_framework.py:
+    216-249): read the target's max watermark (global agg → driver
+    boundary), then filter the source above it. The watermark here is
+    max(ts) of the 'already loaded' first 20 days."""
+    from ..functions.dialect import epoch_us
+
+    e = load_table(spark, sf_dir, "events")
+    loaded = e.filter(
+        F.col("ts") < F.lit("2024-01-21 00:00:00").cast("timestamp_ntz")
+    )
+    last_ts = loaded.agg(F.max("ts")).collect()[0][0]
+    fresh = e.filter(F.col("ts") > F.lit(last_ts))
+    return fresh.groupBy("event_type").agg(
+        F.count("*").alias("fresh_events"),
+        F.min(epoch_us(F.col("ts"))).alias("min_ts_us"),
+        F.round(F.sum("value"), 2).alias("fresh_value"),
+    )
+
+
+INCREMENTAL_EXTRACT_SQL = """
+SELECT event_type, COUNT(*) AS fresh_events,
+       MIN(epoch_us(ts)) AS min_ts_us,
+       ROUND(SUM(value), 2) AS fresh_value
+FROM events
+WHERE ts > (SELECT MAX(ts) FROM events
+            WHERE ts < TIMESTAMP '2024-01-21 00:00:00')
+GROUP BY 1
+"""
+
+
 # --- simhash_pairs (rows-only; hash-function-specific) --------------------
 
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,5 +314,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "simhash_pairs": QuerySpec(
         simhash_pairs, None, "SimHash near-dup candidates (rows-only)"
+    ),
+    "user_value_timeline": QuerySpec(
+        user_value_timeline, USER_VALUE_TIMELINE_SQL, "lead/dense_rank/first_value (W6)"
+    ),
+    "incremental_extract": QuerySpec(
+        incremental_extract, INCREMENTAL_EXTRACT_SQL, "watermark-driven incremental read (P5+A6)"
     ),
 }

@@ -170,6 +170,33 @@ WHERE rk <= 5
 """
 
 
+def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_pairs
+
+    return cosine_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+
+EMBEDDING_COSINE_PAIRS_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(
+         list_sum(list_transform(range(1, 65),
+                  i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, 65),
+                  i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))),
+         6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(range(1, 65),
+               i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+      / (sqrt(list_sum(list_transform(range(1, 65),
+               i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+         * sqrt(list_sum(list_transform(range(1, 65),
+               i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))))
+      >= 0.4
+"""
+
+
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroid_norms(_emb(spark, sf_dir))
 
@@ -211,6 +238,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ann_cosine_topk": QuerySpec(
         ann_cosine_topk, ANN_COSINE_TOPK_SQL, "brute-force cosine top-k"
+    ),
+    "embedding_cosine_pairs": QuerySpec(
+        embedding_cosine_pairs,
+        EMBEDDING_COSINE_PAIRS_SQL,
+        "all-pairs cosine near-dup via blocked numpy mapInPandas",
     ),
     "embedding_centroids": QuerySpec(
         embedding_centroids, EMBEDDING_CENTROIDS_SQL, "per-label centroid norms"

@@ -85,7 +85,9 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     rev = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # No broadcast hint: the filtered customer side scales with data
+        # volume — AQE converts to broadcast at runtime when it fits.
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", F.to_date("o_orderdate").alias("order_date"))
         .agg(
             F.round(
@@ -152,7 +154,8 @@ GROUP BY r.r_name
 # --- part_type_share (join + agg + percent-of-total window W5) -----------
 
 def part_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = F.broadcast(_t(spark, sf_dir, "part"))
+    # part scales with SF — let AQE pick broadcast vs shuffle join.
+    part = _t(spark, sf_dir, "part")
     li = _t(spark, sf_dir, "lineitem")
     agg = (
         li.join(part, li.l_partkey == part.p_partkey)
@@ -367,8 +370,8 @@ FROM seg GROUP BY 1, 2
 # --- supplier_nation_revenue (dim-chain join over supplier side) ---------
 
 def supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
-    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    supp = _t(spark, sf_dir, "supplier")  # scales with SF → AQE decides
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))  # bounded: 25 rows
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.join(supp, li.l_suppkey == supp.s_suppkey)

@@ -1,0 +1,54 @@
+"""Maintenance-operator tests: compaction and Z-order rewrite on plain
+parquet (the Delta-less path); Delta-only ops raise clearly."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import Row
+
+from real_time_video_streaming_analytics_lakehouse_spark.operators.maintenance import (
+    HAVE_DELTA,
+    compact_partitions,
+    table_history,
+    vacuum,
+    zorder_by,
+)
+
+
+def test_compact_partitions_reduces_file_count(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10000).withColumnRenamed("id", "k")
+    df.repartition(24).write.parquet(path)
+    assert len(glob.glob(f"{path}/*.parquet")) == 24
+    compact_partitions(spark, path, target_file_mb=128)
+    assert len(glob.glob(f"{path}/*.parquet")) == 1
+    assert spark.read.parquet(path).count() == 10000
+
+
+def test_zorder_rewrite_clusters_rows(spark, tmp_path):
+    path = str(tmp_path / "zo")
+    rows = [Row(k=i % 7, v=i) for i in range(5000)]
+    spark.createDataFrame(rows).repartition(8).write.parquet(path)
+    zorder_by(spark, path, ["k"])
+    back = spark.read.parquet(path)
+    assert back.count() == 5000
+    # each output file should contain a narrow range of k (clustered)
+    files = glob.glob(f"{path}/*.parquet")
+    spreads = [
+        spark.read.parquet(f)
+        .selectExpr("max(k) - min(k) AS spread")
+        .collect()[0]["spread"]
+        for f in files
+    ]
+    # with 7 distinct keys range-partitioned, files cover narrow ranges
+    assert sum(spreads) / len(spreads) < 6
+
+
+@pytest.mark.skipif(HAVE_DELTA, reason="delta installed: ops delegate to real API")
+def test_delta_only_ops_raise_clearly(spark, tmp_path):
+    with pytest.raises(NotImplementedError, match="delta|Delta"):
+        vacuum(spark, str(tmp_path))
+    with pytest.raises(NotImplementedError, match="Delta"):
+        table_history(spark, str(tmp_path))
