@@ -150,8 +150,8 @@ def simhash_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 64,
-    chunks: int = 8,
-    max_hamming: int = 7,
+    chunks: int = 4,
+    max_hamming: int = 3,
 ) -> DataFrame:
     """Near-duplicate candidates via 64-bit SimHash + chunk banding.
 
@@ -166,6 +166,12 @@ def simhash_candidates(
 
     Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``,
     ``hamming <= max_hamming``.
+
+    Chunk-width tuning: narrow chunks (8 x 8-bit) collide massively on
+    corpora whose signatures are correlated (e.g. shared vocabulary),
+    degenerating to an O(n^2) candidate join — measured 33 s vs 2 s at
+    sf0.1. Default is 4 x 16-bit chunks (exact for hamming <= 3); raise
+    ``chunks`` only for corpora with near-uniform signatures.
     """
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")

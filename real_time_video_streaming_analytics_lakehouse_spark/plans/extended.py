@@ -289,7 +289,7 @@ GROUP BY 1
 
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_candidates(docs, max_hamming=7)
+    return simhash_candidates(docs, max_hamming=3)
 
 
 QUERIES: dict[str, QuerySpec] = {
