@@ -285,6 +285,59 @@ GROUP BY 1
 """
 
 
+# --- star_schema_monthly (fact ↔ generated DIM_TIME join, J2/S13) ---------
+
+def star_schema_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The warehouse path (SURVEY §3.3): events as the fact, joined to
+    the generated calendar dimension on the surrogate ``time_key``
+    (snowflake_pipeline.py:305-345), rolled up by month attributes.
+    The dim side is generated, bounded (366 rows), and broadcast."""
+    from ..functions.dialect import day_name, month_name, time_key
+
+    e = load_table(spark, sf_dir, "events")
+    days = spark.range(0, 366).select(
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias(
+            "date_value"
+        )
+    )
+    d = F.col("date_value")
+    dim_time = days.select(
+        time_key(d).alias("time_key"),
+        F.month(d).alias("month_num"),
+        month_name(d).alias("month_name"),
+        (F.weekday(d) >= 5).alias("is_weekend"),
+    )
+    fact = e.select(
+        time_key(F.to_date("ts")).alias("time_key"), "event_type", "value"
+    )
+    return (
+        fact.join(F.broadcast(dim_time), "time_key")
+        .groupBy("month_name", "is_weekend")
+        .agg(
+            F.count("*").alias("events_cnt"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+STAR_SCHEMA_MONTHLY_SQL = """
+WITH dim_time AS (
+  SELECT CAST(year(d) * 10000 + month(d) * 100 + day(d) AS INTEGER) AS time_key,
+         monthname(d) AS month_name,
+         isodow(d) >= 6 AS is_weekend
+  FROM generate_series(DATE '2024-01-01', DATE '2024-12-31', INTERVAL 1 DAY) t(d)),
+fact AS (
+  SELECT CAST(year(ts) * 10000 + month(ts) * 100 + day(ts) AS INTEGER) AS time_key,
+         event_type, value
+  FROM events)
+SELECT d.month_name, d.is_weekend,
+       COUNT(*) AS events_cnt,
+       ROUND(SUM(f.value), 2) AS total_value
+FROM fact f JOIN dim_time d ON f.time_key = d.time_key
+GROUP BY 1, 2
+"""
+
+
 # --- simhash_pairs (rows-only; hash-function-specific) --------------------
 
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -320,5 +373,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "incremental_extract": QuerySpec(
         incremental_extract, INCREMENTAL_EXTRACT_SQL, "watermark-driven incremental read (P5+A6)"
+    ),
+    "star_schema_monthly": QuerySpec(
+        star_schema_monthly, STAR_SCHEMA_MONTHLY_SQL, "fact ↔ generated DIM_TIME join (J2+S13)"
     ),
 }

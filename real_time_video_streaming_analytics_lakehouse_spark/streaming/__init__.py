@@ -1,6 +1,7 @@
 from .pipelines import (
     anomaly_stream,
     content_popularity_stream,
+    dedup_stream,
     kafka_stream,
     parse_kafka_events,
     run_available_now,
@@ -11,6 +12,7 @@ from .pipelines import (
 __all__ = [
     "anomaly_stream",
     "content_popularity_stream",
+    "dedup_stream",
     "kafka_stream",
     "parse_kafka_events",
     "run_available_now",

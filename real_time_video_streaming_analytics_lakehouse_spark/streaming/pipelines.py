@@ -195,6 +195,27 @@ def anomaly_stream(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact-once event dedup: ``dropDuplicates`` on the event
+    id with a watermark bounding the dedup state (ids older than the
+    watermark are evicted — a duplicate arriving later than the
+    watermark delay is NOT caught, which is the standard
+    bounded-state trade-off).
+
+    The reference has no streaming dedup (SURVEY §2.8 "Stateful ops:
+    none"); this extends the surface for at-least-once sources (Kafka
+    redelivery) so the raw→bronze hop can be exactly-once end to end.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicates(
+        [id_col, ts_col]
+    )
+
+
 def run_available_now(
     result: DataFrame,
     out_path: str,

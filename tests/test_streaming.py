@@ -15,6 +15,7 @@ from pyspark.sql import Row
 
 from real_time_video_streaming_analytics_lakehouse_spark.streaming import (
     anomaly_stream,
+    dedup_stream,
     run_available_now,
     stream_events_from_files,
     user_activity_stream,
@@ -89,6 +90,28 @@ def test_anomaly_stream_flags_error_burst_only(spark, events_dir, tmp_path):
     assert len(rows) == 1
     r = rows[0]
     assert (r["user_id"], r["anomaly_type"], r["events_cnt"]) == (3, "error_burst", 2)
+
+
+def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
+    """A duplicated (event_id, ts) arriving in a LATER micro-batch is
+    suppressed by the watermarked dropDuplicates state."""
+    src_dir = str(tmp_path / "dup_src")
+    e1 = Row(event_id=1, ts=dt.datetime(2024, 1, 1, 12, 0, 0), user_id=1,
+             event_type="view", value=1.0)
+    e2 = Row(event_id=2, ts=dt.datetime(2024, 1, 1, 12, 1, 0), user_id=1,
+             event_type="view", value=2.0)
+    batches = [[e1], [e1, e2]]  # e1 redelivered in batch 2
+    for i, rows in enumerate(batches):
+        before = set(glob.glob(f"{src_dir}/*.parquet"))
+        spark.createDataFrame(rows).coalesce(1).write.mode("append").parquet(src_dir)
+        for f in set(glob.glob(f"{src_dir}/*.parquet")) - before:
+            os.utime(f, (1700000000 + i * 100, 1700000000 + i * 100))
+    src = stream_events_from_files(
+        spark, src_dir, spark.read.parquet(src_dir).schema, max_files_per_trigger=1
+    )
+    out, _ = _drain(dedup_stream(src), tmp_path, "dedup")
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r["event_id"] for r in rows) == [1, 2]
 
 
 def test_late_data_dropped_after_watermark(spark, tmp_path):
