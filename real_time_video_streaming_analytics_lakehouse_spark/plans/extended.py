@@ -338,6 +338,110 @@ GROUP BY 1, 2
 """
 
 
+# --- orders_above_segment_avg (correlated subquery → window rewrite) ------
+
+def orders_above_segment_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape ('orders above their segment's average
+    price') rewritten as a window aggregate — one shuffle instead of a
+    per-row subquery. The window average is round(sum)/count so both
+    engines compare against the identical threshold double."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = orders.join(
+        cust.select("c_custkey", "c_mktsegment"),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    w = Window.partitionBy("c_mktsegment")
+    seg_avg = F.round(F.sum("o_totalprice").over(w), 2) / F.count("*").over(w)
+    return (
+        joined.withColumn("segment_avg", seg_avg)
+        .filter(F.col("o_totalprice") > F.col("segment_avg"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("above_avg_orders"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+ORDERS_ABOVE_SEGMENT_AVG_SQL = """
+WITH joined AS (
+  SELECT o.o_totalprice, c.c_mktsegment,
+         ROUND(SUM(o.o_totalprice) OVER (PARTITION BY c.c_mktsegment), 2)
+           / COUNT(*) OVER (PARTITION BY c.c_mktsegment) AS segment_avg
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+SELECT c_mktsegment,
+       COUNT(*) AS above_avg_orders,
+       ROUND(MAX(o_totalprice), 2) AS max_price
+FROM joined WHERE o_totalprice > segment_avg
+GROUP BY 1
+"""
+
+
+# --- party_union (set ops — beyond the reference, SURVEY §2.6 note) -------
+
+def party_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.lit("customer").alias("party_type"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"),
+        F.lit("supplier").alias("party_type"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        cust.unionByName(supp)
+        .join(nation, F.col("nationkey") == nation.n_nationkey)
+        .groupBy("n_name", "party_type")
+        .agg(
+            F.count("*").alias("parties"),
+            F.round(F.sum("acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+PARTY_UNION_SQL = """
+WITH parties AS (
+  SELECT c_nationkey AS nationkey, 'customer' AS party_type, c_acctbal AS acctbal
+  FROM customer
+  UNION ALL
+  SELECT s_nationkey, 'supplier', s_acctbal FROM supplier)
+SELECT n.n_name, p.party_type, COUNT(*) AS parties,
+       ROUND(SUM(p.acctbal), 2) AS total_acctbal
+FROM parties p JOIN nation n ON p.nationkey = n.n_nationkey
+GROUP BY 1, 2
+"""
+
+
+# --- regex_token_counts (BPE-ish regex tokenization) ----------------------
+
+def regex_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a word/punctuation regex (the 'BPE-ish'
+    tokenizer of the north-star list) alongside whitespace counting."""
+    d = load_table(spark, sf_dir, "documents")
+    ws_tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    re_tokens = F.size(F.regexp_extract_all("text", F.lit(r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"), F.lit(0)))
+    return d.groupBy("source").agg(
+        F.count("*").alias("docs"),
+        F.sum(ws_tokens).alias("ws_tokens"),
+        F.sum(re_tokens).alias("re_tokens"),
+        (F.sum(re_tokens) / F.sum(ws_tokens)).alias("ratio"),
+    )
+
+
+REGEX_TOKEN_COUNTS_SQL = r"""
+SELECT source, COUNT(*) AS docs,
+       SUM(len(string_split_regex(trim(text), '\s+'))) AS ws_tokens,
+       SUM(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]'))) AS re_tokens,
+       SUM(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')))
+         / SUM(len(string_split_regex(trim(text), '\s+'))) AS ratio
+FROM documents GROUP BY 1
+"""
+
+
 # --- simhash_pairs (rows-only; hash-function-specific) --------------------
 
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -376,5 +480,16 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "star_schema_monthly": QuerySpec(
         star_schema_monthly, STAR_SCHEMA_MONTHLY_SQL, "fact ↔ generated DIM_TIME join (J2+S13)"
+    ),
+    "orders_above_segment_avg": QuerySpec(
+        orders_above_segment_avg,
+        ORDERS_ABOVE_SEGMENT_AVG_SQL,
+        "correlated subquery → window rewrite",
+    ),
+    "party_union": QuerySpec(
+        party_union, PARTY_UNION_SQL, "unionByName set op + dim join"
+    ),
+    "regex_token_counts": QuerySpec(
+        regex_token_counts, REGEX_TOKEN_COUNTS_SQL, "regex (BPE-ish) tokenization"
     ),
 }
