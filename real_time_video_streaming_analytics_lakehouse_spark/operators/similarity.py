@@ -137,6 +137,103 @@ def cosine_pairs(
     )
 
 
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra_cols: tuple[str, ...] = ("label",),
+    sample_size: int = 4096,
+) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbors — the scale
+    path next to :func:`cosine_topk`'s brute force.
+
+    1. Train ``n_clusters`` coarse centroids with seeded Lloyd k-means
+       on a deterministic sample (driver-side numpy — the sample is
+       bounded, like any broadcast build side).
+    2. Assign every candidate to its nearest centroid (blocked numpy
+       matmul in mapInPandas) → inverted lists keyed by bucket.
+    3. Each query probes its ``n_probe`` nearest centroids; exact
+       cosine ranking runs only within the probed buckets.
+
+    At 100 TB the assignment is one map-side pass and the search joins
+    each query against ~``n_probe/n_clusters`` of the corpus instead of
+    all of it; recall is tunable via ``n_probe``.
+    """
+    import numpy as np
+
+    from .util import ensure_parallelism
+
+    # --- train coarse centroids on a deterministic sample ---
+    sample = (
+        embeddings.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
+    )
+    x = np.array([list(r[1]) for r in sample], dtype=np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    for _ in range(10):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(cent.shape[0]):
+            members = x[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cent[c] = v / np.linalg.norm(v)
+    sc = embeddings.sparkSession.sparkContext
+    bc_cent = sc.broadcast(cent)
+
+    def assign_buckets(n_top: int, col: str):
+        def fn(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                v = np.stack([np.asarray(e, dtype=np.float64) for e in pdf[col]])
+                v /= np.linalg.norm(v, axis=1, keepdims=True)
+                s = v @ bc_cent.value.T
+                top = np.argsort(-s, axis=1)[:, :n_top]
+                out = pdf.loc[pdf.index.repeat(n_top)].copy()
+                out["bucket"] = top.reshape(-1).astype("int32")
+                yield out
+
+        return fn
+
+    base = ensure_parallelism(embeddings.filter(~query_pred)).select(
+        id_col, vec_col, *extra_cols
+    )
+    cand_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in base.schema.fields]
+        + ["bucket INT"]
+    )
+    candidates = base.mapInPandas(assign_buckets(1, vec_col), cand_schema)
+
+    qbase = embeddings.filter(query_pred).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe")
+    )
+    queries = qbase.mapInPandas(
+        assign_buckets(n_probe, "qe"), "query_id BIGINT, qe ARRAY<FLOAT>, bucket INT"
+    )
+
+    cosine = F.round(
+        _dot(_as_double(F.col("qe")), _as_double(F.col(vec_col)))
+        / (_norm(_as_double(F.col("qe"))) * _norm(_as_double(F.col(vec_col)))),
+        6,
+    )
+    scored = (
+        candidates.join(F.broadcast(queries), "bucket")
+        .withColumn("cosine", cosine)
+        .select("query_id", id_col, *extra_cols, "cosine")
+        .dropDuplicates(["query_id", id_col])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
 def label_centroid_norms(
     embeddings: DataFrame,
     label_col: str = "label",

@@ -197,6 +197,14 @@ WHERE list_sum(list_transform(range(1, 65),
 """
 
 
+def ann_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ann_ivf_topk
+
+    return ann_ivf_topk(
+        _emb(spark, sf_dir), F.col("vec_id") < 5, k=5, n_clusters=16, n_probe=4
+    )
+
+
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroid_norms(_emb(spark, sf_dir))
 
@@ -243,6 +251,13 @@ QUERIES: dict[str, QuerySpec] = {
         embedding_cosine_pairs,
         EMBEDDING_COSINE_PAIRS_SQL,
         "all-pairs cosine near-dup via blocked numpy mapInPandas",
+    ),
+    "ann_ivf_topk": QuerySpec(
+        ann_ivf_topk_query,
+        None,
+        "IVF-bucketed approximate NN (scale path; rows-only — seeded "
+        "k-means is not SQL-expressible; exactness vs brute force is "
+        "covered by tests/test_similarity.py's full-probe invariant)",
     ),
     "embedding_centroids": QuerySpec(
         embedding_centroids, EMBEDDING_CENTROIDS_SQL, "per-label centroid norms"

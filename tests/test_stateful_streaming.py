@@ -1,0 +1,67 @@
+"""applyInPandasWithState gap-sessionization: sessions persist across
+micro-batches, close on gap or event-time timeout, emit exactly once."""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+
+from pyspark.sql import Row
+
+from real_time_video_streaming_analytics_lakehouse_spark.streaming import (
+    run_available_now,
+    stream_events_from_files,
+)
+from real_time_video_streaming_analytics_lakehouse_spark.streaming.stateful import (
+    sessionize_stream,
+)
+
+
+def test_sessionize_stream_closes_on_gap_and_timeout(spark, tmp_path):
+    src_dir = str(tmp_path / "sess_src")
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    batches = [
+        # batch 0: user 1 starts a session (2 events close together)
+        [Row(event_id=1, ts=t0, user_id=1, event_type="view", value=1.0),
+         Row(event_id=2, ts=t0 + dt.timedelta(minutes=5), user_id=1,
+             event_type="view", value=2.0)],
+        # batch 1: user 1 returns after a 2h gap → closes session 1,
+        # opens session 2; watermark advances far past session 1.
+        [Row(event_id=3, ts=t0 + dt.timedelta(hours=2), user_id=1,
+             event_type="click", value=4.0)],
+        # batch 2: another user far in the future → watermark advances
+        # past session 2's timeout, closing it via EventTimeTimeout.
+        [Row(event_id=4, ts=t0 + dt.timedelta(hours=6), user_id=2,
+             event_type="view", value=8.0)],
+    ]
+    for i, rows in enumerate(batches):
+        before = set(glob.glob(f"{src_dir}/*.parquet"))
+        spark.createDataFrame(rows).coalesce(1).write.mode("append").parquet(src_dir)
+        for f in set(glob.glob(f"{src_dir}/*.parquet")) - before:
+            os.utime(f, (1700000000 + i * 100, 1700000000 + i * 100))
+
+    src = stream_events_from_files(
+        spark, src_dir, spark.read.parquet(src_dir).schema, max_files_per_trigger=1
+    )
+    out = f"{tmp_path}/out"
+    q = run_available_now(sessionize_stream(src, gap_sec=1800), out,
+                          f"{tmp_path}/ckpt")
+    q.awaitTermination(180)
+
+    rows = {
+        (r["user_id"], r["session_start"]): r
+        for r in spark.read.parquet(out).collect()
+    }
+    # session 1: 2 events, closed by the 2h gap
+    s1 = rows[(1, t0)]
+    assert s1["events"] == 2
+    assert s1["total_value"] == 3.0
+    assert s1["session_end"] == t0 + dt.timedelta(minutes=5)
+    assert s1["closed_by"] == "gap"
+    # session 2: closed via event-time timeout once the watermark passed
+    s2 = rows[(1, t0 + dt.timedelta(hours=2))]
+    assert s2["events"] == 1
+    assert s2["closed_by"] == "timeout"
+    # user 2's session is still open (watermark never passed it) → not emitted
+    assert not any(u == 2 for (u, _) in rows)
