@@ -1,0 +1,104 @@
+"""Scale-technique tests: salted aggregation equivalence, bucketed
+co-located joins (no shuffle), Kafka payload parsing, approx sketches."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from real_time_video_streaming_analytics_lakehouse_spark.operators.skew import (
+    salted_aggregate,
+    top_frequency_keys,
+)
+from real_time_video_streaming_analytics_lakehouse_spark.sources.readers import (
+    load_table,
+)
+from real_time_video_streaming_analytics_lakehouse_spark.streaming import (
+    parse_kafka_events,
+)
+
+from .conftest import SF_DIR
+
+
+def test_salted_aggregate_matches_plain_groupby(spark):
+    e = load_table(spark, SF_DIR, "events")
+    plain = {
+        r["event_type"]: (r["cnt"], round(r["total"], 2))
+        for r in e.groupBy("event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total"))
+        .collect()
+    }
+    salted = {
+        r["event_type"]: (r["cnt"], round(r["total"], 2))
+        for r in salted_aggregate(
+            e, ["event_type"], {"value": "total"}, salt_buckets=8
+        ).collect()
+    }
+    assert salted == plain
+    hot = top_frequency_keys(e, "event_type", n=1).collect()[0]
+    assert hot["freq"] == max(c for c, _ in plain.values())
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Pre-bucketed tables joined on the bucket key produce a plan with
+    no shuffle exchange on either join side — the co-located join that
+    makes repeated fact-fact joins viable at 100 TB."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS btest LOCATION '{tmp_path}/wh'")
+    e = load_table(spark, SF_DIR, "events")
+    (e.select("event_id", "user_id", "value").write
+     .bucketBy(8, "user_id").sortBy("user_id")
+     .mode("overwrite").saveAsTable("btest.ev_a"))
+    (e.select("event_id", "user_id", "event_type").write
+     .bucketBy(8, "user_id").sortBy("user_id")
+     .mode("overwrite").saveAsTable("btest.ev_b"))
+    a, b = spark.table("btest.ev_a"), spark.table("btest.ev_b")
+    joined = a.join(b, "user_id")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert joined.count() > 0
+
+
+def test_parse_kafka_events_flattens_payload(spark):
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    payload = json.dumps({"event_id": 7, "event_type": "view", "value": 1.5})
+    raw = spark.createDataFrame(
+        [(bytearray(payload.encode()), "video_events", 3, 42, None)],
+        "value BINARY, topic STRING, partition INT, offset BIGINT, timestamp TIMESTAMP",
+    )
+    out = parse_kafka_events(raw, schema).collect()[0]
+    assert (out["event_id"], out["event_type"], out["value"]) == (7, "view", 1.5)
+    assert (out["topic"], out["kafka_partition"], out["kafka_offset"]) == (
+        "video_events",
+        3,
+        42,
+    )
+    assert out["ingestion_timestamp"] is not None
+
+
+def test_approx_sketches_close_to_exact(spark):
+    """The approx toggles (SURVEY §7.2-6): HLL distinct and quantile
+    sketch land within documented error of the exact values."""
+    e = load_table(spark, SF_DIR, "events")
+    row = e.agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile("value", F.lit(0.5)).alias("exact_p50"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(1000)).alias("approx_p50"),
+    ).collect()[0]
+    assert abs(row["approx_users"] - row["exact_users"]) <= 0.05 * row["exact_users"]
+    assert abs(row["approx_p50"] - row["exact_p50"]) <= 5.0
