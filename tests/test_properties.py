@@ -1,0 +1,80 @@
+"""Property-based checks (hypothesis) for the merge and dedup operators:
+algebraic invariants that must hold for ANY input, not just goldens."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+
+from real_time_video_streaming_analytics_lakehouse_spark.operators.dedup import (
+    dedup_keep_latest,
+)
+from real_time_video_streaming_analytics_lakehouse_spark.operators.merge import (
+    merge_upsert,
+)
+
+rows = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 100)), min_size=1, max_size=12
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(t=rows, s=rows)
+def test_merge_upsert_invariants(spark, t, s):
+    target = spark.createDataFrame(
+        [Row(id=k, v=f"t{v}") for k, v in {k: v for k, v in t}.items()]
+    )
+    source = spark.createDataFrame(
+        [Row(id=k, v=f"s{v}") for k, v in {k: v for k, v in s}.items()]
+    )
+    out = {r["id"]: r["v"] for r in merge_upsert(target, source, ["id"]).collect()}
+    tkeys = {k for k, _ in t}
+    skeys = {k for k, _ in s}
+    assert set(out) == tkeys | skeys  # one row per key, no loss
+    for k in skeys:
+        assert out[k].startswith("s")  # source always wins on conflict
+    for k in tkeys - skeys:
+        assert out[k].startswith("t")  # unmatched target rows survive
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda r: r[2],
+    )
+)
+def test_dedup_keep_latest_invariants(spark, data):
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            Row(k=k, ts=base + dt.timedelta(seconds=sec), event_id=eid)
+            for k, sec, eid in data
+        ]
+    )
+    out = dedup_keep_latest(df, ["k"], "ts", tiebreak=["event_id"]).collect()
+    by_key = {}
+    for k, sec, eid in data:
+        cur = by_key.get(k)
+        if cur is None or (sec, eid) > cur:
+            by_key[k] = (sec, eid)
+    assert len(out) == len(by_key)  # exactly one row per key
+    for r in out:
+        sec, eid = by_key[r["k"]]
+        assert (r["ts"], r["event_id"]) == (
+            base + dt.timedelta(seconds=sec),
+            eid,
+        )
