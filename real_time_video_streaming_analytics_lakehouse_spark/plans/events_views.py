@@ -423,6 +423,63 @@ FROM events GROUP BY 1, 2
 """
 
 
+def content_popularity_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch equivalent of the content-popularity stream (A3,
+    real_time_streaming.py:314-345): 10-min tumbling window, conditional
+    sums, max, and the derived engagement ratio."""
+    e = _events(spark, sf_dir)
+    purchases = F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+    views = F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+    agg = e.groupBy(
+        window_start_sec("ts", 600).alias("window_start_sec")
+    ).agg(
+        F.count("*").alias("events_cnt"),
+        F.count_distinct("user_id").alias("users"),
+        purchases.alias("purchases"),
+        views.alias("views"),
+        F.max("value").alias("max_value"),
+    )
+    return agg.withColumn(
+        "purchase_per_view",
+        F.when(F.col("views") > 0, F.col("purchases") / F.col("views")),
+    )
+
+
+CONTENT_POPULARITY_10MIN_SQL = """
+SELECT (epoch_us(ts) // 600000000) * 600 AS window_start_sec,
+       COUNT(*) AS events_cnt,
+       COUNT(DISTINCT user_id) AS users,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
+       MAX(value) AS max_value,
+       CASE WHEN SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) > 0
+            THEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 * 1.0 / SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+       END AS purchase_per_view
+FROM events GROUP BY 1
+"""
+
+
+def daily_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (beyond the reference — SURVEY §2.4 notes it
+    has none): per (event_type, day) with day-level and grand totals in
+    one aggregation pass."""
+    e = _events(spark, sf_dir)
+    return e.rollup("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("events_cnt"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+DAILY_ROLLUP_TOTALS_SQL = """
+SELECT event_type, CAST(ts AS DATE) AS day,
+       COUNT(*) AS events_cnt,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
+"""
+
+
 def anomaly_1min(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)
     w = e.groupBy(
@@ -619,6 +676,14 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "user_activity_5min": QuerySpec(
         user_activity_5min, USER_ACTIVITY_5MIN_SQL, "5-min tumbling agg (A2 batch)"
+    ),
+    "content_popularity_10min": QuerySpec(
+        content_popularity_10min,
+        CONTENT_POPULARITY_10MIN_SQL,
+        "10-min popularity windows + engagement ratio (A3 batch)",
+    ),
+    "daily_rollup_totals": QuerySpec(
+        daily_rollup_totals, DAILY_ROLLUP_TOTALS_SQL, "ROLLUP grouping sets"
     ),
     "anomaly_1min": QuerySpec(
         anomaly_1min, ANOMALY_1MIN_SQL, "1-min anomaly windows (A4 batch)"

@@ -5,6 +5,7 @@ from .pipelines import (
     kafka_stream,
     parse_kafka_events,
     run_available_now,
+    run_merge_stream,
     stream_events_from_files,
     user_activity_stream,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "kafka_stream",
     "parse_kafka_events",
     "run_available_now",
+    "run_merge_stream",
     "stream_events_from_files",
     "user_activity_stream",
 ]

@@ -216,6 +216,53 @@ def dedup_stream(
     )
 
 
+def run_merge_stream(
+    result: DataFrame,
+    target_path: str,
+    checkpoint_path: str,
+    keys: list[str],
+    precedence_col: str,
+) -> "StreamingQuery":
+    """Stream → MERGE-upsert sink via ``foreachBatch`` (the reference's
+    ``run_streaming`` + MERGE load path, etl_framework.py:490-524 +
+    635-655): each micro-batch is upserted into the parquet target with
+    batch rows winning on key conflict; within-batch duplicates keep the
+    highest ``precedence_col``. With delta-spark present the same batch
+    function would call ``DeltaTable.merge`` instead of rewriting.
+
+    Scale note: the parquet fallback rewrites the whole target per batch
+    (fine for gold tables of bounded size); the Delta path touches only
+    matching files. Partition the target on a coarse date column so
+    either path prunes.
+    """
+    from ..operators.dedup import dedup_keep_latest
+    from ..operators.merge import merge_upsert
+
+    spark = result.sparkSession
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        batch = dedup_keep_latest(batch_df, keys, precedence_col)
+        if os.path.exists(target_path):
+            merged = merge_upsert(spark.read.parquet(target_path), batch, keys)
+        else:  # first batch: nothing to merge into
+            merged = batch
+        tmp = target_path.rstrip("/") + f"__b{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(target_path, ignore_errors=True)
+        shutil.move(tmp, target_path)
+
+    return (
+        result.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(
     result: DataFrame,
     out_path: str,

@@ -17,6 +17,7 @@ from real_time_video_streaming_analytics_lakehouse_spark.streaming import (
     anomaly_stream,
     dedup_stream,
     run_available_now,
+    run_merge_stream,
     stream_events_from_files,
     user_activity_stream,
 )
@@ -112,6 +113,37 @@ def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
     out, _ = _drain(dedup_stream(src), tmp_path, "dedup")
     rows = spark.read.parquet(out).collect()
     assert sorted(r["event_id"] for r in rows) == [1, 2]
+
+
+def test_run_merge_stream_upserts_per_batch(spark, tmp_path):
+    """foreachBatch MERGE sink: later micro-batches update matching keys
+    and insert new ones; final target holds exactly the latest row per
+    key (the reference's streaming run + MERGE load path)."""
+    src_dir = str(tmp_path / "merge_src")
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    batches = [
+        [Row(event_id=1, ts=t, user_id=1, event_type="view", value=1.0),
+         Row(event_id=2, ts=t, user_id=2, event_type="view", value=2.0)],
+        # update id=1 (newer ts), insert id=3
+        [Row(event_id=1, ts=t + dt.timedelta(minutes=1), user_id=1,
+             event_type="click", value=10.0),
+         Row(event_id=3, ts=t, user_id=3, event_type="view", value=3.0)],
+    ]
+    for i, rows in enumerate(batches):
+        before = set(glob.glob(f"{src_dir}/*.parquet"))
+        spark.createDataFrame(rows).coalesce(1).write.mode("append").parquet(src_dir)
+        for f in set(glob.glob(f"{src_dir}/*.parquet")) - before:
+            os.utime(f, (1700000000 + i * 100, 1700000000 + i * 100))
+    src = stream_events_from_files(
+        spark, src_dir, spark.read.parquet(src_dir).schema, max_files_per_trigger=1
+    )
+    target = f"{tmp_path}/merge_target"
+    q = run_merge_stream(src, target, f"{tmp_path}/merge_ckpt",
+                         keys=["event_id"], precedence_col="ts")
+    q.awaitTermination(120)
+    out = {r["event_id"]: (r["event_type"], r["value"])
+           for r in spark.read.parquet(target).collect()}
+    assert out == {1: ("click", 10.0), 2: ("view", 2.0), 3: ("view", 3.0)}
 
 
 def test_late_data_dropped_after_watermark(spark, tmp_path):
