@@ -1,0 +1,75 @@
+"""Iterative graph operators over DataFrames.
+
+:func:`connected_components` — min-label propagation until fixpoint.
+Used to turn near-duplicate PAIRS (MinHash/SimHash/cosine output) into
+duplicate CLUSTERS with one canonical id per cluster — the step that
+makes pair-wise dedup actionable in a training-data pipeline ("keep the
+canonical doc, drop the rest").
+
+This is the engine's one genuinely iterative algorithm: a driver loop
+over DataFrame joins with a convergence check. Scale notes:
+  * each iteration is one join + one aggregate on (node, label) — the
+    classic large-scale CC formulation; iterations needed ≈ graph
+    diameter (small for near-dup clusters, bounded by ``max_iter``).
+  * intermediate label frames are localCheckpointed every few rounds to
+    cut the growing lineage (otherwise plan size, not data, becomes
+    the bottleneck).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    node_col: str = "id",
+    max_iter: int = 20,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Assign each node min-reachable-id as its ``cluster_id``.
+
+    ``edges`` is undirected input (one row per pair); isolated nodes in
+    ``nodes`` become singleton clusters of themselves.
+    """
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    sym = sym.distinct()
+    labels = nodes.select(
+        F.col(node_col).alias("u"), F.col(node_col).alias("label")
+    )
+    for i in range(max_iter):
+        neighbor_min = (
+            sym.join(labels.withColumnRenamed("u", "v2"), sym.v == F.col("v2"))
+            .groupBy("u")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "u", "left_outer")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("u").alias(node_col), F.col("label").alias("cluster_id")
+    )

@@ -380,6 +380,136 @@ FROM last_active
 """
 
 
+# --- device_analytics / platform_quality (V_DEVICE_ANALYTICS :188-205,
+# V_PLATFORM_QUALITY :208-224) — the driver's events table has no device
+# columns, so the device/platform dimension is DERIVED deterministically
+# from user_id in BOTH engines (FIXTURES.md §6 fallback), preserving the
+# views' aggregation shapes exactly.
+
+def _device_col():
+    # Built lazily: Column construction needs an active SparkContext,
+    # and this module is imported before any session exists.
+    return (
+        F.when(F.col("user_id") % 5 == 0, "mobile")
+        .when(F.col("user_id") % 5 == 1, "tablet")
+        .when(F.col("user_id") % 5 == 2, "desktop")
+        .when(F.col("user_id") % 5 == 3, "tv")
+        .otherwise("gaming_console")
+    )
+
+
+def _platform_col():
+    return (
+        F.when(F.col("user_id") % 3 == 0, "web")
+        .when(F.col("user_id") % 3 == 1, "ios")
+        .otherwise("android")
+    )
+_DEVICE_SQL = """CASE WHEN user_id % 5 = 0 THEN 'mobile'
+              WHEN user_id % 5 = 1 THEN 'tablet'
+              WHEN user_id % 5 = 2 THEN 'desktop'
+              WHEN user_id % 5 = 3 THEN 'tv'
+              ELSE 'gaming_console' END"""
+_PLATFORM_SQL = """CASE WHEN user_id % 3 = 0 THEN 'web'
+              WHEN user_id % 3 = 1 THEN 'ios'
+              ELSE 'android' END"""
+
+
+def device_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    err = F.count(F.when(F.col("event_type") == "error", 1))
+    device = _device_col()
+    return e.groupBy(device.alias("device_type")).agg(
+        F.count_distinct("user_id").alias("users"),
+        F.count("*").alias("events_cnt"),
+        err.alias("errors"),
+        (err * 100.0 / F.count("*")).alias("error_rate_pct"),
+        F.round(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                    0.0
+                )
+            ),
+            2,
+        ).alias("revenue"),
+        F.max((device.isin("mobile", "tablet")).cast("int")).alias(
+            "is_mobile_flag"
+        ),
+    )
+
+
+DEVICE_ANALYTICS_SQL = f"""
+SELECT {_DEVICE_SQL} AS device_type,
+       COUNT(DISTINCT user_id) AS users,
+       COUNT(*) AS events_cnt,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS errors,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) * 100.0 / COUNT(*) AS error_rate_pct,
+       ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS revenue,
+       MAX(CASE WHEN {_DEVICE_SQL} IN ('mobile', 'tablet') THEN 1 ELSE 0 END) AS is_mobile_flag
+FROM events GROUP BY 1
+"""
+
+
+def platform_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    err = F.count(F.when(F.col("event_type") == "error", 1))
+    views = F.count(F.when(F.col("event_type") == "view", 1))
+    return e.groupBy(_platform_col().alias("platform")).agg(
+        F.count("*").alias("events_cnt"),
+        F.count_distinct("user_id").alias("users"),
+        err.alias("errors"),
+        (err * 100.0 / F.count("*")).alias("error_rate_pct"),
+        (views * 100.0 / F.count("*")).alias("view_rate_pct"),
+        (F.round(F.sum("value"), 2) / F.count("*")).alias("avg_value"),
+    )
+
+
+PLATFORM_QUALITY_SQL = f"""
+SELECT {_PLATFORM_SQL} AS platform,
+       COUNT(*) AS events_cnt,
+       COUNT(DISTINCT user_id) AS users,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS errors,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) * 100.0 / COUNT(*) AS error_rate_pct,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) * 100.0 / COUNT(*) AS view_rate_pct,
+       ROUND(SUM(value), 2) / COUNT(*) AS avg_value
+FROM events GROUP BY 1
+"""
+
+
+def content_trends_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V_CONTENT_TRENDS analog with an explicit window FRAME (the one
+    thing the reference's windows never customize — SURVEY §2.5 note):
+    trailing-7-day moving average via ROWS BETWEEN 6 PRECEDING."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("events_cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "events_cnt",
+        (F.sum("events_cnt").over(w) / F.count("*").over(w)).alias(
+            "trailing_7d_avg"
+        ),
+    )
+
+
+CONTENT_TRENDS_DAILY_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS events_cnt
+  FROM events GROUP BY 1, 2)
+SELECT event_type, day, events_cnt,
+       SUM(events_cnt) OVER w * 1.0 / COUNT(*) OVER w AS trailing_7d_avg
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
 # --- props_key_distribution (JSON parse S2-analog) ------------------------
 
 def props_key_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -673,6 +803,17 @@ QUERIES: dict[str, QuerySpec] = {
     "churn_risk": QuerySpec(churn_risk, CHURN_RISK_SQL, "V_CHURN_RISK"),
     "props_key_distribution": QuerySpec(
         props_key_distribution, PROPS_KEY_DISTRIBUTION_SQL, "JSON parse (S2 analog)"
+    ),
+    "device_analytics": QuerySpec(
+        device_analytics, DEVICE_ANALYTICS_SQL, "V_DEVICE_ANALYTICS analog"
+    ),
+    "platform_quality": QuerySpec(
+        platform_quality, PLATFORM_QUALITY_SQL, "V_PLATFORM_QUALITY analog"
+    ),
+    "content_trends_daily": QuerySpec(
+        content_trends_daily,
+        CONTENT_TRENDS_DAILY_SQL,
+        "V_CONTENT_TRENDS analog w/ explicit ROWS frame",
     ),
     "user_activity_5min": QuerySpec(
         user_activity_5min, USER_ACTIVITY_5MIN_SQL, "5-min tumbling agg (A2 batch)"

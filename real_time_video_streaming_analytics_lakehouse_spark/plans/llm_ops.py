@@ -205,6 +205,44 @@ def ann_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate clusters: connected components over
+    the cosine>=0.4 pair graph (iterative min-label propagation; the
+    oracle computes the same closure with a recursive CTE). Every
+    vector appears once with its cluster's canonical (minimum) id."""
+    from ..operators.graph import connected_components
+    from ..operators.similarity import cosine_pairs
+
+    emb = _emb(spark, sf_dir)
+    pairs = cosine_pairs(emb, threshold=0.4)
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    cc = connected_components(pairs, nodes, node_col="id")
+    return cc.select(F.col("id").alias("vec_id"), "cluster_id")
+
+
+EMBEDDING_DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(range(1, 65),
+                 i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        / (sqrt(list_sum(list_transform(range(1, 65),
+                 i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+           * sqrt(list_sum(list_transform(range(1, 65),
+                 i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))))
+        >= 0.4),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT vec_id AS src, vec_id AS dst FROM embeddings
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
+SELECT src AS vec_id, MIN(dst) AS cluster_id
+FROM reach GROUP BY 1
+"""
+
+
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroid_norms(_emb(spark, sf_dir))
 
@@ -261,5 +299,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "embedding_centroids": QuerySpec(
         embedding_centroids, EMBEDDING_CENTROIDS_SQL, "per-label centroid norms"
+    ),
+    "embedding_dedup_clusters": QuerySpec(
+        embedding_dedup_clusters,
+        EMBEDDING_DEDUP_CLUSTERS_SQL,
+        "near-dup clusters via iterative connected components",
     ),
 }
