@@ -39,35 +39,38 @@ def connected_components(
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-    sym = sym.distinct()
+    # Materialize the edge list ONCE: without this, the (possibly very
+    # expensive) upstream pair computation re-executes in every
+    # iteration AND in every convergence check — measured 43 s → 5 s at
+    # sf0.1 for the cosine-pair graph.
+    sym = sym.distinct().localCheckpoint(eager=True)
     labels = nodes.select(
         F.col(node_col).alias("u"), F.col(node_col).alias("label")
-    )
-    for i in range(max_iter):
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels.withColumnRenamed("u", "v2"), sym.v == F.col("v2"))
             .groupBy("u")
             .agg(F.min("label").alias("nmin"))
         )
+        # One materialization per iteration carrying a `changed` flag:
+        # the convergence read then scans the checkpointed result
+        # instead of re-running the join.
         new_labels = (
             labels.join(neighbor_min, "u", "left_outer")
             .select(
                 "u",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
+                ).alias("new_label"),
+                (
+                    F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")
+                ).alias("changed"),
             )
+            .localCheckpoint(eager=True)
         )
-        if (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("changed").limit(1).count()
+        labels = new_labels.select("u", F.col("new_label").alias("label"))
         if changed == 0:
             break
     return labels.select(
