@@ -76,9 +76,10 @@ def word_shingles(text: Column | str, size: int = 3) -> Column:
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), n - 1),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(w, (i + k + 1).cast("int")) for k in range(size)]
-            ),
+            # slice clamps at the array end (ANSI-safe, unlike element_at
+            # past size(w)) and matches the oracle's NULL-skipping
+            # concat_ws: docs with < size words yield one partial shingle.
+            lambda i: F.concat_ws(" ", F.slice(w, (i + 1).cast("int"), size)),
         )
     )
 
@@ -100,9 +101,10 @@ def exploded_word_shingles(
     arr = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), n - 1),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(w, (i + k + 1).cast("int")) for k in range(size)]
-            ),
+            # slice clamps at the array end (ANSI-safe, unlike element_at
+            # past size(w)) and matches the oracle's NULL-skipping
+            # concat_ws: docs with < size words yield one partial shingle.
+            lambda i: F.concat_ws(" ", F.slice(w, (i + 1).cast("int"), size)),
         )
     )
     return w_df.select(F.col(id_col), F.explode(arr).alias("sh"))

@@ -115,3 +115,47 @@ def test_minhash_lsh_finds_near_duplicates(spark):
     }
     assert (1, 2) in pairs
     assert all(k == (1, 2) for k in pairs)
+
+
+def test_word_shingles_short_docs_ansi_safe(spark):
+    """Docs with fewer words than the shingle size must not raise under
+    ANSI mode (element_at past the array end did), and must match the
+    DuckDB oracle's NULL-skipping concat_ws: one partial shingle."""
+    import duckdb
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.text import (
+        exploded_word_shingles,
+        ngram_jaccard_pairs,
+        word_shingles,
+    )
+
+    corpus = [("d1", "one"), ("d2", "two words"), ("d3", "a b c"),
+              ("d4", "a b c d e")]
+    df = spark.createDataFrame(corpus, "doc_id string, text string")
+
+    arrs = {r.doc_id: r.sh for r in
+            df.select("doc_id", word_shingles("text").alias("sh")).collect()}
+    assert arrs["d1"] == ["one"]
+    assert arrs["d2"] == ["two words"]
+    assert arrs["d3"] == ["a b c"]
+    assert arrs["d4"] == ["a b c", "b c d", "c d e"]
+
+    got = sorted((r.doc_id, r.sh)
+                 for r in exploded_word_shingles(df).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{d}', '{t}')" for d, t in corpus)
+        + ") t(doc_id, text)"
+    )
+    oracle = sorted(con.execute(r"""
+        SELECT DISTINCT doc_id, concat_ws(' ', w[i+1], w[i+2], w[i+3]) AS sh
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
+                     unnest(generate_series(0,
+                       greatest(len(string_split_regex(trim(text), '\s+')) - 2, 1) - 1)) AS i
+              FROM documents)""").fetchall())
+    assert got == oracle
+
+    # full pipeline survives a short-doc corpus
+    rows = ngram_jaccard_pairs(df, top_n=10).collect()
+    assert {(r.doc_a, r.doc_b) for r in rows} == {("d3", "d4")}
