@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .util import atomic_swap_dir
+
 try:  # pragma: no cover - exercised only when delta-spark is installed
     from delta.tables import DeltaTable  # type: ignore
 
@@ -48,10 +50,7 @@ def compact_partitions(
     n_files = max(1, size_bytes // (target_file_mb * 1024 * 1024))
     tmp = path.rstrip("/") + "__compacting"
     df.coalesce(int(n_files)).write.format(fmt).mode("overwrite").save(tmp)
-    import shutil
-
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    atomic_swap_dir(path, tmp)
 
 
 def zorder_by(
@@ -77,10 +76,7 @@ def zorder_by(
         .write.mode("overwrite")
         .parquet(tmp)
     )
-    import shutil
-
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    atomic_swap_dir(path, tmp)
 
 
 def vacuum(spark: SparkSession, path: str, retention_hours: int = 168) -> None:

@@ -222,6 +222,7 @@ def run_merge_stream(
     checkpoint_path: str,
     keys: list[str],
     precedence_col: str,
+    partition_col: str | None = None,
 ) -> "StreamingQuery":
     """Stream → MERGE-upsert sink via ``foreachBatch`` (the reference's
     ``run_streaming`` + MERGE load path, etl_framework.py:490-524 +
@@ -230,30 +231,66 @@ def run_merge_stream(
     highest ``precedence_col``. With delta-spark present the same batch
     function would call ``DeltaTable.merge`` instead of rewriting.
 
-    Scale note: the parquet fallback rewrites the whole target per batch
-    (fine for gold tables of bounded size); the Delta path touches only
-    matching files. Partition the target on a coarse date column so
-    either path prunes.
+    With ``partition_col`` set, the target is hive-partitioned on that
+    column and each micro-batch rewrites ONLY the partitions its rows
+    touch: read target WHERE partition IN (batch partitions) — partition
+    pruning keeps the scan proportional to the batch — merge, write the
+    merged partitions to a tmp dir, and atomically swap just those
+    partition directories. ``partition_col`` must be stable per key
+    (e.g. a date derived from the keyed entity's creation time), or an
+    updated row's old version survives in its former partition.
+
+    Without ``partition_col`` the whole target is rewritten per batch
+    (only acceptable for bounded gold tables); either way the swap is
+    crash-safe (rename-aside, see ``operators.util.atomic_swap_dir``).
     """
     from ..operators.dedup import dedup_keep_latest
     from ..operators.merge import merge_upsert
+    from ..operators.util import atomic_swap_dir, require_local_dir
 
     spark = result.sparkSession
+    require_local_dir(target_path)
 
     def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
         import os
 
         batch = dedup_keep_latest(batch_df, keys, precedence_col)
-        if os.path.exists(target_path):
-            merged = merge_upsert(spark.read.parquet(target_path), batch, keys)
-        else:  # first batch: nothing to merge into
-            merged = batch
         tmp = target_path.rstrip("/") + f"__b{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
+        if partition_col is None:
+            if os.path.exists(target_path):
+                merged = merge_upsert(
+                    spark.read.parquet(target_path), batch, keys
+                )
+            else:  # first batch: nothing to merge into
+                merged = batch
+            merged.write.mode("overwrite").parquet(tmp)
+            atomic_swap_dir(target_path, tmp)
+            return
+
+        if not os.path.exists(target_path):
+            batch.write.mode("overwrite").partitionBy(partition_col).parquet(
+                target_path
+            )
+            return
+        # Bounded driver read: one value per partition touched this batch.
+        touched = [
+            r[0] for r in batch.select(partition_col).distinct().collect()
+        ]
+        existing = spark.read.parquet(target_path).filter(
+            F.col(partition_col).isin(touched)
+        )
+        merged = merge_upsert(existing, batch, keys)
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+        # Swap exactly the partition dirs the writer produced; untouched
+        # partitions of the live table are never read or replaced.
+        for entry in os.listdir(tmp):
+            if entry.startswith(f"{partition_col}="):
+                atomic_swap_dir(
+                    os.path.join(target_path, entry), os.path.join(tmp, entry)
+                )
         import shutil
 
-        shutil.rmtree(target_path, ignore_errors=True)
-        shutil.move(tmp, target_path)
+        shutil.rmtree(tmp, ignore_errors=True)
 
     return (
         result.writeStream.foreachBatch(upsert_batch)

@@ -52,3 +52,29 @@ def test_delta_only_ops_raise_clearly(spark, tmp_path):
         vacuum(spark, str(tmp_path))
     with pytest.raises(NotImplementedError, match="Delta"):
         table_history(spark, str(tmp_path))
+
+
+def test_atomic_swap_dir_recovers_from_crash_leftovers(tmp_path):
+    """Swap order is rename-aside -> move-in -> delete-old: at no point
+    is the table absent with the new data unmoved, and a leftover __old
+    dir from a prior crash is cleaned up (ADVICE r1)."""
+    import os
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.util import atomic_swap_dir
+
+    live, tmp, old = tmp_path / "t", tmp_path / "t__new", tmp_path / "t__old"
+    for d, marker in ((live, "old_data"), (tmp, "new_data"), (old, "crash_leftover")):
+        d.mkdir()
+        (d / marker).write_text(marker)
+
+    atomic_swap_dir(str(live), str(tmp))
+    assert (live / "new_data").exists()
+    assert not old.exists()
+    assert not tmp.exists()
+
+    # first-write case: no live dir yet
+    tmp2 = tmp_path / "t2__new"
+    tmp2.mkdir()
+    (tmp2 / "f").write_text("x")
+    atomic_swap_dir(str(tmp_path / "t2"), str(tmp2))
+    assert (tmp_path / "t2" / "f").exists()
