@@ -82,58 +82,92 @@ def cosine_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_blocks: int = 8,
 ) -> DataFrame:
-    """All-pairs cosine similarity above ``threshold`` — embedding
-    near-duplicate detection, vectorized.
+    """All-pairs cosine similarity above ``threshold`` — exact embedding
+    near-duplicate detection, distributed block-pair matmul.
 
-    Built-in ``zip_with``/``aggregate`` expressions evaluate
-    interpreted per element — O(n²·d) interpreted ops is the wrong tool
-    for all-pairs. Instead: L2-normalize the corpus once, broadcast it
-    (ids + float64 matrix — the same build-side boundary as a broadcast
-    join), and run blocked ``numpy`` matmul inside Arrow-batched
-    ``mapInPandas`` over the distributed rows. Each task computes
-    (block × corpusᵀ) with SIMD and emits only pairs ≥ threshold with
-    ``id_a < id_b``.
+    Built-in ``zip_with``/``aggregate`` expressions evaluate interpreted
+    per element — O(n²·d) interpreted ops is the wrong tool for
+    all-pairs. And collecting the corpus to the driver (round-1 design)
+    caps the operator at driver memory. Instead, the classic exact
+    scheme:
 
-    Scale note: valid while the corpus matrix fits in executor memory
-    (64-dim float64: ~0.5 GB per million vectors). Beyond that, bucket
-    first (LSH over random hyperplanes — :func:`..dedup.simhash_candidates`
-    machinery — or IVF coarse quantization) and run this within buckets.
+    1. Hash every row into one of ``num_blocks`` blocks.
+    2. Replicate each row to the B block-pair tasks it participates in
+       (broadcast join against the tiny (blk → task) map — shuffle
+       volume is B × corpus, the known cost of exact all-pairs).
+    3. ``applyInPandas`` per (ti, tj) task group: L2-normalize the two
+       blocks, one SIMD matmul, emit pairs ≥ threshold with
+       ``id_a < id_b``. Each unordered pair lands in exactly one task,
+       so no dedup pass is needed.
+
+    No driver-side corpus materialization anywhere: peak memory per
+    task is two blocks (~2/B of the corpus), tunable via ``num_blocks``
+    (pick B ≈ corpus_bytes / target_task_bytes; tasks grow as B²/2 so
+    parallelism keeps up automatically). For sub-quadratic *approximate*
+    pairing at extreme scale, bucket first with
+    :func:`..dedup.simhash_candidates`-style hyperplane LSH or
+    :func:`ann_ivf_topk`'s IVF cells and run this within buckets.
     """
     import numpy as np
+    import pandas as pd
 
-    from .util import ensure_parallelism
+    spark = embeddings.sparkSession
+    tasks = [
+        (blk, ti, tj)
+        for ti in range(num_blocks)
+        for tj in range(ti, num_blocks)
+        for blk in {ti, tj}
+    ]
+    mapping = spark.createDataFrame(tasks, "blk INT, ti INT, tj INT")
+    rep = (
+        embeddings.select(id_col, vec_col)
+        .withColumn("blk", F.pmod(F.hash(F.col(id_col)), F.lit(num_blocks)))
+        .join(F.broadcast(mapping), "blk")
+    )
 
-    rows = embeddings.select(id_col, vec_col).orderBy(id_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    m = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    m /= np.linalg.norm(m, axis=1, keepdims=True)
-    sc = embeddings.sparkSession.sparkContext
-    bc_ids, bc_m = sc.broadcast(ids), sc.broadcast(m)
+    def pair_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        ti, tj = int(pdf["ti"].iloc[0]), int(pdf["tj"].iloc[0])
 
-    def block(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            ids_b = pdf[id_col].to_numpy(dtype="int64")
-            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
-            v /= np.linalg.norm(v, axis=1, keepdims=True)
-            s = v @ bc_m.value.T
-            bi, ci = np.nonzero(s >= threshold)
-            ia, ib, cos = ids_b[bi], bc_ids.value[ci], s[bi, ci]
-            keep = ia < ib
-            yield pd.DataFrame(
-                {
-                    "id_a": ia[keep],
-                    "id_b": ib[keep],
-                    "cosine": np.round(cos[keep], 6),
-                }
+        def side(blk):
+            part = pdf[pdf["blk"] == blk]
+            ids = part[id_col].to_numpy(dtype="int64")
+            if not len(ids):
+                return ids, np.empty((0, 0))
+            v = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in part[vec_col]]
             )
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            return ids, v
 
-    return ensure_parallelism(embeddings.select(id_col, vec_col)).mapInPandas(
-        block, "id_a BIGINT, id_b BIGINT, cosine DOUBLE"
+        ids_l, vl = side(ti)
+        if ti == tj:
+            ids_r, vr = ids_l, vl
+        else:
+            ids_r, vr = side(tj)
+        if not len(ids_l) or not len(ids_r):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        s = vl @ vr.T
+        li, ri = np.nonzero(s >= threshold)
+        ia, ib, cos = ids_l[li], ids_r[ri], s[li, ri]
+        if ti == tj:
+            # within one block every unordered pair appears twice in s
+            # (plus the diagonal): keep the ordered half.
+            keep = ia < ib
+            lo, hi, cos = ia[keep], ib[keep], cos[keep]
+        else:
+            # across blocks each unordered pair appears exactly once,
+            # with arbitrary id order — reorder, never drop.
+            lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "cosine": np.round(cos, 6)}
+        )
+
+    return rep.groupBy("ti", "tj").applyInPandas(
+        pair_block, "id_a BIGINT, id_b BIGINT, cosine DOUBLE"
     )
 
 

@@ -62,3 +62,44 @@ def test_ivf_full_probe_matches_brute_force(spark):
         ).collect()
     }
     assert full == exact
+
+
+def test_cosine_pairs_blocked_matches_bruteforce(spark):
+    """The distributed block-pair matmul must find EXACTLY the pairs a
+    driver-side brute force finds — including cross-block pairs where
+    the left block's id is larger (the reorder-not-drop case)."""
+    import numpy as np
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.similarity import cosine_pairs
+
+    rng = np.random.RandomState(7)
+    n, d = 120, 16
+    base = rng.randn(n, d)
+    # plant some near-duplicates so pairs exist at a high threshold
+    for i, j in [(3, 97), (10, 55), (0, 119)]:
+        base[j] = base[i] + 0.05 * rng.randn(d)
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_pairs(df, threshold=0.5, num_blocks=5).collect()
+    }
+
+    # the ARRAY<FLOAT> column stores float32: truncate before comparing
+    v = np.stack(
+        [np.asarray(vec, dtype=np.float32) for _, vec in rows]
+    ).astype(np.float64)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    s = v @ v.T
+    want = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            if s[i, j] >= 0.5:
+                # np.round, matching the operator (Python round() can
+                # differ by 1 ulp at decimal midpoints)
+                want[(i, j)] = float(np.round(s[i, j], 6))
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+    assert {(3, 97), (10, 55), (0, 119)} <= set(got)
