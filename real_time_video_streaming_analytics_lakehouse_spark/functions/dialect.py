@@ -42,8 +42,16 @@ def epoch_us(col: Column | str) -> Column:
 
 
 def floor_div(col: Column, divisor: int) -> Column:
-    """Integer floor-division for non-negative BIGINT columns."""
-    return (col / F.lit(divisor)).cast("long")
+    """Exact integer floor-division for BIGINT columns.
+
+    Pure integer arithmetic — double division then truncation is
+    off-by-±1 once values exceed 2^53 (epoch *nanoseconds* already do),
+    and truncates toward zero for negatives. ``col - pmod`` snaps to the
+    largest multiple ≤ col (true floor even for negative inputs), then
+    integral ``div`` is exact at any magnitude.
+    """
+    d = F.lit(divisor)
+    return F.call_function("div", col - F.pmod(col, d), d)
 
 
 def window_start_sec(ts: Column | str, width_sec: int) -> Column:

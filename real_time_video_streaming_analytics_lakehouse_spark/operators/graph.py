@@ -30,11 +30,18 @@ def connected_components(
     node_col: str = "id",
     max_iter: int = 20,
     checkpoint_every: int = 5,
+    strict: bool = True,
 ) -> DataFrame:
     """Assign each node min-reachable-id as its ``cluster_id``.
 
     ``edges`` is undirected input (one row per pair); isolated nodes in
     ``nodes`` become singleton clusters of themselves.
+
+    If the loop exhausts ``max_iter`` while labels are still changing,
+    the result is NOT a full closure (graphs of diameter > max_iter).
+    ``strict=True`` (default) raises rather than silently returning
+    wrong cluster ids; ``strict=False`` logs a warning and returns the
+    partial labels.
     """
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
@@ -73,6 +80,18 @@ def connected_components(
         labels = new_labels.select("u", F.col("new_label").alias("label"))
         if changed == 0:
             break
+    else:
+        msg = (
+            f"connected_components: labels still changing after "
+            f"{max_iter} iterations — cluster ids may be incomplete; "
+            f"raise max_iter (label propagation needs ~graph diameter "
+            f"rounds)"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
     return labels.select(
         F.col("u").alias(node_col), F.col("label").alias("cluster_id")
     )

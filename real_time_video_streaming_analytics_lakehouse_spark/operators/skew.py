@@ -1,14 +1,19 @@
 """Skew-mitigation operators.
 
 AQE's skew-join splitting (enabled in :mod:`..session`) covers sort-merge
-joins; *aggregations* over heavily skewed keys still funnel each hot key
-through one reducer. :func:`salted_aggregate` is the classic two-stage
-rewrite: salt the key, pre-aggregate per (key, salt), then combine —
-turning one hot partition into ``salt_buckets`` parallel ones.
+joins. For *decomposable* aggregates (sum/count/min/max) a plain
+``groupBy`` already resists key skew: map-side partial aggregation sends
+at most one row per (key, input partition) to the reducer. Salting earns
+its extra shuffle only where partial aggregation can't compress —
+``count_distinct`` being the canonical case: every distinct value of a
+hot key ships to one reducer. :func:`salted_count_distinct` is the
+two-stage rewrite for exactly that.
 
-Only decomposable aggregates (sum/count/min/max — anything with an
-associative merge) can be salted this way; avg is expressed as
-sum+count and divided after the combine.
+:func:`salted_aggregate` remains for sum/count pipelines whose first
+stage benefits from an explicit intermediate (e.g. feeding several
+downstream rollups); its salt is a hash of the row's value columns so
+each hot key genuinely fans out across ``salt_buckets`` reducers
+regardless of input partitioning.
 """
 
 from __future__ import annotations
@@ -28,8 +33,13 @@ def salted_aggregate(
     alias (summed); a row count is always produced. Result is identical
     to ``df.groupBy(keys).agg(sum..., count(*))`` — the salt only
     changes the physical shuffle shape.
+
+    The salt hashes the summed value columns (NOT ``spark_partition_id``,
+    which would confine each (key, salt) group to its input partition
+    and reproduce what map-side partial aggregation already does), so a
+    hot key's rows spread over ``salt_buckets`` stage-1 reducers.
     """
-    salt = (F.spark_partition_id() % salt_buckets).alias("_salt")
+    salt = F.pmod(F.hash(*[F.col(c) for c in sums]), F.lit(salt_buckets))
     stage1 = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(
         F.count("*").alias("_c"),
         *[F.sum(src).alias(f"_s_{alias}") for src, alias in sums.items()],
@@ -38,6 +48,32 @@ def salted_aggregate(
         F.sum("_c").alias(count_alias),
         *[F.sum(f"_s_{alias}").alias(alias) for alias in sums.values()],
     )
+
+
+def salted_count_distinct(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    alias: str = "distinct_cnt",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Exact ``count_distinct(value_col)`` per key, skew-safe.
+
+    Plain ``groupBy(keys).agg(count_distinct(v))`` funnels every
+    distinct value of a hot key through a single reducer — the one agg
+    shape partial aggregation cannot compress. Salting by
+    ``hash(value)`` partitions each key's *value space* across
+    ``salt_buckets`` reducers: every distinct value lands in exactly one
+    (key, salt) group, so stage 1's per-bucket exact distinct counts
+    sum to the exact global count.
+    """
+    salt = F.pmod(F.hash(F.col(value_col)), F.lit(salt_buckets))
+    stage1 = (
+        df.withColumn("_salt", salt)
+        .groupBy(*keys, "_salt")
+        .agg(F.count_distinct(F.col(value_col)).alias("_d"))
+    )
+    return stage1.groupBy(*keys).agg(F.sum("_d").alias(alias))
 
 
 def top_frequency_keys(df: DataFrame, key: Column | str, n: int = 10) -> DataFrame:

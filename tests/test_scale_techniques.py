@@ -102,3 +102,66 @@ def test_approx_sketches_close_to_exact(spark):
     ).collect()[0]
     assert abs(row["approx_users"] - row["exact_users"]) <= 0.05 * row["exact_users"]
     assert abs(row["approx_p50"] - row["exact_p50"]) <= 5.0
+
+
+def test_salted_count_distinct_exact(spark):
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.skew import salted_count_distinct
+
+    rows = [("hot", f"v{i % 97}") for i in range(2000)] + [
+        ("cold", f"v{i}") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "k STRING, v STRING")
+    got = {
+        r["k"]: r["distinct_cnt"]
+        for r in salted_count_distinct(df, ["k"], "v", salt_buckets=8).collect()
+    }
+    assert got == {"hot": 97, "cold": 5}
+
+
+def test_floor_div_exact_beyond_double_mantissa(spark):
+    """Integer div must be exact where double division is off-by-one
+    (> 2^53, i.e. epoch nanoseconds) and floor (not truncate) for
+    negative inputs."""
+    import pyspark.sql.functions as F
+
+    from real_time_video_streaming_analytics_lakehouse_spark.functions.dialect import floor_div
+
+    vals = [2**60 + 7, 2**53 + 1, 123456789, -7, -9, 0]
+    df = spark.createDataFrame([(v,) for v in vals], "x BIGINT")
+    got = {
+        r["x"]: r["d"]
+        for r in df.select("x", floor_div(F.col("x"), 1000).alias("d")).collect()
+    }
+    import math
+
+    for v in vals:
+        assert got[v] == math.floor(v / 1000) if abs(v) < 2**52 else v // 1000, v
+        assert got[v] == v // 1000  # python // is floor division
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    import pytest
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.graph import connected_components
+
+    # path graph 0-1-2-...-9: min-label needs ~diameter rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a BIGINT, id_b BIGINT"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "id BIGINT")
+    with pytest.raises(RuntimeError, match="still changing"):
+        connected_components(edges, nodes, max_iter=2)
+    # warn-only mode returns partial labels
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = connected_components(edges, nodes, max_iter=2, strict=False)
+        assert out.count() == 10
+        assert any("still changing" in str(x.message) for x in w)
+    # enough iterations: single cluster, no raise
+    out = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(edges, nodes, max_iter=12).collect()
+    }
+    assert set(out.values()) == {0}
