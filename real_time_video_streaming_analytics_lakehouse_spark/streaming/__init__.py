@@ -1,3 +1,4 @@
+from .monitor import StreamMonitor
 from .pipelines import (
     anomaly_stream,
     content_popularity_stream,
@@ -11,6 +12,7 @@ from .pipelines import (
 )
 
 __all__ = [
+    "StreamMonitor",
     "anomaly_stream",
     "content_popularity_stream",
     "dedup_stream",
