@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.dialect import epoch_us, window_start_sec
+from ..functions.dialect import epoch_us, floor_div, window_start_sec
 from ..operators.dedup import dedup_keep_latest
 from ..operators.merge import merge_upsert
 from ..operators.quality import dq_summary
@@ -475,6 +475,96 @@ FROM events GROUP BY 1
 """
 
 
+# --- daily_user_metrics gold (reference gold_daily_user_metrics,
+# delta-lake/delta_setup.py:365-384) — the medallion gold rollup with
+# ArrayType columns: device_types/countries are collect_set aggregates.
+# Devices/countries are DERIVED per-event from event_id (the events
+# table carries neither), so each (day, user) set is genuinely
+# multi-element; arrays are sorted on both engines so value hashing is
+# order-stable.
+
+def _event_device_col():
+    return (
+        F.when(F.col("event_id") % 5 == 0, "mobile")
+        .when(F.col("event_id") % 5 == 1, "tablet")
+        .when(F.col("event_id") % 5 == 2, "desktop")
+        .when(F.col("event_id") % 5 == 3, "tv")
+        .otherwise("gaming_console")
+    )
+
+
+_EVENT_DEVICE_SQL = """CASE WHEN event_id % 5 = 0 THEN 'mobile'
+              WHEN event_id % 5 = 1 THEN 'tablet'
+              WHEN event_id % 5 = 2 THEN 'desktop'
+              WHEN event_id % 5 = 3 THEN 'tv'
+              ELSE 'gaming_console' END"""
+
+_COUNTRIES = ["US", "GB", "DE", "FR", "JP", "BR", "IN"]
+
+
+def _event_country_col():
+    c = F.col("event_id") % 7
+    expr = F.when(c == 0, _COUNTRIES[0])
+    for i, name in enumerate(_COUNTRIES[1:-1], start=1):
+        expr = expr.when(c == i, name)
+    return expr.otherwise(_COUNTRIES[-1])
+
+
+_EVENT_COUNTRY_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN event_id % 7 = {i} THEN '{n}'"
+        for i, n in enumerate(_COUNTRIES[:-1])
+    )
+    + f" ELSE '{_COUNTRIES[-1]}' END"
+)
+
+
+def daily_user_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold daily-user-metrics rollup: per (day, user) engagement
+    counters, a 30-min-bucket session count, revenue on the money grid,
+    and sorted collect_set device/country arrays. One shuffle on the
+    (day, user) grouping; collect_set states stay small (bounded label
+    domains), so the agg is map-side combinable."""
+    e = _events(spark, sf_dir)
+    return e.groupBy(F.to_date("ts").alias("day"), F.col("user_id")).agg(
+        F.count("*").alias("interaction_events"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias(
+            "videos_watched"
+        ),
+        F.count_distinct("event_type").alias("unique_content_types"),
+        F.count_distinct(
+            floor_div(epoch_us(F.col("ts")), 1_800_000_000)
+        ).alias("sessions_count"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("value")
+                ).otherwise(0.0)
+            ),
+            2,
+        ).alias("revenue"),
+        F.array_sort(F.collect_set(_event_device_col())).alias(
+            "device_types"
+        ),
+        F.array_sort(F.collect_set(_event_country_col())).alias("countries"),
+    )
+
+
+DAILY_USER_METRICS_SQL = f"""
+SELECT CAST(ts AS DATE) AS day,
+       user_id,
+       COUNT(*) AS interaction_events,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS videos_watched,
+       COUNT(DISTINCT event_type) AS unique_content_types,
+       COUNT(DISTINCT epoch_us(ts) // 1800000000) AS sessions_count,
+       ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS revenue,
+       list_sort(list_distinct(list({_EVENT_DEVICE_SQL}))) AS device_types,
+       list_sort(list_distinct(list({_EVENT_COUNTRY_SQL}))) AS countries
+FROM events GROUP BY 1, 2
+"""
+
+
 def content_trends_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V_CONTENT_TRENDS analog with an explicit window FRAME (the one
     thing the reference's windows never customize — SURVEY §2.5 note):
@@ -814,6 +904,11 @@ QUERIES: dict[str, QuerySpec] = {
         content_trends_daily,
         CONTENT_TRENDS_DAILY_SQL,
         "V_CONTENT_TRENDS analog w/ explicit ROWS frame",
+    ),
+    "daily_user_metrics": QuerySpec(
+        daily_user_metrics,
+        DAILY_USER_METRICS_SQL,
+        "gold daily_user_metrics w/ collect_set array columns",
     ),
     "user_activity_5min": QuerySpec(
         user_activity_5min, USER_ACTIVITY_5MIN_SQL, "5-min tumbling agg (A2 batch)"
