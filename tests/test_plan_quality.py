@@ -38,3 +38,49 @@ def test_scan_prunes_unused_columns(spark):
     plan = _plan(spark, "latest_event_per_user")
     # props is never referenced → must not be read from parquet
     assert "props" not in plan.split("ReadSchema")[-1]
+
+
+def test_no_unbounded_driver_collect_at_construction(spark):
+    """Guard against driver-side corpus materialization (round-1's
+    cosine_pairs collected the whole embedding table): constructing ANY
+    catalog query must not call DataFrame.collect()/toPandas(), except
+    the two documented bounded reads — incremental_extract's 1-row
+    watermark and ann_ivf_topk's capped k-means sample."""
+    import pyspark.sql
+
+    ALLOWED_BOUNDED = {
+        "incremental_extract": 1,      # watermark read: exactly 1 row
+        "ann_ivf_topk": 4096,          # sample collect: capped by limit()
+    }
+
+    real_collect = pyspark.sql.DataFrame.collect
+    real_topandas = pyspark.sql.DataFrame.toPandas
+    calls: list[int] = []
+
+    def counting_collect(self):
+        rows = real_collect(self)
+        calls.append(len(rows))
+        return rows
+
+    def counting_topandas(self):
+        pdf = real_topandas(self)
+        calls.append(len(pdf))
+        return pdf
+
+    pyspark.sql.DataFrame.collect = counting_collect
+    pyspark.sql.DataFrame.toPandas = counting_topandas
+    try:
+        for name, spec in sorted(CATALOG.items()):
+            calls.clear()
+            spec.fn(spark, SF_DIR)  # construction only — no action here
+            if name in ALLOWED_BOUNDED:
+                assert all(n <= ALLOWED_BOUNDED[name] for n in calls), (
+                    name, calls)
+            else:
+                assert not calls, (
+                    f"{name} collected {calls} rows to the driver during "
+                    f"construction — not scale-safe"
+                )
+    finally:
+        pyspark.sql.DataFrame.collect = real_collect
+        pyspark.sql.DataFrame.toPandas = real_topandas
