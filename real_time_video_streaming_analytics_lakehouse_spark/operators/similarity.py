@@ -171,6 +171,114 @@ def cosine_pairs(
     )
 
 
+def lsh_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    num_hyperplanes: int = 32,
+    num_bands: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate cosine near-dup pairs: random-hyperplane LSH buckets,
+    exact verification inside buckets — the sub-quadratic scale path
+    next to :func:`cosine_pairs`' exact block-pair join.
+
+    1. Signature: sign bits of v·H for ``num_hyperplanes`` seeded random
+       hyperplanes (one blocked matmul per Arrow batch, no shuffle),
+       packed into ``num_bands`` band codes of k/b bits.
+    2. Candidates: docs sharing ANY band code meet in an equi-join on
+       (band, code) — the same banding trick as MinHash; only ids and
+       band codes shuffle, never vectors.
+    3. Verify: candidate pairs join back to their vectors and the exact
+       cosine filters ≥ threshold, so false positives are eliminated —
+       recall is the only approximation (P[candidate] =
+       1-(1-p^r)^b, p = 1-angle/pi).
+
+    Recall/cost is tuned by (num_hyperplanes, num_bands): more bands →
+    higher recall and more candidates. Emits the same schema as
+    :func:`cosine_pairs`.
+    """
+    import numpy as np
+
+    from .util import ensure_parallelism
+
+    if num_hyperplanes % num_bands:
+        raise ValueError("num_hyperplanes must divide evenly into bands")
+    bits_per_band = num_hyperplanes // num_bands
+    if dim is None:
+        # 1-row bounded read; pass dim explicitly in collect-free paths
+        dim = len(embeddings.select(vec_col).first()[0])
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(dim, num_hyperplanes)
+    sc = embeddings.sparkSession.sparkContext
+    bc_planes = sc.broadcast(planes)
+
+    def signatures(batches):
+        import pandas as pd
+
+        weights = (1 << np.arange(bits_per_band)).astype(np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            bits = (v @ bc_planes.value >= 0).astype(np.int64)
+            codes = bits.reshape(len(pdf), num_bands, bits_per_band) @ weights
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, num_bands),
+                    "band": np.tile(
+                        np.arange(num_bands, dtype=np.int32), len(pdf)
+                    ),
+                    "code": codes.reshape(-1),
+                }
+            )
+
+    sig = ensure_parallelism(embeddings.select(id_col, vec_col)).mapInPandas(
+        signatures, f"{id_col} BIGINT, band INT, code BIGINT"
+    )
+    a = sig.select(F.col(id_col).alias("id_a"), "band", "code")
+    b = sig.select(F.col(id_col).alias("id_b"), "band", "code")
+    cand = (
+        a.join(b, ["band", "code"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vecs = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("_n", _norm(F.col("_v")))
+    scored = (
+        cand.join(
+            vecs.select(
+                F.col(id_col).alias("id_a"),
+                F.col("_v").alias("_va"),
+                F.col("_n").alias("_na"),
+            ),
+            "id_a",
+        )
+        .join(
+            vecs.select(
+                F.col(id_col).alias("id_b"),
+                F.col("_v").alias("_vb"),
+                F.col("_n").alias("_nb"),
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "_cos", _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+        )
+        .filter(F.col("_cos") >= threshold)
+    )
+    return scored.select(
+        "id_a", "id_b", F.round(F.col("_cos"), 6).alias("cosine")
+    )
+
+
 def ann_ivf_topk(
     embeddings: DataFrame,
     query_pred: Column,

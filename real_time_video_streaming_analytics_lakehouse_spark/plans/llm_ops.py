@@ -140,6 +140,18 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates(_docs(spark, sf_dir), min_est_jaccard=0.2)
 
 
+def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed near-dup pairs over embeddings — the
+    sub-quadratic approximate companion to ``embedding_cosine_pairs``
+    (rows-only: bucket membership depends on the seeded hyperplanes, so
+    the pair *set* is not SQL-expressible; every emitted cosine IS
+    exact, which tests/test_similarity.py checks against the exact
+    operator)."""
+    from ..operators.similarity import lsh_cosine_pairs
+
+    return lsh_cosine_pairs(_emb(spark, sf_dir), threshold=0.4, dim=64)
+
+
 # --- vector similarity ---------------------------------------------------------
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -288,7 +300,13 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_cosine_pairs": QuerySpec(
         embedding_cosine_pairs,
         EMBEDDING_COSINE_PAIRS_SQL,
-        "all-pairs cosine near-dup via blocked numpy mapInPandas",
+        "exact all-pairs cosine near-dup via distributed block-pair matmul",
+    ),
+    "embedding_lsh_pairs": QuerySpec(
+        embedding_lsh_pairs,
+        None,
+        "hyperplane-LSH bucketed near-dup pairs (approximate scale "
+        "path; rows-only — seeded hyperplanes are not SQL-expressible)",
     ),
     "ann_ivf_topk": QuerySpec(
         ann_ivf_topk_query,

@@ -103,3 +103,40 @@ def test_cosine_pairs_blocked_matches_bruteforce(spark):
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9
     assert {(3, 97), (10, 55), (0, 119)} <= set(got)
+
+
+def test_lsh_cosine_pairs_subset_of_exact_with_planted_recall(spark):
+    """LSH-bucketed pairs must be a SUBSET of the exact pairs with
+    identical cosines (verification is exact; only recall is
+    approximate), and planted near-duplicates (cos ~0.99) must be
+    recalled — their signatures agree on virtually every hyperplane."""
+    import numpy as np
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.similarity import (
+        cosine_pairs,
+        lsh_cosine_pairs,
+    )
+
+    rng = np.random.RandomState(11)
+    n, d = 150, 32
+    base = rng.randn(n, d)
+    planted = [(5, 100), (20, 77), (48, 149)]
+    for i, j in planted:
+        base[j] = base[i] + 0.02 * rng.randn(d)
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_pairs(df, threshold=0.8, num_blocks=4).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cosine
+        for r in lsh_cosine_pairs(
+            df, threshold=0.8, num_hyperplanes=32, num_bands=8, dim=d
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == exact[k]
+    assert set(planted) <= set(lsh)
