@@ -238,8 +238,18 @@ def lsh_cosine_pairs(
                 }
             )
 
-    sig = ensure_parallelism(embeddings.select(id_col, vec_col)).mapInPandas(
-        signatures, f"{id_col} BIGINT, band INT, code BIGINT"
+    # Materialize signatures once: the banding self-join reads this
+    # frame on BOTH sides, and without a checkpoint each side re-runs
+    # the Python signature stage. (id, band, code) is 3 ints per band —
+    # a fraction of the vector data, partitioned across executors.
+    # Input partitioning is kept as-is (no ensure_parallelism): the
+    # signature matmul is O(d·k) per row — cheap enough that forking a
+    # full Python-worker fleet for a small corpus costs more than it
+    # saves, and at scale the source is already well-partitioned.
+    sig = (
+        embeddings.select(id_col, vec_col)
+        .mapInPandas(signatures, f"{id_col} BIGINT, band INT, code BIGINT")
+        .localCheckpoint(eager=False)
     )
     a = sig.select(F.col(id_col).alias("id_a"), "band", "code")
     b = sig.select(F.col(id_col).alias("id_b"), "band", "code")
