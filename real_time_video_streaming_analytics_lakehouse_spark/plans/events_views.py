@@ -475,6 +475,72 @@ FROM events GROUP BY 1
 """
 
 
+# --- purchase_attribution (batch analog of the stream-stream interval
+# join, streaming/pipelines.py::purchase_attribution_stream): per-user
+# purchase counts split by whether a same-user view preceded the
+# purchase within 30 minutes. The attribution set uses a LEFT SEMI join
+# (EXISTS) so multi-view purchases are not double-counted.
+
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"), F.col("ts").alias("view_ts")
+    )
+    cond = (
+        (p.user_id == v.v_user_id)
+        & (v.view_ts <= p.ts)
+        & (v.view_ts >= p.ts - F.expr("INTERVAL 30 MINUTES"))
+    )
+    attributed = p.join(v, cond, "left_semi")
+    totals = p.groupBy("user_id").agg(
+        F.count("*").alias("purchases"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    attr = attributed.groupBy("user_id").agg(
+        F.count("*").alias("attributed_purchases"),
+        F.round(F.sum("value"), 2).alias("attributed_value"),
+    )
+    return totals.join(attr, "user_id", "left_outer").select(
+        "user_id",
+        "purchases",
+        "total_value",
+        F.coalesce(F.col("attributed_purchases"), F.lit(0)).alias(
+            "attributed_purchases"
+        ),
+        F.coalesce(F.col("attributed_value"), F.lit(0.0)).alias(
+            "attributed_value"
+        ),
+    )
+
+
+PURCHASE_ATTRIBUTION_SQL = """
+WITH p AS (
+  SELECT user_id, event_id, ts, value FROM events
+  WHERE event_type = 'purchase'),
+a AS (
+  SELECT * FROM p
+  WHERE EXISTS (
+    SELECT 1 FROM events v
+    WHERE v.event_type = 'view' AND v.user_id = p.user_id
+      AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTE)),
+totals AS (
+  SELECT user_id, COUNT(*) AS purchases,
+         ROUND(SUM(value), 2) AS total_value
+  FROM p GROUP BY 1),
+attr AS (
+  SELECT user_id, COUNT(*) AS attributed_purchases,
+         ROUND(SUM(value), 2) AS attributed_value
+  FROM a GROUP BY 1)
+SELECT totals.user_id, purchases, total_value,
+       COALESCE(attributed_purchases, 0) AS attributed_purchases,
+       COALESCE(attributed_value, 0.0) AS attributed_value
+FROM totals LEFT JOIN attr ON totals.user_id = attr.user_id
+"""
+
+
 # --- daily_user_metrics gold (reference gold_daily_user_metrics,
 # delta-lake/delta_setup.py:365-384) — the medallion gold rollup with
 # ArrayType columns: device_types/countries are collect_set aggregates.
@@ -909,6 +975,12 @@ QUERIES: dict[str, QuerySpec] = {
         daily_user_metrics,
         DAILY_USER_METRICS_SQL,
         "gold daily_user_metrics w/ collect_set array columns",
+    ),
+    "purchase_attribution": QuerySpec(
+        purchase_attribution,
+        PURCHASE_ATTRIBUTION_SQL,
+        "interval-join view→purchase attribution (stream-stream batch "
+        "analog, LEFT SEMI dedup)",
     ),
     "user_activity_5min": QuerySpec(
         user_activity_5min, USER_ACTIVITY_5MIN_SQL, "5-min tumbling agg (A2 batch)"

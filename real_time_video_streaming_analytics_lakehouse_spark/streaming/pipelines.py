@@ -195,6 +195,50 @@ def anomaly_stream(
     )
 
 
+def purchase_attribution_stream(
+    views: DataFrame,
+    purchases: DataFrame,
+    attribution_window: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the
+    same user's preceding view within ``attribution_window``.
+
+    The reference has no stream-stream join (its streams are all
+    stream→static aggregations); this extends §2.8 with the canonical
+    two-stream pattern. Both sides carry watermarks and the join
+    condition bounds event time on both sides, so Spark can size the
+    join state and evict rows older than watermark + window — without
+    the time bound, stream-stream join state grows forever.
+
+    Emits one row per (view, purchase) attribution pair in append mode.
+    """
+    v = views.select(
+        F.col("user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col(ts_col).alias("view_ts"),
+    ).withWatermark("view_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col(ts_col).alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    cond = (
+        (v.user_id == p.p_user_id)
+        & (p.purchase_ts >= v.view_ts)
+        & (
+            p.purchase_ts
+            <= v.view_ts + F.expr(f"INTERVAL {attribution_window}")
+        )
+    )
+    return v.join(p, cond, "inner").select(
+        "user_id", "view_id", "purchase_id", "view_ts",
+        "purchase_ts", "purchase_value",
+    )
+
+
 def dedup_stream(
     events: DataFrame,
     id_col: str = "event_id",

@@ -327,3 +327,46 @@ def test_stream_monitor_prunes_failed_and_restarts(spark, tmp_path):
     assert snap["queries"]["doomed"]["state"] == "failed"
     assert snap["queries"]["healthy"]["state"] == "finished"
     assert snap["active"] == 0
+
+
+def test_purchase_attribution_stream_interval_join(spark, tmp_path):
+    """Stream-stream interval join: a purchase within 30 min of a
+    same-user view is attributed; outside the window or cross-user it
+    is not."""
+    from real_time_video_streaming_analytics_lakehouse_spark.streaming.pipelines import (
+        purchase_attribution_stream,
+    )
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    views = [
+        Row(event_id=1, ts=t, user_id=1, event_type="view", value=0.0),
+        Row(event_id=2, ts=t, user_id=2, event_type="view", value=0.0),
+    ]
+    purchases = [
+        # in-window, same user → attributed
+        Row(event_id=10, ts=t + dt.timedelta(minutes=10), user_id=1,
+            event_type="purchase", value=9.99),
+        # same user but 45 min later → outside window
+        Row(event_id=11, ts=t + dt.timedelta(minutes=45), user_id=1,
+            event_type="purchase", value=5.0),
+        # different user → no join
+        Row(event_id=12, ts=t + dt.timedelta(minutes=5), user_id=3,
+            event_type="purchase", value=1.0),
+    ]
+    vdir, pdir = str(tmp_path / "views"), str(tmp_path / "purch")
+    spark.createDataFrame(views).write.parquet(vdir)
+    spark.createDataFrame(purchases).write.parquet(pdir)
+    schema = spark.read.parquet(vdir).schema
+    out = purchase_attribution_stream(
+        stream_events_from_files(spark, vdir, schema),
+        stream_events_from_files(spark, pdir, schema),
+    )
+    out_dir = str(tmp_path / "attr_out")
+    q = (out.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", f"{tmp_path}/attr_ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out_dir).collect()
+    assert [(r["view_id"], r["purchase_id"], r["purchase_value"])
+            for r in rows] == [(1, 10, 9.99)]
