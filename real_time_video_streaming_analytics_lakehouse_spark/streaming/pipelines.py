@@ -168,8 +168,10 @@ def anomaly_stream(
         )
         .agg(
             F.count("*").alias("events_cnt"),
-            F.sum(
-                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            # count(when(...)) — same idiom as the batch oracle
+            # (plans/events_views.py::anomaly_1min) to avoid drift
+            F.count(
+                F.when(F.col("event_type") == "error", F.lit(1))
             ).alias("errors"),
         )
     )
