@@ -86,3 +86,160 @@ def decode_media_features(media: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return media.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, max_frames: int = 4, fake: bool = True
+) -> DataFrame:
+    """Uniform-stride frame sampling: one output row per sampled frame
+    (1→N mapInPandas explode with per-frame fingerprints).
+
+    A real implementation reads the container's frame count and decodes
+    the selected frames (ffmpeg seek); the fake derives ``n_frames``
+    from payload byte 2 (same rule as :func:`decode_media_features`)
+    and fingerprints each sampled frame as
+    ``md5(hex(payload) + ':' + idx)`` — reproducible in the DuckDB
+    oracle via string md5. Stride = ceil(n/max_frames), so sampling is
+    uniform and at most ``max_frames`` frames emit per doc.
+
+    Partition-preserving: no shuffle; output size is bounded by
+    ``max_frames`` × input rows regardless of media length.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import math
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real frame sampling requires ffmpeg, not present in "
+                    "this environment"
+                )
+            ids, idxs, fps = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = payload[2] % 120 + 1
+                stride = math.ceil(n / max_frames)
+                for i in range(0, n, stride):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    fps.append(
+                        hashlib.md5(
+                            f"{payload.hex()}:{i}".encode()
+                        ).hexdigest()
+                    )
+            import numpy as np
+
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array(ids, dtype="int64"),
+                    "frame_idx": np.array(idxs, dtype="int32"),
+                    "frame_fp": fps,
+                }
+            )
+
+    return media.mapInPandas(
+        sample, schema="doc_id BIGINT, frame_idx INT, frame_fp STRING"
+    )
+
+
+def resize_images(
+    media: DataFrame, max_w: int = 64, max_h: int = 64, fake: bool = True
+) -> DataFrame:
+    """Aspect-preserving fit-to-box resize (integer arithmetic only, so
+    the DuckDB oracle reproduces the dimensions exactly).
+
+    ``new_h = min(h, max_h)`` when height is the binding constraint
+    (``w*max_h <= h*max_w``), else ``new_w = min(w, max_w)``; the other
+    side scales by integer floor division. The resized payload is
+    fingerprinted (``md5(hex(payload) + ':WxH')``) — a real
+    implementation returns the re-encoded bytes from PIL.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real resize requires PIL, not present in this "
+                    "environment"
+                )
+            rows = {k: [] for k in
+                    ("doc_id", "media_format", "width", "height",
+                     "new_width", "new_height", "resized_fp")}
+            for doc_id, fmt, payload in zip(
+                pdf["doc_id"], pdf["media_format"], pdf["payload"]
+            ):
+                w = payload[0] % 128 + 1
+                h = payload[1] % 128 + 1
+                if w <= max_w and h <= max_h:
+                    nw, nh = w, h
+                elif w * max_h <= h * max_w:  # height binds
+                    nh = max_h
+                    nw = max(1, (w * max_h) // h)
+                else:
+                    nw = max_w
+                    nh = max(1, (h * max_w) // w)
+                rows["doc_id"].append(doc_id)
+                rows["media_format"].append(fmt)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["new_width"].append(nw)
+                rows["new_height"].append(nh)
+                rows["resized_fp"].append(
+                    hashlib.md5(
+                        f"{payload.hex()}:{nw}x{nh}".encode()
+                    ).hexdigest()
+                )
+            yield pd.DataFrame(rows).astype(
+                {
+                    "doc_id": "int64",
+                    "width": "int32",
+                    "height": "int32",
+                    "new_width": "int32",
+                    "new_height": "int32",
+                }
+            )
+
+    return media.mapInPandas(
+        resize,
+        schema=(
+            "doc_id BIGINT, media_format STRING, width INT, height INT, "
+            "new_width INT, new_height INT, resized_fp STRING"
+        ),
+    )
+
+
+def media_embeddings(
+    media: DataFrame, dim: int = 8, fake: bool = True
+) -> DataFrame:
+    """Feature-extraction stub: payload → ``array<double>`` embedding.
+
+    The fake embeds the first ``dim`` payload bytes scaled to [0, 1]
+    (byte/255 — identical IEEE division in any engine); a real
+    implementation runs a vision/audio encoder per Arrow batch. Output
+    feeds the similarity family (:mod:`.similarity`) directly, which is
+    the point: multimodal dedup = decode → embed → cosine near-dup.
+    """
+
+    def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real feature extraction requires a media encoder, "
+                    "not present in this environment"
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "embedding": [
+                        [b / 255.0 for b in payload[:dim]]
+                        for payload in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(
+        embed, schema="doc_id BIGINT, embedding ARRAY<DOUBLE>"
+    )

@@ -218,6 +218,75 @@ FROM decoded GROUP BY 1
 """
 
 
+# --- multimodal frame sampling + resize (1→N explode, integer-exact
+# fit-to-box; fingerprints reproduce in DuckDB as md5 over
+# hex(payload)=md5(text) string arithmetic) -------------------------------
+
+def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform-stride frame sampling over the synthesized media column:
+    ≤4 frames per doc, one row per sampled frame with a deterministic
+    frame fingerprint."""
+    from ..operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(attach_fake_media(docs), max_frames=4)
+
+
+MULTIMODAL_FRAME_SAMPLES_SQL = """
+WITH media AS (
+  SELECT doc_id, md5(text) AS hexp,
+         ('0x' || substr(md5(text), 5, 2))::INTEGER % 120 + 1 AS n_frames
+  FROM documents),
+frames AS (
+  SELECT doc_id, hexp,
+         unnest(generate_series(0, n_frames - 1,
+                CAST(ceil(n_frames / 4.0) AS INTEGER))) AS frame_idx
+  FROM media)
+SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       md5(hexp || ':' || CAST(frame_idx AS VARCHAR)) AS frame_fp
+FROM frames
+"""
+
+
+def multimodal_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving fit-to-box resize of the synthesized images:
+    integer-exact new dimensions + resized-payload fingerprint."""
+    from ..operators.multimodal import resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_images(attach_fake_media(docs), max_w=64, max_h=64)
+
+
+MULTIMODAL_RESIZE_DIMS_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'png'
+              WHEN doc_id % 3 = 1 THEN 'jpeg'
+              ELSE 'mp4' END AS media_format,
+         md5(text) AS hexp,
+         ('0x' || substr(md5(text), 1, 2))::INTEGER % 128 + 1 AS w,
+         ('0x' || substr(md5(text), 3, 2))::INTEGER % 128 + 1 AS h
+  FROM documents),
+r AS (
+  SELECT doc_id, media_format, w, h,
+         CASE WHEN w <= 64 AND h <= 64 THEN w
+              WHEN w * 64 <= h * 64 THEN greatest(1, (w * 64) // h)
+              ELSE 64 END AS new_width,
+         CASE WHEN w <= 64 AND h <= 64 THEN h
+              WHEN w * 64 <= h * 64 THEN 64
+              ELSE greatest(1, (h * 64) // w) END AS new_height,
+         hexp
+  FROM m)
+SELECT doc_id, media_format,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(new_width AS INTEGER) AS new_width,
+       CAST(new_height AS INTEGER) AS new_height,
+       md5(hexp || ':' || CAST(new_width AS VARCHAR) || 'x'
+           || CAST(new_height AS VARCHAR)) AS resized_fp
+FROM r
+"""
+
+
 # --- user_value_timeline (W6: lead / dense_rank / first_value) ------------
 
 def user_value_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -468,6 +537,16 @@ QUERIES: dict[str, QuerySpec] = {
         multimodal_decode_stats,
         MULTIMODAL_DECODE_STATS_SQL,
         "binary media column + mapInPandas decode stub",
+    ),
+    "multimodal_frame_samples": QuerySpec(
+        multimodal_frame_samples,
+        MULTIMODAL_FRAME_SAMPLES_SQL,
+        "uniform-stride frame sampling (1→N mapInPandas explode)",
+    ),
+    "multimodal_resize_dims": QuerySpec(
+        multimodal_resize_dims,
+        MULTIMODAL_RESIZE_DIMS_SQL,
+        "aspect-preserving fit-to-box resize, integer-exact dims",
     ),
     "simhash_pairs": QuerySpec(
         simhash_pairs, None, "SimHash near-dup candidates (rows-only)"

@@ -204,3 +204,40 @@ def test_dq_ruleset_single_pass_and_annotation(spark):
     assert ann[None][0] is False
     assert "user_id.not_null" in ann[None][1]
     assert "email.matches" in ann[None][1]
+
+
+def test_media_embeddings_feed_similarity_ops(spark):
+    """Multimodal feature extraction composes with the similarity
+    family: payload → embedding → cosine top-k, and the non-fake path
+    raises at the documented plug-in point."""
+    import pytest
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.multimodal import (
+        attach_fake_media,
+        media_embeddings,
+        sample_frames,
+    )
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.similarity import cosine_topk
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with content") for i in range(20)],
+        "doc_id BIGINT, text STRING",
+    )
+    emb = media_embeddings(attach_fake_media(docs))
+    rows = emb.collect()
+    assert len(rows) == 20
+    assert all(len(r.embedding) == 8 for r in rows)
+    assert all(0.0 <= x <= 1.0 for r in rows for x in r.embedding)
+
+    topk = cosine_topk(
+        emb, emb.doc_id < 3, k=2, id_col="doc_id", vec_col="embedding",
+        extra_cols=(),
+    )
+    got = {(r.query_id, r.rk): r.doc_id for r in topk.collect()}
+    assert len(got) == 6  # 3 queries x k=2
+    assert all(r >= 1 for (_, r) in got)
+
+    with pytest.raises(Exception, match="NotImplementedError|media encoder"):
+        media_embeddings(attach_fake_media(docs), fake=False).collect()
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+        sample_frames(attach_fake_media(docs), fake=False).collect()
