@@ -853,6 +853,63 @@ def session_rollup_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_rollup(gap_sessionize(e, gap_sec=1800))
 
 
+def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``F.session_window`` sessionization — the Spark-first
+    expression of what :func:`..operators.sessionize.gap_sessionize`
+    builds with window functions. Boundary semantics differ by one
+    instant: a session window closes when the gap is >= the timeout
+    (each event holds the window open for [ts, ts+gap)), while the
+    LAG-based rewrite splits only when gap > timeout; the oracle
+    mirrors the native (>=) rule. One shuffle on user_id; window
+    merging happens inside the session-window aggregation."""
+    e = _events(spark, sf_dir)
+    w = F.session_window(F.col("ts"), "30 minutes")
+    return (
+        e.groupBy(F.col("user_id"), w.alias("sw"))
+        .agg(
+            F.count("*").alias("events"),
+            F.count_distinct("event_type").alias("distinct_event_types"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+                "purchases"
+            ),
+        )
+        .select(
+            "user_id",
+            epoch_us(F.col("sw.start")).alias("session_start_us"),
+            epoch_us(F.col("sw.end")).alias("session_end_us"),
+            "events",
+            "distinct_event_types",
+            "total_value",
+            "purchases",
+        )
+    )
+
+
+SESSION_WINDOW_ROLLUP_SQL = """
+WITH marked AS (
+  SELECT user_id, event_type, value, epoch_us(ts) AS us,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000 THEN 1
+              ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+sess AS (
+  SELECT *, SUM(new_sess) OVER (
+      PARTITION BY user_id ORDER BY us
+      ROWS UNBOUNDED PRECEDING) AS session_num
+  FROM marked)
+SELECT user_id,
+       MIN(us) AS session_start_us,
+       MAX(us) + 1800000000 AS session_end_us,
+       COUNT(*) AS events,
+       COUNT(DISTINCT event_type) AS distinct_event_types,
+       ROUND(SUM(value), 2) AS total_value,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases
+FROM sess GROUP BY user_id, session_num
+"""
+
+
 SESSION_ROLLUP_30MIN_SQL = """
 WITH marked AS (
   SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us,
@@ -981,6 +1038,11 @@ QUERIES: dict[str, QuerySpec] = {
         PURCHASE_ATTRIBUTION_SQL,
         "interval-join view→purchase attribution (stream-stream batch "
         "analog, LEFT SEMI dedup)",
+    ),
+    "session_window_rollup": QuerySpec(
+        session_window_rollup,
+        SESSION_WINDOW_ROLLUP_SQL,
+        "native F.session_window sessionization (gap >= timeout splits)",
     ),
     "user_activity_5min": QuerySpec(
         user_activity_5min, USER_ACTIVITY_5MIN_SQL, "5-min tumbling agg (A2 batch)"
