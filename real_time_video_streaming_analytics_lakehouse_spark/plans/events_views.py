@@ -699,6 +699,45 @@ def user_activity_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_activity_5min_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window variant (5-min windows, 1-min slide): native
+    ``F.window(ts, len, slide)`` assigns every event to len/slide = 5
+    overlapping windows. The oracle enumerates exactly those five
+    starts per event ((us DIV 60e6 - k) for k in 0..4 — always within
+    the 5-minute span, since us - start < 60s + 4*60s). Emitted as
+    epoch seconds so hashing is engine-neutral."""
+    e = _events(spark, sf_dir)
+    w = F.window(F.col("ts"), "5 minutes", "1 minute")
+    return (
+        e.groupBy(w.alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("events_cnt"),
+            F.count_distinct("user_id").alias("users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            floor_div(epoch_us(F.col("w.start")), 1_000_000).alias(
+                "window_start_sec"
+            ),
+            "event_type",
+            "events_cnt",
+            "users",
+            "total_value",
+        )
+    )
+
+
+USER_ACTIVITY_5MIN_SLIDING_SQL = """
+SELECT (epoch_us(ts) // 60000000 - k) * 60 AS window_start_sec,
+       event_type,
+       COUNT(*) AS events_cnt,
+       COUNT(DISTINCT user_id) AS users,
+       ROUND(SUM(value), 2) AS total_value
+FROM events, unnest(generate_series(0, 4)) AS t(k)
+GROUP BY 1, 2
+"""
+
+
 USER_ACTIVITY_5MIN_SQL = """
 SELECT (epoch_us(ts) // 300000000) * 300 AS window_start_sec,
        event_type,
@@ -1046,6 +1085,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "user_activity_5min": QuerySpec(
         user_activity_5min, USER_ACTIVITY_5MIN_SQL, "5-min tumbling agg (A2 batch)"
+    ),
+    "user_activity_5min_sliding": QuerySpec(
+        user_activity_5min_sliding,
+        USER_ACTIVITY_5MIN_SLIDING_SQL,
+        "5-min/1-min sliding windows (T2 sliding variant)",
     ),
     "content_popularity_10min": QuerySpec(
         content_popularity_10min,
