@@ -174,7 +174,7 @@ def cosine_pairs(
 def lsh_cosine_pairs(
     embeddings: DataFrame,
     threshold: float = 0.4,
-    num_hyperplanes: int = 32,
+    num_hyperplanes: int = 64,
     num_bands: int = 8,
     seed: int = 42,
     id_col: str = "vec_id",
@@ -197,8 +197,15 @@ def lsh_cosine_pairs(
        1-(1-p^r)^b, p = 1-angle/pi).
 
     Recall/cost is tuned by (num_hyperplanes, num_bands): more bands →
-    higher recall and more candidates. Emits the same schema as
-    :func:`cosine_pairs`.
+    higher recall and more candidates; band WIDTH (hyperplanes/bands)
+    controls bucket count — too few bits per band degenerates into
+    everything-colliding quadratic blowup (8-bit bands = 256 buckets
+    per band; 4-bit bands produced 800k candidates on a 2k corpus, the
+    SimHash narrow-chunk lesson). Operating regime: near-duplicate
+    detection (cosine ≥ ~0.7), where per-band match probability
+    (1-angle/pi)^bits stays practical; for weak-similarity thresholds
+    use :func:`cosine_pairs`' exact block-pair join instead. Emits the
+    same schema as :func:`cosine_pairs`.
     """
     import numpy as np
 
