@@ -113,3 +113,72 @@ def sessionize_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def running_user_totals_stream(events: DataFrame) -> DataFrame:
+    """Running per-user lifetime totals via ``transformWithStateInPandas``
+    (the Spark 4 arbitrary-state API that succeeds
+    ``applyInPandasWithState``): ValueState carries (events, revenue)
+    across micro-batches; each batch emits the user's updated totals —
+    an update-mode running aggregate that windowed append-mode
+    aggregation cannot express.
+
+    Requires the RocksDB state store provider (transformWithState's
+    backing store); the caller's session must set
+    ``spark.sql.streaming.stateStore.providerClass`` to
+    ``...RocksDBStateStoreProvider`` — see the test for the exact conf.
+
+    State is one (long, double) pair per user — bounded by user
+    cardinality, not event volume.
+    """
+    from pyspark.sql.streaming import StatefulProcessor
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [
+            StructField("events", LongType()),
+            StructField("revenue", DoubleType()),
+        ]
+    )
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("events_total", LongType()),
+            StructField("revenue_total", DoubleType()),
+        ]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._totals = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            events, revenue = 0, 0.0
+            if self._totals.exists():
+                events, revenue = self._totals.get()
+            for pdf in rows:
+                events += len(pdf)
+                revenue += float(pdf["value"].sum())
+            self._totals.update((events, revenue))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "events_total": [events],
+                    "revenue_total": [round(revenue, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
