@@ -84,3 +84,21 @@ def test_no_unbounded_driver_collect_at_construction(spark):
     finally:
         pyspark.sql.DataFrame.collect = real_collect
         pyspark.sql.DataFrame.toPandas = real_topandas
+
+
+def test_purchase_attribution_uses_equi_join_not_nested_loop(spark):
+    """The interval join must key on user_id (hash/sort-merge) with the
+    time bounds as post-join filters — a BroadcastNestedLoopJoin over
+    events x events would be quadratic at scale."""
+    plan = _plan(spark, "purchase_attribution")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan  # attribution dedup stays a semi join
+
+
+def test_daily_user_metrics_single_scan_single_shuffle(spark):
+    """The gold rollup is one scan and one shuffle on the grouping key;
+    collect_set must not introduce extra exchanges."""
+    plan = _plan(spark, "daily_user_metrics")
+    executed = plan.split("\n\n")[-1]
+    assert executed.count("Exchange") <= 2  # agg shuffle (+AQE read)
+    assert "props" not in plan.split("ReadSchema")[-1]  # column pruning
