@@ -29,7 +29,6 @@ def connected_components(
     dst: str = "id_b",
     node_col: str = "id",
     max_iter: int = 50,
-    checkpoint_every: int = 5,
     strict: bool = True,
 ) -> DataFrame:
     """Assign each node min-reachable-id as its ``cluster_id``.

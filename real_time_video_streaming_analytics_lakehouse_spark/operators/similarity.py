@@ -216,7 +216,12 @@ def lsh_cosine_pairs(
     bits_per_band = num_hyperplanes // num_bands
     if dim is None:
         # 1-row bounded read; pass dim explicitly in collect-free paths
-        dim = len(embeddings.select(vec_col).first()[0])
+        probe = embeddings.select(vec_col).first()
+        if probe is None or probe[0] is None:
+            return embeddings.sparkSession.createDataFrame(
+                [], "id_a BIGINT, id_b BIGINT, cosine DOUBLE"
+            )
+        dim = len(probe[0])
     rng = np.random.RandomState(seed)
     planes = rng.randn(dim, num_hyperplanes)
     sc = embeddings.sparkSession.sparkContext

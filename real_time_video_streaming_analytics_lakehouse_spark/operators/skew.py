@@ -39,7 +39,10 @@ def salted_aggregate(
     and reproduce what map-side partial aggregation already does), so a
     hot key's rows spread over ``salt_buckets`` stage-1 reducers.
     """
-    salt = F.pmod(F.hash(*[F.col(c) for c in sums]), F.lit(salt_buckets))
+    # Count-only use (sums={}) still needs a salt: fall back to hashing
+    # every column so hot-key rows spread across buckets.
+    salt_cols = list(sums) or df.columns
+    salt = F.pmod(F.hash(*[F.col(c) for c in salt_cols]), F.lit(salt_buckets))
     stage1 = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(
         F.count("*").alias("_c"),
         *[F.sum(src).alias(f"_s_{alias}") for src, alias in sums.items()],

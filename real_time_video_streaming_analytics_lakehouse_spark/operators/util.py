@@ -40,7 +40,14 @@ def atomic_swap_dir(live_path: str, tmp_path: str) -> None:
     """
     live = require_local_dir(live_path).rstrip("/")
     tmp = require_local_dir(tmp_path).rstrip("/")
-    old = live + "__old"
+    # The aside name starts with "_" AND contains no "=" so that if a
+    # crash leaves it behind INSIDE a table root (the partitioned-merge
+    # case swaps partition dirs under the live table), Spark's file
+    # listing ignores it — the filter drops "_"-prefixed names only
+    # when they don't look like partition dirs ("=" present), so
+    # "_day=X__old" would still be parsed as a phantom partition column.
+    head, tail = os.path.split(live)
+    old = os.path.join(head, "_" + tail.replace("=", "~") + "__old")
     shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
     if os.path.exists(live):
         os.rename(live, old)

@@ -103,7 +103,20 @@ class StreamMonitor:
                     "stream %s failed (%s); restart %d/%d",
                     name, t.last_error, t.restarts_used, self.max_restarts,
                 )
-                t.query = t.restart()
+                try:
+                    t.query = t.restart()
+                except Exception as e:
+                    # A failing restart factory must not abort the sweep
+                    # — the monitor exists to survive query failures.
+                    t.last_error = f"restart failed: {e}"
+                    t.history.append(t.last_error)
+                    logger.error("stream %s %s; pruned", name, t.last_error)
+                    t.state = "failed"
+                    snapshot["queries"][name] = {
+                        "state": "failed",
+                        "exception": t.last_error,
+                    }
+                    continue
                 t.state = "active"
                 snapshot["active"] += 1
                 snapshot["queries"][name] = {

@@ -322,9 +322,14 @@ def run_merge_stream(
         touched = [
             r[0] for r in batch.select(partition_col).distinct().collect()
         ]
-        existing = spark.read.parquet(target_path).filter(
-            F.col(partition_col).isin(touched)
-        )
+        # isin() never matches NULL — match the null partition
+        # explicitly or its previously-upserted rows would be dropped
+        # when the swap replaces __HIVE_DEFAULT_PARTITION__.
+        pcol = F.col(partition_col)
+        pred = pcol.isin([v for v in touched if v is not None])
+        if any(v is None for v in touched):
+            pred = pred | pcol.isNull()
+        existing = spark.read.parquet(target_path).filter(pred)
         merged = merge_upsert(existing, batch, keys)
         merged.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
         # Swap exactly the partition dirs the writer produced; untouched

@@ -56,13 +56,13 @@ def test_delta_only_ops_raise_clearly(spark, tmp_path):
 
 def test_atomic_swap_dir_recovers_from_crash_leftovers(tmp_path):
     """Swap order is rename-aside -> move-in -> delete-old: at no point
-    is the table absent with the new data unmoved, and a leftover __old
-    dir from a prior crash is cleaned up (ADVICE r1)."""
-    import os
-
+    is the table absent with the new data unmoved, and a leftover aside
+    dir from a prior crash is cleaned up (ADVICE r1). The aside name is
+    underscore-prefixed so a leftover inside a partitioned table root is
+    invisible to Spark's partition discovery."""
     from real_time_video_streaming_analytics_lakehouse_spark.operators.util import atomic_swap_dir
 
-    live, tmp, old = tmp_path / "t", tmp_path / "t__new", tmp_path / "t__old"
+    live, tmp, old = tmp_path / "t", tmp_path / "t__new", tmp_path / "_t__old"
     for d, marker in ((live, "old_data"), (tmp, "new_data"), (old, "crash_leftover")):
         d.mkdir()
         (d / marker).write_text(marker)
@@ -78,3 +78,24 @@ def test_atomic_swap_dir_recovers_from_crash_leftovers(tmp_path):
     (tmp2 / "f").write_text("x")
     atomic_swap_dir(str(tmp_path / "t2"), str(tmp2))
     assert (tmp_path / "t2" / "f").exists()
+
+
+def test_swap_leftover_inside_table_root_is_invisible_to_spark(spark, tmp_path):
+    """A crash between rename-aside and delete leaves _day=X__old inside
+    the partitioned table root; Spark must not read it as a partition
+    (underscore prefix => ignored by partition discovery)."""
+    target = tmp_path / "ptable"
+    spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02")], "k INT, day STRING"
+    ).write.partitionBy("day").parquet(str(target))
+    # simulate the crash window: aside dir still present (exactly the
+    # name atomic_swap_dir uses: "=" replaced so Spark's listing filter
+    # drops it instead of parsing a phantom partition column)
+    import shutil
+
+    shutil.copytree(
+        target / "day=2024-01-01", target / "_day~2024-01-01__old"
+    )
+    rows = spark.read.parquet(str(target)).collect()
+    assert sorted(str(r["day"]) for r in rows) == ["2024-01-01", "2024-01-02"]
+    assert len(rows) == 2

@@ -132,11 +132,8 @@ def test_floor_div_exact_beyond_double_mantissa(spark):
         r["x"]: r["d"]
         for r in df.select("x", floor_div(F.col("x"), 1000).alias("d")).collect()
     }
-    import math
-
     for v in vals:
-        assert got[v] == math.floor(v / 1000) if abs(v) < 2**52 else v // 1000, v
-        assert got[v] == v // 1000  # python // is floor division
+        assert got[v] == v // 1000, v  # python // is exact floor division
 
 
 def test_connected_components_raises_on_non_convergence(spark):
@@ -165,3 +162,16 @@ def test_connected_components_raises_on_non_convergence(spark):
         for r in connected_components(edges, nodes, max_iter=12).collect()
     }
     assert set(out.values()) == {0}
+
+
+def test_salted_aggregate_count_only(spark):
+    """sums={} (count-only rollup) must still work — the salt falls back
+    to hashing all columns."""
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.skew import salted_aggregate
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(100)] + [("b", 1)], "k STRING, v INT"
+    )
+    got = {r["k"]: r["cnt"]
+           for r in salted_aggregate(df, ["k"], sums={}).collect()}
+    assert got == {"a": 100, "b": 1}

@@ -140,3 +140,10 @@ def test_lsh_cosine_pairs_subset_of_exact_with_planted_recall(spark):
     for k, v in lsh.items():
         assert v == exact[k]
     assert set(planted) <= set(lsh)
+
+
+def test_lsh_cosine_pairs_empty_corpus(spark):
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.similarity import lsh_cosine_pairs
+
+    empty = spark.createDataFrame([], "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    assert lsh_cosine_pairs(empty).count() == 0

@@ -370,3 +370,76 @@ def test_purchase_attribution_stream_interval_join(spark, tmp_path):
     rows = spark.read.parquet(out_dir).collect()
     assert [(r["view_id"], r["purchase_id"], r["purchase_value"])
             for r in rows] == [(1, 10, 9.99)]
+
+
+def test_stream_monitor_survives_failing_restart_factory(spark, tmp_path):
+    """A restart factory that itself raises must not abort the sweep:
+    the query is pruned as failed and other queries are still swept."""
+    import time
+
+    from real_time_video_streaming_analytics_lakehouse_spark.streaming import StreamMonitor
+
+    src_dir = str(tmp_path / "mon2_src")
+    spark.createDataFrame(
+        [Row(event_id=1, ts=dt.datetime(2024, 1, 1), value=1.0)]
+    ).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    def boom(df, bid):
+        raise ValueError("intentional failure")
+
+    src = stream_events_from_files(spark, src_dir, schema)
+    q = (src.writeStream.foreachBatch(boom)
+         .option("checkpointLocation", f"{tmp_path}/mon2_ckpt")
+         .trigger(availableNow=True).start())
+    t0 = time.time()
+    while q.isActive and time.time() - t0 < 60:
+        time.sleep(0.2)
+
+    def bad_factory():
+        raise RuntimeError("checkpoint locked")
+
+    src2 = stream_events_from_files(spark, src_dir, schema)
+    q2 = (src2.writeStream.format("noop")
+          .option("checkpointLocation", f"{tmp_path}/mon2_ok_ckpt")
+          .trigger(availableNow=True).start())
+
+    mon = StreamMonitor(max_restarts=2)
+    mon.register("flaky", q, restart=bad_factory)
+    mon.register("healthy", q2)
+    snap = mon.poll_once()
+    assert snap["queries"]["flaky"]["state"] == "failed"
+    assert "restart failed" in snap["queries"]["flaky"]["exception"]
+    assert "healthy" in snap["queries"]  # sweep continued past the failure
+    q2.awaitTermination(60)
+
+
+def test_run_merge_stream_null_partition_rows_survive(spark, tmp_path):
+    """Rows in the NULL partition must merge, not be overwritten: isin()
+    never matches NULL, so the null partition needs explicit handling."""
+    src_dir = str(tmp_path / "nmerge_src")
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    batches = [
+        [Row(event_id=1, day=None, ts=t, value=1.0)],
+        [Row(event_id=2, day=None, ts=t, value=2.0)],  # same NULL partition
+    ]
+    schema = "event_id BIGINT, day DATE, ts TIMESTAMP, value DOUBLE"
+    for i, rows in enumerate(batches):
+        before = set(glob.glob(f"{src_dir}/*.parquet"))
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        for f in set(glob.glob(f"{src_dir}/*.parquet")) - before:
+            os.utime(f, (1700000000 + i * 100, 1700000000 + i * 100))
+    target = f"{tmp_path}/nmerge_target"
+    src = stream_events_from_files(
+        spark, src_dir, spark.read.parquet(src_dir).schema,
+        max_files_per_trigger=1,
+    )
+    q = run_merge_stream(src, target, f"{tmp_path}/nmerge_ckpt",
+                         keys=["event_id"], precedence_col="ts",
+                         partition_col="day")
+    q.awaitTermination(120)
+    out = {r["event_id"]: r["value"]
+           for r in spark.read.parquet(target).collect()}
+    assert out == {1: 1.0, 2: 2.0}  # event 1 must NOT be dropped

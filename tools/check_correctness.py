@@ -61,18 +61,28 @@ def table_hash(rows: list[tuple], cols: list[str]) -> str:
 
 
 def diff_rows(srows, scols, orows, ocols, max_print: int = 8) -> None:
-    """Print cell-level differences between sorted canonical row sets."""
+    """Print differences between canonical row sets.
+
+    Equal-cardinality sides are compared pairwise in sorted order
+    (cell-level diffs); unequal sides are compared as multisets — a
+    positional zip would misalign every row after the first extra/
+    missing one and print spurious diffs.
+    """
     order_s = sorted(range(len(scols)), key=lambda i: scols[i])
     order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
     cols = [scols[i] for i in order_s]
-    skey = sorted(
-        (tuple(canon_cell(r[i]) for i in order_s), r) for r in srows
-    )
-    okey = sorted(
-        (tuple(canon_cell(r[i]) for i in order_o), r) for r in orows
-    )
+    skey = sorted(tuple(canon_cell(r[i]) for i in order_s) for r in srows)
+    okey = sorted(tuple(canon_cell(r[i]) for i in order_o) for r in orows)
     shown = 0
-    for (sk, _), (ok, _) in zip(skey, okey):
+    if len(skey) != len(okey):
+        from collections import Counter
+
+        sc, oc = Counter(skey), Counter(okey)
+        for label, extra in (("spark-only", sc - oc), ("oracle-only", oc - sc)):
+            for row in list(extra.elements())[:max_print]:
+                print(f"    {label}: {dict(zip(cols, row))}")
+        return
+    for sk, ok in zip(skey, okey):
         if sk == ok:
             continue
         for c, a, b in zip(cols, sk, ok):
