@@ -78,3 +78,35 @@ def test_dedup_keep_latest_invariants(spark, data):
             base + dt.timedelta(seconds=sec),
             eid,
         )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        min_size=1,
+        max_size=20,
+    ),
+    divisor=st.integers(min_value=1, max_value=10**9),
+)
+def test_floor_div_matches_python_everywhere(spark, vals, divisor):
+    """floor_div must equal Python's // (exact floor division) for any
+    int64 input and positive divisor — including beyond double's
+    53-bit mantissa and for negatives."""
+    import pyspark.sql.functions as F
+
+    from real_time_video_streaming_analytics_lakehouse_spark.functions.dialect import floor_div
+
+    df = spark.createDataFrame([(v,) for v in vals], "x BIGINT")
+    got = {
+        r["x"]: r["d"]
+        for r in df.select(
+            "x", floor_div(F.col("x"), divisor).alias("d")
+        ).collect()
+    }
+    for v in vals:
+        assert got[v] == v // divisor, (v, divisor)
