@@ -110,6 +110,39 @@ def exploded_word_shingles(
     return w_df.select(F.col(id_col), F.explode(arr).alias("sh"))
 
 
+def rolling_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    base: int = 131,
+    mod: int = 10**15,
+) -> DataFrame:
+    """Rabin–Karp polynomial rolling hash of the full character stream:
+    ``h = fold(chars, (acc, c) -> (acc*base + code(c)) % mod)``.
+
+    Pure integer arithmetic inside the HOF fold, so the value is
+    bit-identical in any engine (mod 10^15 keeps acc*131+255 < 2^63 —
+    no overflow under ANSI). Unlike :func:`doc_fingerprint`'s
+    order-insensitive shingle-set md5, this hash is order-SENSITIVE:
+    permuted content produces a different fingerprint, which is the
+    property you want for exact-prefix/stream dedup. O(len) interpreted
+    fold per doc — linear, partition-parallel, no shuffle.
+    """
+    text = F.col(text_col)
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(text)),
+        lambda i: F.ascii(text.substr(i, F.lit(1))).cast("long"),
+    )
+    h = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * base + x) % F.lit(mod),
+    )
+    # sequence(1, 0) would count DOWN; empty text hashes to 0 directly.
+    rhash = F.when(F.length(text) > 0, h).otherwise(F.lit(0).cast("long"))
+    return df.select(F.col(id_col), rhash.alias("rhash"))
+
+
 def doc_fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", size: int = 3
 ) -> DataFrame:

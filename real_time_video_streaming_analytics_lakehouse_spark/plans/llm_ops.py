@@ -100,6 +100,27 @@ FROM documents
 """
 
 
+# --- rolling-hash fingerprints (order-sensitive, integer-exact) --------------
+
+def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import rolling_fingerprint
+
+    return rolling_fingerprint(_docs(spark, sf_dir))
+
+
+ROLLING_FINGERPRINTS_SQL = """
+SELECT doc_id,
+       CASE WHEN length(text) > 0 THEN
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(generate_series(1, length(text)),
+               i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
+           (a, x) -> (a * 131 + x) % 1000000000000000)
+       ELSE 0 END AS rhash
+FROM documents
+"""
+
+
 # --- exact n-gram Jaccard near-dup pairs -------------------------------------
 
 def ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -285,6 +306,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "doc_fingerprints": QuerySpec(
         doc_fingerprints, DOC_FINGERPRINTS_SQL, "shingle-set content fingerprint"
+    ),
+    "rolling_fingerprints": QuerySpec(
+        rolling_fingerprints,
+        ROLLING_FINGERPRINTS_SQL,
+        "Rabin-Karp rolling-hash fingerprint (order-sensitive, "
+        "integer-exact fold)",
     ),
     "ngram_jaccard_top_pairs": QuerySpec(
         ngram_jaccard_top_pairs,
