@@ -53,16 +53,56 @@ def compact_partitions(
     atomic_swap_dir(path, tmp)
 
 
+def _zvalue(cols: list[str], bits: int = 8) -> "F.Column":
+    """Morton (Z-curve) value: per-column rank buckets, bits interleaved.
+
+    Each column is reduced to a ``bits``-bit bucket via a percent_rank
+    window (rank-based, so it is distribution-agnostic — skewed or
+    categorical columns bucket as evenly as uniform ones), then bucket
+    bits are interleaved MSB-first: z = b1[7] b2[7] b1[6] b2[6] ...
+    Sorting by z gives every column locality that degrades gracefully
+    with dimension count, unlike a lexicographic multi-column sort which
+    gives the trailing columns none.
+    """
+    from pyspark.sql.window import Window
+
+    buckets = [
+        F.least(
+            F.lit((1 << bits) - 1),
+            F.floor(
+                F.percent_rank().over(Window.orderBy(F.col(c)))
+                * (1 << bits)
+            ).cast("long"),
+        )
+        for c in cols
+    ]
+    one = F.lit(1).cast("long")
+    z = F.lit(0).cast("long")
+    for bit in range(bits - 1, -1, -1):
+        for b in buckets:
+            z = F.shiftleft(z, 1).bitwiseOR(
+                F.shiftright(b, bit).bitwiseAND(one)
+            )
+    return z
+
+
 def zorder_by(
     spark: SparkSession, path: str, cols: list[str], num_files: int | None = None
 ) -> None:
     """Z-ORDER data clustering (reference delta_setup.py:536).
 
-    With Delta: ``executeZOrderBy``. Without: a range-partitioned sort
-    rewrite — ``repartitionByRange`` + local sort gives the same
-    data-skipping locality for min/max pruning on plain parquet. The
-    partition count is pinned explicitly (AQE would coalesce small
-    inputs to one partition, destroying the clustering).
+    With Delta: ``executeZOrderBy``. Without: a true Morton-curve
+    rewrite — rows are range-partitioned and sorted by the interleaved
+    z-value of the requested columns, so parquet min/max footers prune
+    on ANY of the columns, not just the leading one (a plain
+    lexicographic sort clusters only its first column). The partition
+    count is pinned explicitly (AQE would coalesce small inputs to one
+    partition, destroying the clustering).
+
+    The percent_rank bucketing runs a global-order window per column —
+    one pass over the data being rewritten, which is the same cost
+    profile as Delta's OPTIMIZE ZORDER (clustering is an offline
+    maintenance op, run per partition predicate at scale).
     """
     if HAVE_DELTA:
         DeltaTable.forPath(spark, path).optimize().executeZOrderBy(*cols)
@@ -71,8 +111,10 @@ def zorder_by(
     n = num_files or max(2, spark.sparkContext.defaultParallelism)
     tmp = path.rstrip("/") + "__zordering"
     (
-        df.repartitionByRange(n, *[F.col(c) for c in cols])
-        .sortWithinPartitions(*cols)
+        df.withColumn("_z", _zvalue(cols))
+        .repartitionByRange(n, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
         .write.mode("overwrite")
         .parquet(tmp)
     )

@@ -99,3 +99,29 @@ def test_swap_leftover_inside_table_root_is_invisible_to_spark(spark, tmp_path):
     rows = spark.read.parquet(str(target)).collect()
     assert sorted(str(r["day"]) for r in rows) == ["2024-01-01", "2024-01-02"]
     assert len(rows) == 2
+
+
+def test_zorder_gives_locality_to_every_column(spark, tmp_path):
+    """True Morton interleaving: after zorder on (a, b), EVERY file's
+    min/max span is narrow for BOTH columns. A lexicographic sort gives
+    column b the full domain span in every file; the Z-curve bounds
+    both, which is what makes min/max footer pruning work on b-only
+    predicates."""
+    path = str(tmp_path / "zo2")
+    # 64x64 uniform grid, shuffled across 8 input files
+    rows = [Row(a=i % 64, b=(i * 37) % 64) for i in range(4096)]
+    spark.createDataFrame(rows).repartition(8).write.parquet(path)
+    zorder_by(spark, path, ["a", "b"], num_files=16)
+    files = glob.glob(f"{path}/*.parquet")
+    assert len(files) >= 8
+    spans = {"a": [], "b": []}
+    for f in files:
+        r = spark.read.parquet(f).selectExpr(
+            "max(a)-min(a) AS sa", "max(b)-min(b) AS sb"
+        ).collect()[0]
+        spans["a"].append(r["sa"])
+        spans["b"].append(r["sb"])
+    # 16 files over a 64x64 grid: each Z-tile spans ~1/4 of each axis.
+    # Lexicographic layout would put ~full-span (63) b in every file.
+    assert sum(spans["a"]) / len(files) < 40
+    assert sum(spans["b"]) / len(files) < 40
