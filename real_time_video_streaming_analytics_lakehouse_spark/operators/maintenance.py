@@ -53,29 +53,33 @@ def compact_partitions(
     atomic_swap_dir(path, tmp)
 
 
-def _zvalue(cols: list[str], bits: int = 8) -> "F.Column":
+def _zvalue(df: DataFrame, cols: list[str], bits: int = 8) -> "F.Column":
     """Morton (Z-curve) value: per-column rank buckets, bits interleaved.
 
-    Each column is reduced to a ``bits``-bit bucket via a percent_rank
-    window (rank-based, so it is distribution-agnostic — skewed or
-    categorical columns bucket as evenly as uniform ones), then bucket
-    bits are interleaved MSB-first: z = b1[7] b2[7] b1[6] b2[6] ...
-    Sorting by z gives every column locality that degrades gracefully
-    with dimension count, unlike a lexicographic multi-column sort which
-    gives the trailing columns none.
+    Each column is reduced to a ``bits``-bit bucket by ranking against
+    its own approximate quantile cutpoints (``approxQuantile`` — one
+    distributed pass, 2^bits-1 cutpoints to the driver; rank-based, so
+    skewed columns bucket as evenly as uniform ones). A percent_rank
+    window would be simpler but funnels the whole table through a
+    single-partition sort. Bucket bits are then interleaved MSB-first:
+    z = b1[7] b2[7] b1[6] b2[6] ... Sorting by z gives every column
+    locality, unlike a lexicographic multi-column sort which gives the
+    trailing columns none.
     """
-    from pyspark.sql.window import Window
-
-    buckets = [
-        F.least(
-            F.lit((1 << bits) - 1),
-            F.floor(
-                F.percent_rank().over(Window.orderBy(F.col(c)))
-                * (1 << bits)
-            ).cast("long"),
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    buckets = []
+    for c in cols:
+        cuts = sorted(set(df.approxQuantile(c, probs, 0.01)))
+        # bucket = #cutpoints <= value (map-side fold over a literal
+        # array; distinct cutpoints keep it <= 2^bits-1 comparisons)
+        b = F.aggregate(
+            F.lit(cuts),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc
+            + F.when(F.col(c) >= x, 1).otherwise(0).cast("long"),
         )
-        for c in cols
-    ]
+        buckets.append(b)
     one = F.lit(1).cast("long")
     z = F.lit(0).cast("long")
     for bit in range(bits - 1, -1, -1):
@@ -99,10 +103,10 @@ def zorder_by(
     count is pinned explicitly (AQE would coalesce small inputs to one
     partition, destroying the clustering).
 
-    The percent_rank bucketing runs a global-order window per column —
-    one pass over the data being rewritten, which is the same cost
-    profile as Delta's OPTIMIZE ZORDER (clustering is an offline
-    maintenance op, run per partition predicate at scale).
+    Cost profile matches Delta's OPTIMIZE ZORDER: one distributed
+    quantile pass per column plus the rewrite shuffle (clustering is an
+    offline maintenance op, run per partition predicate at scale).
+    Numeric columns only in the parquet fallback (approxQuantile).
     """
     if HAVE_DELTA:
         DeltaTable.forPath(spark, path).optimize().executeZOrderBy(*cols)
@@ -111,7 +115,7 @@ def zorder_by(
     n = num_files or max(2, spark.sparkContext.defaultParallelism)
     tmp = path.rstrip("/") + "__zordering"
     (
-        df.withColumn("_z", _zvalue(cols))
+        df.withColumn("_z", _zvalue(df, cols))
         .repartitionByRange(n, F.col("_z"))
         .sortWithinPartitions("_z")
         .drop("_z")
