@@ -41,17 +41,65 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - start, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    out = {
+        "metric": "catalog_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if os.environ.get("SPARK_GRAFT_BENCH_STREAMING"):
+        out["streaming_events_per_sec"] = _streaming_throughput(spark, sf_dir)
+    print(json.dumps(out))
+
+
+def _streaming_throughput(spark, sf_dir: str) -> float:
+    """Drain the events table through the watermarked user-activity
+    pipeline (file source → window agg → noop-ish memory-free sink) via
+    Trigger.AvailableNow and report events/second. Opt-in
+    (SPARK_GRAFT_BENCH_STREAMING=1) so the driver's default bench run
+    stays fast."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from real_time_video_streaming_analytics_lakehouse_spark.sources.readers import load_table
+    from real_time_video_streaming_analytics_lakehouse_spark.streaming.pipelines import (
+        stream_events_from_files,
+        user_activity_stream,
     )
+
+    work = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        from pyspark.sql import functions as F
+
+        events = load_table(spark, sf_dir, "events").withColumn(
+            # watermarks require TIMESTAMP (not NTZ); session is UTC so
+            # the wall-clock values are unchanged
+            "ts", F.col("ts").cast("timestamp")
+        )
+        n = events.count()
+        src_dir = f"{work}/src"
+        # 32 files so maxFilesPerTrigger batches into multiple triggers
+        events.repartition(32).write.parquet(src_dir)
+        schema = spark.read.parquet(src_dir).schema
+        src = stream_events_from_files(
+            spark, src_dir, schema, max_files_per_trigger=8
+        )
+        start = _t.perf_counter()
+        q = (
+            user_activity_stream(src)
+            .writeStream.format("parquet")
+            .option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        elapsed = _t.perf_counter() - start
+        return round(n / elapsed, 1)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 if __name__ == "__main__":
