@@ -95,8 +95,16 @@ def _streaming_throughput(spark, sf_dir: str) -> float:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        finished = q.awaitTermination(600)
         elapsed = _t.perf_counter() - start
+        if not finished:
+            # A partial drain would overstate events/s, and deleting the
+            # work dir under a live query corrupts the run — fail loud.
+            q.stop()
+            raise RuntimeError(
+                f"streaming drain did not finish within 600s "
+                f"({elapsed:.0f}s elapsed); no throughput reported"
+            )
         return round(n / elapsed, 1)
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -53,31 +53,80 @@ def compact_partitions(
     atomic_swap_dir(path, tmp)
 
 
+def _rank_surrogate(df: DataFrame, col: str) -> "F.Column":
+    """Order-preserving numeric surrogate for any orderable column, so
+    quantile bucketing works uniformly: numerics pass through,
+    timestamps/dates become epoch numbers, strings fold their first 8
+    characters into an int64 (lexicographic order preserved for ASCII —
+    the same prefix treatment Delta's Z-ORDER applies)."""
+    t = dict(df.dtypes)[col].lower()
+    c = F.col(col)
+    if t.startswith("timestamp"):
+        return F.unix_micros(c.cast("timestamp")).cast("double")
+    if t == "date":
+        return F.unix_date(c).cast("double")
+    if t in ("string", "varchar"):
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(8)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc * 256
+            + F.coalesce(F.ascii(c.substr(i, F.lit(1))), F.lit(0)).cast(
+                "long"
+            ),
+        ).cast("double")
+    return c.cast("double")
+
+
 def _zvalue(df: DataFrame, cols: list[str], bits: int = 8) -> "F.Column":
     """Morton (Z-curve) value: per-column rank buckets, bits interleaved.
 
-    Each column is reduced to a ``bits``-bit bucket by ranking against
-    its own approximate quantile cutpoints (``approxQuantile`` — one
-    distributed pass, 2^bits-1 cutpoints to the driver; rank-based, so
-    skewed columns bucket as evenly as uniform ones). A percent_rank
-    window would be simpler but funnels the whole table through a
-    single-partition sort. Bucket bits are then interleaved MSB-first:
-    z = b1[7] b2[7] b1[6] b2[6] ... Sorting by z gives every column
-    locality, unlike a lexicographic multi-column sort which gives the
-    trailing columns none.
+    Each column is reduced to a per-column bucket by ranking its
+    order-preserving numeric surrogate against approximate quantile
+    cutpoints — ONE multi-column ``approxQuantile`` pass for all
+    columns, with relativeError sized to the bucket width so adjacent
+    cutpoints don't collapse (rank-based, so skewed columns bucket as
+    evenly as uniform ones; a percent_rank window would funnel the
+    table through a single-partition sort). Bucket bits are then
+    interleaved MSB-first: z = b1[7] b2[7] b1[6] b2[6] ... Sorting by z
+    gives every column locality, unlike a lexicographic sort which
+    gives trailing columns none.
+
+    Bit budget: bits is capped at 63 // len(cols) so the interleaved
+    value never reaches the int64 sign bit (which would sort the top
+    half of the leading column FIRST and silently destroy clustering).
     """
+    bits = max(1, min(bits, 63 // max(1, len(cols))))
     n_buckets = 1 << bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
+    surrogates = {c: _rank_surrogate(df, c) for c in cols}
+    proj = df.select(
+        *[s.alias(f"_zq{i}") for i, s in enumerate(surrogates.values())]
+    )
+    all_cuts = proj.approxQuantile(
+        [f"_zq{i}" for i in range(len(cols))], probs, 1.0 / (2 * n_buckets)
+    )
+    def fold_for(s):
+        # closure (NOT a default arg: pyspark reads lambda arity to pick
+        # the 2- vs 3-parameter HOF form)
+        return lambda acc, x: acc + F.when(s >= x, 1).otherwise(0).cast(
+            "long"
+        )
+
     buckets = []
-    for c in cols:
-        cuts = sorted(set(df.approxQuantile(c, probs, 0.01)))
+    for (c, surrogate), cuts in zip(surrogates.items(), all_cuts):
+        cuts = sorted(set(cuts))
         # bucket = #cutpoints <= value (map-side fold over a literal
         # array; distinct cutpoints keep it <= 2^bits-1 comparisons)
         b = F.aggregate(
-            F.lit(cuts),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc
-            + F.when(F.col(c) >= x, 1).otherwise(0).cast("long"),
+            F.lit(cuts), F.lit(0).cast("long"), fold_for(surrogate)
+        )
+        # Rescale to the FULL bit range: a low-cardinality column dedups
+        # to few cutpoints, and raw counts {1..k} live in the low bits —
+        # the interleave would then be dominated by high-cardinality
+        # columns. Spreading over [0, 2^bits-1] keeps every column's
+        # split in the TOP interleaved bits.
+        b = F.call_function(
+            "div", b * F.lit(n_buckets - 1), F.lit(max(1, len(cuts)))
         )
         buckets.append(b)
     one = F.lit(1).cast("long")
@@ -104,9 +153,10 @@ def zorder_by(
     partition, destroying the clustering).
 
     Cost profile matches Delta's OPTIMIZE ZORDER: one distributed
-    quantile pass per column plus the rewrite shuffle (clustering is an
-    offline maintenance op, run per partition predicate at scale).
-    Numeric columns only in the parquet fallback (approxQuantile).
+    multi-column quantile pass plus the rewrite shuffle (clustering is
+    an offline maintenance op, run per partition predicate at scale).
+    Numeric, temporal, and string columns are supported (strings rank
+    by their 8-char prefix, like Delta).
     """
     if HAVE_DELTA:
         DeltaTable.forPath(spark, path).optimize().executeZOrderBy(*cols)
@@ -114,11 +164,14 @@ def zorder_by(
     df = spark.read.parquet(path)
     n = num_files or max(2, spark.sparkContext.defaultParallelism)
     tmp = path.rstrip("/") + "__zordering"
+    zcol = "_z__morton_tmp"
+    while zcol in df.columns:  # never clobber a real column
+        zcol += "_"
     (
-        df.withColumn("_z", _zvalue(df, cols))
-        .repartitionByRange(n, F.col("_z"))
-        .sortWithinPartitions("_z")
-        .drop("_z")
+        df.withColumn(zcol, _zvalue(df, cols))
+        .repartitionByRange(n, F.col(zcol))
+        .sortWithinPartitions(zcol)
+        .drop(zcol)
         .write.mode("overwrite")
         .parquet(tmp)
     )

@@ -139,7 +139,12 @@ def rolling_fingerprint(
         lambda acc, x: (acc * base + x) % F.lit(mod),
     )
     # sequence(1, 0) would count DOWN; empty text hashes to 0 directly.
-    rhash = F.when(F.length(text) > 0, h).otherwise(F.lit(0).cast("long"))
+    # NULL text propagates NULL (missing != empty in dedup semantics).
+    rhash = (
+        F.when(text.isNull(), F.lit(None).cast("long"))
+        .when(F.length(text) > 0, h)
+        .otherwise(F.lit(0).cast("long"))
+    )
     return df.select(F.col(id_col), rhash.alias("rhash"))
 
 

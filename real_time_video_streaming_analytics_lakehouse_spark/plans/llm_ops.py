@@ -110,7 +110,8 @@ def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ROLLING_FINGERPRINTS_SQL = """
 SELECT doc_id,
-       CASE WHEN length(text) > 0 THEN
+       CASE WHEN text IS NULL THEN NULL
+            WHEN length(text) > 0 THEN
          list_reduce(
            list_prepend(CAST(0 AS BIGINT),
              list_transform(generate_series(1, length(text)),

@@ -125,3 +125,32 @@ def test_zorder_gives_locality_to_every_column(spark, tmp_path):
     # Lexicographic layout would put ~full-span (63) b in every file.
     assert sum(spans["a"]) / len(files) < 40
     assert sum(spans["b"]) / len(files) < 40
+
+
+def test_zorder_supports_string_and_timestamp_columns(spark, tmp_path):
+    """Non-numeric Z-ORDER keys (the common case: event_type, ts) must
+    work in the parquet fallback via order-preserving surrogates."""
+    import datetime as dt
+
+    path = str(tmp_path / "zo3")
+    rows = [
+        Row(
+            event_type=["alpha", "bravo", "carol", "delta"][i % 4],
+            ts=dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+            v=i,
+        )
+        for i in range(2000)
+    ]
+    spark.createDataFrame(rows).repartition(4).write.parquet(path)
+    zorder_by(spark, path, ["event_type", "ts"], num_files=8)
+    back = spark.read.parquet(path)
+    assert back.count() == 2000
+    # string column clustered: most files should contain few distinct types
+    files = glob.glob(f"{path}/*.parquet")
+    distincts = [
+        spark.read.parquet(f)
+        .selectExpr("count(DISTINCT event_type) AS d")
+        .collect()[0]["d"]
+        for f in files
+    ]
+    assert sum(distincts) / len(distincts) < 4
