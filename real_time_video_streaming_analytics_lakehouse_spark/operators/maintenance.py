@@ -30,27 +30,42 @@ def compact_partitions(
     path: str,
     target_file_mb: int = 128,
     fmt: str = "parquet",
+    partitions: list[str] | None = None,
 ) -> None:
     """OPTIMIZE-style small-file compaction (reference
     ``delta-lake/delta_setup.py:523-546``).
 
     With Delta: ``OPTIMIZE`` (``executeCompaction``). Without: rewrite
-    the table coalesced to ~``target_file_mb`` files based on its
-    on-disk size. At 100 TB run this per partition predicate, not
-    table-wide.
+    coalesced to ~``target_file_mb`` files based on on-disk size.
+
+    ``partitions`` selects hive partition directories (e.g.
+    ``["day=2024-01-01"]``) to compact individually — at 100 TB you
+    compact recently-written partitions, never the whole table; each
+    partition dir is rewritten and swapped independently, so a failure
+    affects at most one partition.
     """
     if HAVE_DELTA:
         DeltaTable.forPath(spark, path).optimize().executeCompaction()
         return
-    df = spark.read.format(fmt).load(path)
-    size_bytes = sum(
-        int(f.stat().st_size)
-        for f in __import__("pathlib").Path(path).rglob("*.parquet")
+    import os
+
+    targets = (
+        [os.path.join(path.rstrip("/"), p) for p in partitions]
+        if partitions
+        else [path]
     )
-    n_files = max(1, size_bytes // (target_file_mb * 1024 * 1024))
-    tmp = path.rstrip("/") + "__compacting"
-    df.coalesce(int(n_files)).write.format(fmt).mode("overwrite").save(tmp)
-    atomic_swap_dir(path, tmp)
+    for tgt in targets:
+        df = spark.read.format(fmt).load(tgt)
+        size_bytes = sum(
+            int(f.stat().st_size)
+            for f in __import__("pathlib").Path(tgt).rglob("*.parquet")
+        )
+        n_files = max(1, size_bytes // (target_file_mb * 1024 * 1024))
+        tmp = tgt.rstrip("/") + "__compacting"
+        df.coalesce(int(n_files)).write.format(fmt).mode("overwrite").save(
+            tmp
+        )
+        atomic_swap_dir(tgt, tmp)
 
 
 def _rank_surrogate(df: DataFrame, col: str) -> "F.Column":

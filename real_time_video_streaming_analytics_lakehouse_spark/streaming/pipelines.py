@@ -91,12 +91,21 @@ def user_activity_stream(
     ts_col: str = "ts",
     watermark: str = "10 minutes",
     window: str = "5 minutes",
+    slide: str | None = None,
 ) -> DataFrame:
-    """5-minute tumbling user-activity aggregate
-    (reference real_time_streaming.py:273-298)."""
+    """User-activity aggregate over tumbling (default) or sliding
+    windows (reference real_time_streaming.py:273-298; ``slide``
+    shorter than ``window`` assigns each event to window/slide
+    overlapping windows — batch-oracled by
+    ``plans.events_views.user_activity_5min_sliding``)."""
+    w = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
     return (
         events.withWatermark(ts_col, watermark)
-        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("event_type"))
+        .groupBy(w.alias("w"), F.col("event_type"))
         .agg(
             F.count("*").alias("events_cnt"),
             F.approx_count_distinct("user_id").alias("approx_users"),

@@ -4,6 +4,7 @@ parquet (the Delta-less path); Delta-only ops raise clearly."""
 from __future__ import annotations
 
 import glob
+import os
 
 import pytest
 from pyspark.sql import Row
@@ -154,3 +155,22 @@ def test_zorder_supports_string_and_timestamp_columns(spark, tmp_path):
         for f in files
     ]
     assert sum(distincts) / len(distincts) < 4
+
+
+def test_compact_single_partition_leaves_others_untouched(spark, tmp_path):
+    """Per-partition compaction: only the named partition dir is
+    rewritten; the other partition's file keeps its inode."""
+    path = str(tmp_path / "pcomp")
+    spark.createDataFrame(
+        [Row(k=i, day="2024-01-01" if i % 2 else "2024-01-02")
+         for i in range(100)]
+    ).repartition(6).write.partitionBy("day").parquet(path)
+    p1, p2 = f"{path}/day=2024-01-01", f"{path}/day=2024-01-02"
+    before_p1 = len(glob.glob(f"{p1}/*.parquet"))
+    inode_p2 = os.stat(sorted(glob.glob(f"{p2}/*.parquet"))[0]).st_ino
+
+    compact_partitions(spark, path, partitions=["day=2024-01-01"])
+    assert len(glob.glob(f"{p1}/*.parquet")) < before_p1  # coalesced
+    assert os.stat(sorted(glob.glob(f"{p2}/*.parquet"))[0]).st_ino == inode_p2
+    # data intact (partition col comes from dir name on read)
+    assert spark.read.parquet(path).count() == 100

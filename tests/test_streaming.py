@@ -443,3 +443,31 @@ def test_run_merge_stream_null_partition_rows_survive(spark, tmp_path):
     out = {r["event_id"]: r["value"]
            for r in spark.read.parquet(target).collect()}
     assert out == {1: 1.0, 2: 2.0}  # event 1 must NOT be dropped
+
+
+def test_user_activity_sliding_windows_stream(spark, tmp_path):
+    """Sliding streaming windows: one event lands in window/slide
+    overlapping windows (5 min / 1 min => 5 rows per event type)."""
+    src_dir = str(tmp_path / "slide_src")
+    t = dt.datetime(2024, 1, 1, 12, 2, 30)
+    spark.createDataFrame(
+        [
+            Row(event_id=1, ts=t, user_id=1, event_type="view", value=2.0),
+            # watermark advancer: append mode only flushes windows the
+            # watermark has passed
+            Row(event_id=99, ts=t + dt.timedelta(hours=2), user_id=99,
+                event_type="advance", value=0.0),
+        ]
+    ).write.parquet(src_dir)
+    src = stream_events_from_files(
+        spark, src_dir, spark.read.parquet(src_dir).schema
+    )
+    out, _ = _drain(
+        user_activity_stream(src, slide="1 minute"), tmp_path, "slide"
+    )
+    rows = [r for r in spark.read.parquet(out).collect()
+            if r["event_type"] == "view"]
+    assert len(rows) == 5  # 5-min window, 1-min slide
+    starts = sorted(r["window_start"] for r in rows)
+    assert starts[0] == dt.datetime(2024, 1, 1, 11, 58)
+    assert starts[-1] == dt.datetime(2024, 1, 1, 12, 2)
