@@ -209,8 +209,6 @@ def lsh_cosine_pairs(
     """
     import numpy as np
 
-    from .util import ensure_parallelism
-
     if num_hyperplanes % num_bands:
         raise ValueError("num_hyperplanes must divide evenly into bands")
     bits_per_band = num_hyperplanes // num_bands
@@ -330,8 +328,6 @@ def ann_ivf_topk(
     """
     import numpy as np
 
-    from .util import ensure_parallelism
-
     # --- train coarse centroids on a deterministic sample ---
     sample = (
         embeddings.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
@@ -365,7 +361,11 @@ def ann_ivf_topk(
 
         return fn
 
-    base = ensure_parallelism(embeddings.filter(~query_pred)).select(
+    # Natural partitioning: centroid assignment is O(d·k) per row, so
+    # forking a full Python-worker fleet for a small corpus costs more
+    # than it saves; the bucket join shuffles downstream anyway and
+    # large inputs arrive well-partitioned.
+    base = embeddings.filter(~query_pred).select(
         id_col, vec_col, *extra_cols
     )
     cand_schema = ", ".join(
