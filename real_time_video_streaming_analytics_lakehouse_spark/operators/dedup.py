@@ -104,7 +104,10 @@ def minhash_lsh_candidates(
     )
     sig = sig.select(
         id_col, F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig")
-    )
+    ).localCheckpoint(eager=False)
+    # ^ the signature aggregate (shingle explode + 64 min-hash slots) is
+    # read FOUR times below (bucket self-join + both signature joins);
+    # without materialization each reference re-runs it.
     buckets = sig.withColumn(
         "band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1)))
     ).select(
@@ -190,7 +193,10 @@ def simhash_candidates(
         F.array(
             *[(F.col(f"b{i}") > 0).cast("int") for i in range(bits)]
         ).alias("sig"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ the signature aggregate (token explode + 64 conditional sums) is
+    # read FOUR times below (bucket self-join + both verification
+    # joins); without materialization each reference re-runs it.
     chunk_width = bits // chunks
     buckets = sig.withColumn(
         "chunk", F.explode(F.sequence(F.lit(0), F.lit(chunks - 1)))
