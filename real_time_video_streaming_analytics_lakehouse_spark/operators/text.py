@@ -179,7 +179,9 @@ def ngram_jaccard_pairs(
     """
     sh = exploded_word_shingles(
         ensure_parallelism(df), id_col, text_col, shingle_words
-    )
+    ).localCheckpoint(eager=False)
+    # ^ consumed three times (sizes + both join sides); without
+    # materialization each reference re-runs the shingle explode.
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "sh")
     b = sh.select(F.col(id_col).alias("doc_b"), "sh")
