@@ -41,6 +41,28 @@ def epoch_us(col: Column | str) -> Column:
     return F.unix_micros(c.cast("timestamp"))
 
 
+def money_sum(col: Column, scale: int) -> Column:
+    """Order-independent SUM for measures on a fixed decimal grid.
+
+    Each addend is cast to its exact decimal grid (2dp money, 4dp
+    price*(1-disc), 6dp *(1+tax)); the SUM then runs in decimal —
+    int128-backed and exact in both Spark and DuckDB, so the total is
+    identical under ANY partitioning, thread count, or engine version —
+    and only the final total converts back to double (a deterministic
+    IEEE operation on identical inputs). Plain double sums rounded
+    after the fact are NOT order-independent once ``n * Σ|x| * ε``
+    approaches the rounding grid (caught live by
+    ``tools/check_correctness.py --perturb`` on ``pricing_summary``:
+    ~6e4 addends of ~1e5 magnitude rounded at 6dp flip bits between
+    partitionings). Cost: decimal partial aggregates instead of double
+    — still map-side combinable, no extra shuffle.
+
+    DuckDB oracle mirror: ``CAST(SUM(CAST(x AS DECIMAL(30, scale))) AS
+    DOUBLE)``.
+    """
+    return F.sum(col.cast(f"decimal(30,{scale})")).cast("double")
+
+
 def floor_div(col: Column, divisor: int) -> Column:
     """Exact integer floor-division for BIGINT columns.
 

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.dialect import day_name, month_name, time_key
+from ..functions.dialect import day_name, money_sum, month_name, time_key
 from ..sources.readers import load_table
 from .catalog import QuerySpec
 
@@ -32,41 +32,39 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") < F.lit("2000-12-02 00:00:00").cast("timestamp_ntz")
     )
-    # Rounding policy: each SUM is rounded at its exact decimal grid
-    # (price 2dp, price*(1-disc) 4dp, *(1+tax) 6dp) so both engines land
-    # on the identical grid point; averages are round(sum)/count — same
-    # operands on both sides → bit-identical IEEE result, no midpoint
-    # ambiguity between Spark's HALF_UP and DuckDB's binary rounding.
+    # Arithmetic policy: every money/measure SUM runs on its exact
+    # decimal grid via money_sum (price 2dp, price*(1-disc) 4dp,
+    # *(1+tax) 6dp) — exact int128 totals in both engines, identical
+    # under any summation order; averages divide that exact total by
+    # the count, so both engines perform one IEEE division on identical
+    # operands. (Round-3: plain double sums rounded at 6dp over ~6e4
+    # rows were provably order-SENSITIVE — the --perturb gate flips
+    # them between partitionings.)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-        ).alias("sum_disc_price"),
-        F.round(
-            F.sum(
-                F.col("l_extendedprice")
-                * (1 - F.col("l_discount"))
-                * (1 + F.col("l_tax"))
-            ),
-            6,
-        ).alias("sum_charge"),
-        (F.sum("l_quantity") / F.count("*")).alias("avg_qty"),
-        (F.round(F.sum("l_extendedprice"), 2) / F.count("*")).alias("avg_price"),
-        (F.round(F.sum("l_discount"), 2) / F.count("*")).alias("avg_disc"),
+        money_sum(F.col("l_quantity"), 2).alias("sum_qty"),
+        money_sum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+        money_sum(disc_price, 4).alias("sum_disc_price"),
+        money_sum(charge, 6).alias("sum_charge"),
+        (money_sum(F.col("l_quantity"), 2) / F.count("*")).alias("avg_qty"),
+        (money_sum(F.col("l_extendedprice"), 2) / F.count("*")).alias(
+            "avg_price"
+        ),
+        (money_sum(F.col("l_discount"), 2) / F.count("*")).alias("avg_disc"),
         F.count("*").alias("count_order"),
     )
 
 
 PRICING_SUMMARY_SQL = """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
-       SUM(l_quantity) / COUNT(*) AS avg_qty,
-       ROUND(SUM(l_extendedprice), 2) / COUNT(*) AS avg_price,
-       ROUND(SUM(l_discount), 2) / COUNT(*) AS avg_disc,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate < TIMESTAMP '2000-12-02 00:00:00'
@@ -90,8 +88,8 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", F.to_date("o_orderdate").alias("order_date"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
             ).alias("revenue")
         )
     )
@@ -102,7 +100,7 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOP_REVENUE_ORDERS_SQL = """
 WITH rev AS (
   SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS order_date,
-         ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+         CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
   FROM customer c
   JOIN orders o ON c.c_custkey = o.o_custkey
   JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -132,7 +130,7 @@ def region_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("n_nationkey").alias("nations"),
             F.count_distinct("c_custkey").alias("customers"),
             F.count("*").alias("orders_cnt"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            money_sum(F.col("o_totalprice"), 2).alias("total_price"),
         )
     )
 
@@ -142,7 +140,7 @@ SELECT r.r_name,
        COUNT(DISTINCT n.n_nationkey) AS nations,
        COUNT(DISTINCT c.c_custkey) AS customers,
        COUNT(*) AS orders_cnt,
-       ROUND(SUM(o.o_totalprice), 2) AS total_price
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total_price
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -161,9 +159,9 @@ def part_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_type")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            money_sum(F.col("l_quantity"), 2).alias("sum_qty"),
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
             ).alias("revenue"),
         )
     )
@@ -177,8 +175,8 @@ def part_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 PART_TYPE_SHARE_SQL = """
 WITH agg AS (
   SELECT p.p_type,
-         ROUND(SUM(l.l_quantity), 2) AS sum_qty,
-         ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+         CAST(SUM(CAST(l.l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
   FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
   GROUP BY 1)
 SELECT p_type, sum_qty, revenue,
@@ -261,14 +259,14 @@ GROUP BY 1
 def part_supp_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     qty = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.round(F.sum("l_quantity"), 2).alias("total_qty")
+        money_sum(F.col("l_quantity"), 2).alias("total_qty")
     )
     rev = (
         li.filter(F.col("l_returnflag") != "R")
         .groupBy("l_partkey", "l_suppkey")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
             ).alias("revenue")
         )
     )
@@ -279,11 +277,12 @@ def part_supp_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PART_SUPP_MULTIKEY_SQL = """
 WITH q AS (
-  SELECT l_partkey, l_suppkey, ROUND(SUM(l_quantity), 2) AS total_qty
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS total_qty
   FROM lineitem GROUP BY 1, 2),
 r AS (
   SELECT l_partkey, l_suppkey,
-         ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
   FROM lineitem WHERE l_returnflag <> 'R' GROUP BY 1, 2)
 SELECT q.l_partkey, q.l_suppkey, q.total_qty, r.revenue
 FROM q JOIN r ON q.l_partkey = r.l_partkey AND q.l_suppkey = r.l_suppkey
@@ -301,7 +300,7 @@ def order_priority_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("o_orderstatus") == "F", F.col("o_custkey"))
         ).alias("finished_customers"),
         F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias("big_orders"),
-        (F.round(F.sum("o_totalprice"), 2) / F.count("*")).alias("avg_price"),
+        (money_sum(F.col("o_totalprice"), 2) / F.count("*")).alias("avg_price"),
     )
 
 
@@ -311,7 +310,7 @@ SELECT o_orderpriority,
        COUNT(DISTINCT o_custkey) AS customers,
        COUNT(DISTINCT CASE WHEN o_orderstatus = 'F' THEN o_custkey END) AS finished_customers,
        COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END) AS big_orders,
-       ROUND(SUM(o_totalprice), 2) / COUNT(*) AS avg_price
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_price
 FROM orders GROUP BY 1
 """
 
@@ -321,11 +320,17 @@ FROM orders GROUP BY 1
 def customer_ltv_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
+    # total_spent is an exact decimal-grid sum (money_sum): the CASE
+    # bucket boundaries (>= 3M / >= 1.5M) compare against it, and a
+    # float sum that lands within one ulp of a boundary could bucket a
+    # customer differently per engine/summation order.
     spend = (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
         .groupBy("c_custkey", "c_mktsegment")
         .agg(
-            F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("total_spent"),
+            F.coalesce(money_sum(F.col("o_totalprice"), 2), F.lit(0.0)).alias(
+                "total_spent"
+            ),
             F.count("o_orderkey").alias("order_cnt"),
         )
     )
@@ -338,8 +343,8 @@ def customer_ltv_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return seg.groupBy("c_mktsegment", "ltv_segment").agg(
         F.count("*").alias("customers"),
-        (F.round(F.sum("total_spent"), 2) / F.count("*")).alias("avg_spent"),
-        F.round(F.sum("total_spent"), 2).alias("seg_revenue"),
+        (money_sum(F.col("total_spent"), 2) / F.count("*")).alias("avg_spent"),
+        money_sum(F.col("total_spent"), 2).alias("seg_revenue"),
         F.sum("order_cnt").alias("orders_cnt"),
     )
 
@@ -347,7 +352,7 @@ def customer_ltv_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 CUSTOMER_LTV_SEGMENTS_SQL = """
 WITH spend AS (
   SELECT c.c_custkey, c.c_mktsegment,
-         COALESCE(SUM(o.o_totalprice), 0) AS total_spent,
+         COALESCE(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,2))) AS DOUBLE), 0) AS total_spent,
          COUNT(o.o_orderkey) AS order_cnt
   FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
   GROUP BY 1, 2),
@@ -360,9 +365,9 @@ seg AS (
          total_spent, order_cnt
   FROM spend)
 SELECT c_mktsegment, ltv_segment, COUNT(*) AS customers,
-       ROUND(SUM(total_spent), 2) / COUNT(*) AS avg_spent,
-       ROUND(SUM(total_spent), 2) AS seg_revenue,
-       SUM(order_cnt) AS orders_cnt
+       CAST(SUM(CAST(total_spent AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_spent,
+       CAST(SUM(CAST(total_spent AS DECIMAL(30,2))) AS DOUBLE) AS seg_revenue,
+       CAST(SUM(order_cnt) AS BIGINT) AS orders_cnt
 FROM seg GROUP BY 1, 2
 """
 
@@ -379,8 +384,8 @@ def supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count_distinct("s_suppkey").alias("suppliers"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
             ).alias("revenue"),
         )
     )
@@ -389,7 +394,7 @@ def supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 SUPPLIER_NATION_REVENUE_SQL = """
 SELECT n.n_name,
        COUNT(DISTINCT s.s_suppkey) AS suppliers,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey

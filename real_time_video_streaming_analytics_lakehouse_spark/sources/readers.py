@@ -38,6 +38,21 @@ TABLES = (
     "embeddings",
 )
 
+# Order-perturbation hook (tools/check_correctness.py --perturb): when set
+# to ``(num_partitions, seed)``, every loaded table is re-hashed across
+# that many partitions by a seeded random column, so partial-aggregation
+# and merge order differ between variants. Catalog results must be
+# invariant under this — any query whose value hash moves is relying on
+# float summation order and WILL diverge between engines/environments.
+PERTURB: tuple[int, int] | None = None
+
+
+def _perturbed(df: DataFrame) -> DataFrame:
+    if PERTURB is None:
+        return df
+    parts, seed = PERTURB
+    return df.repartition(parts, F.rand(seed))
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table, normalizing nanosecond timestamps."""
@@ -53,7 +68,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             "ts",
             F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz"),
         )
-    return df
+    return _perturbed(df)
 
 
 def register_views(

