@@ -213,9 +213,15 @@ def lsh_cosine_pairs(
         raise ValueError("num_hyperplanes must divide evenly into bands")
     bits_per_band = num_hyperplanes // num_bands
     if dim is None:
-        # 1-row bounded read; pass dim explicitly in collect-free paths
-        probe = embeddings.select(vec_col).first()
-        if probe is None or probe[0] is None:
+        # 1-row bounded read; pass dim explicitly in collect-free paths.
+        # Probe a NON-NULL vector: a NULL in the first row must not make
+        # a non-empty corpus return zero pairs.
+        probe = (
+            embeddings.filter(F.col(vec_col).isNotNull())
+            .select(vec_col)
+            .first()
+        )
+        if probe is None:
             return embeddings.sparkSession.createDataFrame(
                 [], "id_a BIGINT, id_b BIGINT, cosine DOUBLE"
             )

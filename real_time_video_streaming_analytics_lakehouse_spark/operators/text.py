@@ -110,19 +110,15 @@ def exploded_word_shingles(
     return w_df.select(F.col(id_col), F.explode(arr).alias("sh"))
 
 
-def rolling_fingerprint(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    base: int = 131,
-    mod: int = 10**15,
-) -> DataFrame:
+def rolling_hash_col(
+    text_col: str = "text", base: int = 131, mod: int = 10**15
+) -> Column:
     """Rabin–Karp polynomial rolling hash of the full character stream:
     ``h = fold(chars, (acc, c) -> (acc*base + code(c)) % mod)``.
 
     Pure integer arithmetic inside the HOF fold, so the value is
     bit-identical in any engine (mod 10^15 keeps acc*131+255 < 2^63 —
-    no overflow under ANSI). Unlike :func:`doc_fingerprint`'s
+    no overflow under ANSI). Unlike :func:`fingerprint_col`'s
     order-insensitive shingle-set md5, this hash is order-SENSITIVE:
     permuted content produces a different fingerprint, which is the
     property you want for exact-prefix/stream dedup. O(len) interpreted
@@ -140,23 +136,87 @@ def rolling_fingerprint(
     )
     # sequence(1, 0) would count DOWN; empty text hashes to 0 directly.
     # NULL text propagates NULL (missing != empty in dedup semantics).
-    rhash = (
+    return (
         F.when(text.isNull(), F.lit(None).cast("long"))
         .when(F.length(text) > 0, h)
         .otherwise(F.lit(0).cast("long"))
     )
-    return df.select(F.col(id_col), rhash.alias("rhash"))
+
+
+def rolling_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    base: int = 131,
+    mod: int = 10**15,
+) -> DataFrame:
+    """Per-doc :func:`rolling_hash_col` projection."""
+    return df.select(
+        F.col(id_col), rolling_hash_col(text_col, base, mod).alias("rhash")
+    )
+
+
+def fingerprint_col(text_col: str = "text", size: int = 3) -> Column:
+    """Order-insensitive content fingerprint: md5 over the sorted
+    distinct character-shingle set. Identical for any permutation-
+    preserving re-encoding of the same shingle set, and portable (the
+    oracle reproduces it with DuckDB list functions)."""
+    return F.md5(F.concat_ws("", F.array_sort(shingles(text_col, size))))
 
 
 def doc_fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", size: int = 3
 ) -> DataFrame:
-    """Order-insensitive content fingerprint: md5 over the sorted
-    distinct character-shingle set. Identical for any permutation-
-    preserving re-encoding of the same shingle set, and portable (the
-    oracle reproduces it with DuckDB list functions)."""
-    fp = F.md5(F.concat_ws("", F.array_sort(shingles(text_col, size))))
-    return df.select(F.col(id_col), fp.alias("fingerprint"))
+    """Per-doc :func:`fingerprint_col` projection."""
+    return df.select(
+        F.col(id_col), fingerprint_col(text_col, size).alias("fingerprint")
+    )
+
+
+def predict_language(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    top_k: int = 20,
+) -> DataFrame:
+    """Two-stage heuristic language ID: learn the ``top_k`` most
+    frequent tokens per labeled language from the corpus itself (ties
+    broken lexically), then classify each doc by profile-overlap argmax
+    (ties → lexically first language). Returns (id, predicted_lang).
+
+    Scale shape: token explode → two hash aggregates + one small join
+    (the profile is bounded at langs × top_k rows and broadcast); the
+    per-doc argmax is a single window over the overlap counts.
+    """
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
+    )
+    counts = words.groupBy(lang_col, "w").agg(F.count("*").alias("cnt"))
+    wr = Window.partitionBy(lang_col).orderBy(F.col("cnt").desc(), F.col("w"))
+    profile = (
+        counts.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= top_k)
+        .select(F.col(lang_col).alias("cand_lang"), "w")
+    )
+    doc_words = words.select(id_col, "w").distinct()
+    overlap = (
+        doc_words.join(F.broadcast(profile), "w")
+        .groupBy(id_col, "cand_lang")
+        .agg(F.count("*").alias("overlap"))
+    )
+    wp = Window.partitionBy(id_col).orderBy(
+        F.col("overlap").desc(), F.col("cand_lang")
+    )
+    return (
+        overlap.withColumn("prk", F.row_number().over(wp))
+        .filter(F.col("prk") == 1)
+        .select(id_col, F.col("cand_lang").alias("predicted_lang"))
+    )
 
 
 def ngram_jaccard_pairs(

@@ -182,12 +182,20 @@ FROM per_user GROUP BY 1
 # --- event_type_rank (V_TOP_CONTENT shape) --------------------------------
 
 def event_type_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V_TOP_CONTENT rank analog, plus the exact interpolated value
+    percentiles (formerly the separate ``value_percentiles`` query,
+    folded here so the catalog fits the driver's 50-query check
+    window — same grouping, one aggregation pass)."""
     e = _events(spark, sf_dir)
     agg = e.groupBy("event_type").agg(
         F.count("*").alias("events_cnt"),
         F.count_distinct("user_id").alias("users"),
         F.round(F.sum("value"), 2).alias("total_value"),
         (F.round(F.sum("value"), 2) / F.count("*")).alias("avg_value"),
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
     )
     return agg.withColumn(
         "value_rank", F.rank().over(Window.orderBy(F.col("total_value").desc()))
@@ -200,9 +208,14 @@ EVENT_TYPE_RANK_SQL = """
 WITH t AS (
   SELECT event_type, COUNT(*) AS events_cnt, COUNT(DISTINCT user_id) AS users,
          ROUND(SUM(value), 2) AS total_value,
-         ROUND(SUM(value), 2) / COUNT(*) AS avg_value
+         ROUND(SUM(value), 2) / COUNT(*) AS avg_value,
+         quantile_cont(value, 0.5) AS p50,
+         quantile_cont(value, 0.95) AS p95,
+         MIN(value) AS min_value,
+         MAX(value) AS max_value
   FROM events GROUP BY 1)
 SELECT event_type, events_cnt, users, total_value, avg_value,
+       p50, p95, min_value, max_value,
        RANK() OVER (ORDER BY total_value DESC) AS value_rank,
        RANK() OVER (ORDER BY events_cnt DESC) AS volume_rank
 FROM t
@@ -414,65 +427,79 @@ _PLATFORM_SQL = """CASE WHEN user_id % 3 = 0 THEN 'web'
               ELSE 'android' END"""
 
 
-def device_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+def device_platform_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V_DEVICE_ANALYTICS and V_PLATFORM_QUALITY in one output, stacked
+    by ``dim`` ('device' | 'platform') — both views share the same
+    aggregation shape, so one parameterized rollup covers them (folded
+    so the catalog fits the driver's 50-query check window). Each view
+    remains fully represented: its dimension column becomes
+    ``dim_value`` and every measure of BOTH original views is computed
+    for both dimensions."""
     e = _events(spark, sf_dir)
-    err = F.count(F.when(F.col("event_type") == "error", 1))
-    device = _device_col()
-    return e.groupBy(device.alias("device_type")).agg(
-        F.count_distinct("user_id").alias("users"),
-        F.count("*").alias("events_cnt"),
-        err.alias("errors"),
-        (err * 100.0 / F.count("*")).alias("error_rate_pct"),
-        F.round(
-            F.sum(
-                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
-                    0.0
-                )
-            ),
-            2,
-        ).alias("revenue"),
-        F.max((device.isin("mobile", "tablet")).cast("int")).alias(
-            "is_mobile_flag"
-        ),
+
+    def rollup(dim: str, dim_col, mobile_vals: list[str]) -> DataFrame:
+        err = F.count(F.when(F.col("event_type") == "error", 1))
+        views = F.count(F.when(F.col("event_type") == "view", 1))
+        return (
+            e.groupBy(dim_col.alias("dim_value"))
+            .agg(
+                F.count_distinct("user_id").alias("users"),
+                F.count("*").alias("events_cnt"),
+                err.alias("errors"),
+                (err * 100.0 / F.count("*")).alias("error_rate_pct"),
+                (views * 100.0 / F.count("*")).alias("view_rate_pct"),
+                (F.round(F.sum("value"), 2) / F.count("*")).alias("avg_value"),
+                F.round(
+                    F.sum(
+                        F.when(
+                            F.col("event_type") == "purchase", F.col("value")
+                        ).otherwise(0.0)
+                    ),
+                    2,
+                ).alias("revenue"),
+            )
+            .select(
+                F.lit(dim).alias("dim"),
+                "dim_value",
+                "users",
+                "events_cnt",
+                "errors",
+                "error_rate_pct",
+                "view_rate_pct",
+                "avg_value",
+                "revenue",
+                F.col("dim_value").isin(*mobile_vals).cast("int").alias(
+                    "is_mobile_flag"
+                ),
+            )
+        )
+
+    return rollup("device", _device_col(), ["mobile", "tablet"]).unionByName(
+        rollup("platform", _platform_col(), ["ios", "android"])
     )
 
 
-DEVICE_ANALYTICS_SQL = f"""
-SELECT {_DEVICE_SQL} AS device_type,
+def _quality_rollup_sql(dim: str, dim_sql: str, mobile_list: str) -> str:
+    return f"""
+SELECT '{dim}' AS dim,
+       {dim_sql} AS dim_value,
        COUNT(DISTINCT user_id) AS users,
        COUNT(*) AS events_cnt,
-       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS errors,
-       COUNT(CASE WHEN event_type = 'error' THEN 1 END) * 100.0 / COUNT(*) AS error_rate_pct,
-       ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS revenue,
-       MAX(CASE WHEN {_DEVICE_SQL} IN ('mobile', 'tablet') THEN 1 ELSE 0 END) AS is_mobile_flag
-FROM events GROUP BY 1
-"""
-
-
-def platform_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _events(spark, sf_dir)
-    err = F.count(F.when(F.col("event_type") == "error", 1))
-    views = F.count(F.when(F.col("event_type") == "view", 1))
-    return e.groupBy(_platform_col().alias("platform")).agg(
-        F.count("*").alias("events_cnt"),
-        F.count_distinct("user_id").alias("users"),
-        err.alias("errors"),
-        (err * 100.0 / F.count("*")).alias("error_rate_pct"),
-        (views * 100.0 / F.count("*")).alias("view_rate_pct"),
-        (F.round(F.sum("value"), 2) / F.count("*")).alias("avg_value"),
-    )
-
-
-PLATFORM_QUALITY_SQL = f"""
-SELECT {_PLATFORM_SQL} AS platform,
-       COUNT(*) AS events_cnt,
-       COUNT(DISTINCT user_id) AS users,
        COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS errors,
        COUNT(CASE WHEN event_type = 'error' THEN 1 END) * 100.0 / COUNT(*) AS error_rate_pct,
        COUNT(CASE WHEN event_type = 'view' THEN 1 END) * 100.0 / COUNT(*) AS view_rate_pct,
-       ROUND(SUM(value), 2) / COUNT(*) AS avg_value
-FROM events GROUP BY 1
+       ROUND(SUM(value), 2) / COUNT(*) AS avg_value,
+       ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS revenue,
+       CASE WHEN {dim_sql} IN ({mobile_list}) THEN 1 ELSE 0 END AS is_mobile_flag
+FROM events GROUP BY 2
 """
+
+
+DEVICE_PLATFORM_QUALITY_SQL = (
+    _quality_rollup_sql("device", _DEVICE_SQL, "'mobile', 'tablet'")
+    + "UNION ALL"
+    + _quality_rollup_sql("platform", _PLATFORM_SQL, "'ios', 'android'")
+)
 
 
 # --- purchase_attribution (batch analog of the stream-stream interval
@@ -716,33 +743,31 @@ FROM events GROUP BY 1
 # --- streaming batch-equivalents (A2/A4, T2 tumbling windows) -------------
 
 def user_activity_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling AND sliding 5-minute activity windows in one output,
+    distinguished by ``window_kind`` (folded so the catalog fits the
+    driver's 50-query check window; both remain the batch analogs of
+    the A2 streaming pipeline).
+
+    * tumbling: epoch-bucket arithmetic (`window_start_sec`).
+    * sliding (1-min slide): native ``F.window(ts, len, slide)`` assigns
+      every event to len/slide = 5 overlapping windows; the oracle
+      enumerates exactly those five starts per event
+      ((us DIV 60e6 - k) for k in 0..4). Emitted as epoch seconds so
+      hashing is engine-neutral."""
     e = _events(spark, sf_dir)
-    return e.groupBy(
-        window_start_sec("ts", 300).alias("window_start_sec"),
-        "event_type",
-    ).agg(
+    aggs = [
         F.count("*").alias("events_cnt"),
         F.count_distinct("user_id").alias("users"),
         F.round(F.sum("value"), 2).alias("total_value"),
-    )
-
-
-def user_activity_5min_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding-window variant (5-min windows, 1-min slide): native
-    ``F.window(ts, len, slide)`` assigns every event to len/slide = 5
-    overlapping windows. The oracle enumerates exactly those five
-    starts per event ((us DIV 60e6 - k) for k in 0..4 — always within
-    the 5-minute span, since us - start < 60s + 4*60s). Emitted as
-    epoch seconds so hashing is engine-neutral."""
-    e = _events(spark, sf_dir)
+    ]
+    tumbling = e.groupBy(
+        window_start_sec("ts", 300).alias("window_start_sec"),
+        "event_type",
+    ).agg(*aggs).withColumn("window_kind", F.lit("tumbling"))
     w = F.window(F.col("ts"), "5 minutes", "1 minute")
-    return (
+    sliding = (
         e.groupBy(w.alias("w"), F.col("event_type"))
-        .agg(
-            F.count("*").alias("events_cnt"),
-            F.count_distinct("user_id").alias("users"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-        )
+        .agg(*aggs)
         .select(
             floor_div(epoch_us(F.col("w.start")), 1_000_000).alias(
                 "window_start_sec"
@@ -751,19 +776,10 @@ def user_activity_5min_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "events_cnt",
             "users",
             "total_value",
+            F.lit("sliding").alias("window_kind"),
         )
     )
-
-
-USER_ACTIVITY_5MIN_SLIDING_SQL = """
-SELECT (epoch_us(ts) // 60000000 - k) * 60 AS window_start_sec,
-       event_type,
-       COUNT(*) AS events_cnt,
-       COUNT(DISTINCT user_id) AS users,
-       ROUND(SUM(value), 2) AS total_value
-FROM events, unnest(generate_series(0, 4)) AS t(k)
-GROUP BY 1, 2
-"""
+    return tumbling.unionByName(sliding)
 
 
 USER_ACTIVITY_5MIN_SQL = """
@@ -771,8 +787,18 @@ SELECT (epoch_us(ts) // 300000000) * 300 AS window_start_sec,
        event_type,
        COUNT(*) AS events_cnt,
        COUNT(DISTINCT user_id) AS users,
-       ROUND(SUM(value), 2) AS total_value
+       ROUND(SUM(value), 2) AS total_value,
+       'tumbling' AS window_kind
 FROM events GROUP BY 1, 2
+UNION ALL
+SELECT (epoch_us(ts) // 60000000 - k) * 60 AS window_start_sec,
+       event_type,
+       COUNT(*) AS events_cnt,
+       COUNT(DISTINCT user_id) AS users,
+       ROUND(SUM(value), 2) AS total_value,
+       'sliding' AS window_kind
+FROM events, unnest(generate_series(0, 4)) AS t(k)
+GROUP BY 1, 2
 """
 
 
@@ -813,24 +839,9 @@ FROM events GROUP BY 1
 """
 
 
-def daily_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP grouping sets (beyond the reference — SURVEY §2.4 notes it
-    has none): per (event_type, day) with day-level and grand totals in
-    one aggregation pass."""
-    e = _events(spark, sf_dir)
-    return e.rollup("event_type", F.to_date("ts").alias("day")).agg(
-        F.count("*").alias("events_cnt"),
-        F.round(F.sum("value"), 2).alias("total_value"),
-    )
-
-
-DAILY_ROLLUP_TOTALS_SQL = """
-SELECT event_type, CAST(ts AS DATE) AS day,
-       COUNT(*) AS events_cnt,
-       ROUND(SUM(value), 2) AS total_value
-FROM events
-GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
-"""
+# daily_rollup_totals (ROLLUP grouping sets) was folded into
+# extended.star_schema_monthly, whose final aggregation now runs as a
+# ROLLUP, so the catalog fits the driver's 50-query check window.
 
 
 def anomaly_1min(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1003,13 +1014,26 @@ FROM sess GROUP BY 1, 2
 
 
 def merge_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-driven incremental MERGE (the reference's incremental-
+    extract pattern, etl_framework.py:216-249, composed with its MERGE
+    upsert): the target holds the first 20 days; the source is every
+    event above ``max(target.ts) - 10 days`` — a late-arriving
+    reprocess window, so the merge exercises BOTH branches (updates in
+    the overlap, inserts after the watermark). The watermark is a
+    1-row global-max aggregate collected at the driver (A6/P5 — the
+    same bounded driver boundary the reference uses; formerly the
+    separate ``incremental_extract`` query, folded here so the catalog
+    fits the driver's 50-query check window)."""
+    import datetime
+
     e = _events(spark, sf_dir)
     split_ts = F.lit("2024-01-21 00:00:00").cast("timestamp_ntz")
-    src_ts = F.lit("2024-01-11 00:00:00").cast("timestamp_ntz")
     target = e.filter(F.col("ts") < split_ts).select(
         "event_id", "user_id", "event_type", "value", F.lit("target").alias("src")
     )
-    source = e.filter(F.col("ts") >= src_ts).select(
+    last_ts = e.filter(F.col("ts") < split_ts).agg(F.max("ts")).collect()[0][0]
+    reprocess_from = last_ts - datetime.timedelta(days=10)
+    source = e.filter(F.col("ts") >= F.lit(reprocess_from)).select(
         "event_id",
         "user_id",
         "event_type",
@@ -1020,12 +1044,15 @@ def merge_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MERGE_UPSERT_EVENTS_SQL = """
-WITH target AS (
+WITH wm AS (
+  SELECT MAX(ts) - INTERVAL 10 DAY AS reprocess_from
+  FROM events WHERE ts < TIMESTAMP '2024-01-21 00:00:00'),
+target AS (
   SELECT event_id, user_id, event_type, value, 'target' AS src
   FROM events WHERE ts < TIMESTAMP '2024-01-21 00:00:00'),
 source AS (
   SELECT event_id, user_id, event_type, ROUND(value * 2, 2) AS value, 'source' AS src
-  FROM events WHERE ts >= TIMESTAMP '2024-01-11 00:00:00')
+  FROM events WHERE ts >= (SELECT reprocess_from FROM wm))
 SELECT * FROM source
 UNION ALL
 SELECT t.* FROM target t
@@ -1084,11 +1111,10 @@ QUERIES: dict[str, QuerySpec] = {
     "props_key_distribution": QuerySpec(
         props_key_distribution, PROPS_KEY_DISTRIBUTION_SQL, "JSON parse (S2 analog)"
     ),
-    "device_analytics": QuerySpec(
-        device_analytics, DEVICE_ANALYTICS_SQL, "V_DEVICE_ANALYTICS analog"
-    ),
-    "platform_quality": QuerySpec(
-        platform_quality, PLATFORM_QUALITY_SQL, "V_PLATFORM_QUALITY analog"
+    "device_platform_quality": QuerySpec(
+        device_platform_quality,
+        DEVICE_PLATFORM_QUALITY_SQL,
+        "V_DEVICE_ANALYTICS + V_PLATFORM_QUALITY analogs, stacked by dim",
     ),
     "content_trends_daily": QuerySpec(
         content_trends_daily,
@@ -1112,20 +1138,15 @@ QUERIES: dict[str, QuerySpec] = {
         "native F.session_window sessionization (gap >= timeout splits)",
     ),
     "user_activity_5min": QuerySpec(
-        user_activity_5min, USER_ACTIVITY_5MIN_SQL, "5-min tumbling agg (A2 batch)"
-    ),
-    "user_activity_5min_sliding": QuerySpec(
-        user_activity_5min_sliding,
-        USER_ACTIVITY_5MIN_SLIDING_SQL,
-        "5-min/1-min sliding windows (T2 sliding variant)",
+        user_activity_5min,
+        USER_ACTIVITY_5MIN_SQL,
+        "5-min tumbling + 1-min-slide sliding windows (A2 batch, T2), "
+        "stacked by window_kind",
     ),
     "content_popularity_10min": QuerySpec(
         content_popularity_10min,
         CONTENT_POPULARITY_10MIN_SQL,
         "10-min popularity windows + engagement ratio (A3 batch)",
-    ),
-    "daily_rollup_totals": QuerySpec(
-        daily_rollup_totals, DAILY_ROLLUP_TOTALS_SQL, "ROLLUP grouping sets"
     ),
     "anomaly_1min": QuerySpec(
         anomaly_1min, ANOMALY_1MIN_SQL, "1-min anomaly windows (A4 batch)"
@@ -1140,7 +1161,9 @@ QUERIES: dict[str, QuerySpec] = {
         session_rollup_30min, SESSION_ROLLUP_30MIN_SQL, "sessionize + rollup (A1)"
     ),
     "merge_upsert_events": QuerySpec(
-        merge_upsert_events, MERGE_UPSERT_EVENTS_SQL, "logical MERGE upsert (J7)"
+        merge_upsert_events,
+        MERGE_UPSERT_EVENTS_SQL,
+        "watermark-driven incremental MERGE upsert (J7 + P5/A6)",
     ),
     "dq_validation_events": QuerySpec(
         dq_validation_events, DQ_VALIDATION_EVENTS_SQL, "single-pass DQ profile"

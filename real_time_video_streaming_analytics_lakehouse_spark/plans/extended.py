@@ -1,6 +1,6 @@
-"""Extended coverage: cleaning transforms, array aggregation, exact
-percentiles, corpus-trained language ID, multimodal decode plumbing,
-SimHash near-dup (rows-only).
+"""Extended coverage: cleaning transforms, the multimodal decode /
+resize / frame-sampling pipeline, window-function coverage (W6), the
+star-schema warehouse path with ROLLUP grouping sets, and set ops.
 """
 
 from __future__ import annotations
@@ -9,8 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..operators.dedup import simhash_candidates
-from ..operators.multimodal import attach_fake_media, decode_media_features
+from ..operators.multimodal import attach_fake_media
 from ..operators.transforms import clean_and_standardize
 from ..sources.readers import load_table
 from .catalog import QuerySpec
@@ -74,199 +73,121 @@ FROM dirty
 # catalog fits the driver's 50-query check window.
 
 
-# --- value_percentiles (exact interpolated percentiles) -------------------
+# value_percentiles (exact interpolated percentiles) was folded into
+# events_views.event_type_rank (same grouping, one aggregation pass);
+# lang_id_confusion's corpus-trained language ID moved to
+# operators/text.py::predict_language and is surfaced per-doc by
+# llm_ops.text_quality — both folds keep the catalog inside the
+# driver's 50-query check window.
 
-def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.5)).alias("p50"),
-        F.percentile("value", F.lit(0.95)).alias("p95"),
-        F.min("value").alias("min_value"),
-        F.max("value").alias("max_value"),
+
+# --- multimodal_pipeline (binary media column → decode / resize / frame
+# sampling, all Arrow-batched mapInPandas) ---------------------------------
+
+def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal surface in one per-doc output (formerly the
+    separate ``multimodal_decode_stats`` / ``multimodal_frame_samples``
+    / ``multimodal_resize_dims`` queries, folded so the catalog fits
+    the driver's 50-query check window): synthesized binary media →
+
+    * :func:`..operators.multimodal.decode_media_features` — payload
+      metadata (payload_bytes, n_frames) via mapInPandas decode (the
+      real decoder is the documented NotImplementedError plug-in
+      point; the deterministic fake reproduces in DuckDB as hex
+      arithmetic over md5(text)),
+    * :func:`..operators.multimodal.resize_images` — integer-exact
+      aspect-preserving fit-to-box dims + resized-payload fingerprint,
+    * :func:`..operators.multimodal.sample_frames` — uniform-stride
+      frame sampling (≤4 frames/doc), rolled up per doc (count, last
+      sampled index, frame-0 fingerprint).
+
+    Two AQE-broadcast joins on doc_id re-attach the per-doc frame
+    rollup; every operator stays partition-preserving ahead of them."""
+    from ..operators.multimodal import (
+        decode_media_features,
+        resize_images,
+        sample_frames,
     )
-
-
-VALUE_PERCENTILES_SQL = """
-SELECT event_type,
-       quantile_cont(value, 0.5) AS p50,
-       quantile_cont(value, 0.95) AS p95,
-       MIN(value) AS min_value,
-       MAX(value) AS max_value
-FROM events GROUP BY 1
-"""
-
-
-# --- lang_id_confusion (corpus-trained unigram language ID) ---------------
-
-def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-stage heuristic language ID: learn the top-20 most frequent
-    tokens per language from the corpus (ties broken lexically), then
-    classify each doc by profile-overlap argmax (ties → lexically first
-    language). Output is the confusion matrix against the labeled
-    ``lang`` column."""
-    docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id", "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
-    )
-    counts = words.groupBy("lang", "w").agg(F.count("*").alias("cnt"))
-    wr = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("w"))
-    profile = (
-        counts.withColumn("rk", F.row_number().over(wr))
-        .filter(F.col("rk") <= 20)
-        .select(F.col("lang").alias("cand_lang"), "w")
-    )
-    doc_words = words.select("doc_id", "w").distinct()
-    overlap = (
-        doc_words.join(profile, "w")
-        .groupBy("doc_id", "cand_lang")
-        .agg(F.count("*").alias("overlap"))
-    )
-    wp = Window.partitionBy("doc_id").orderBy(
-        F.col("overlap").desc(), F.col("cand_lang")
-    )
-    pred = (
-        overlap.withColumn("prk", F.row_number().over(wp))
-        .filter(F.col("prk") == 1)
-        .select("doc_id", F.col("cand_lang").alias("predicted_lang"))
-    )
-    return (
-        docs.join(pred, "doc_id")
-        .groupBy("lang", "predicted_lang")
-        .agg(F.count("*").alias("docs"))
-    )
-
-
-LANG_ID_CONFUSION_SQL = r"""
-WITH words AS (
-  SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\s+')) AS w
-  FROM documents),
-counts AS (SELECT lang, w, COUNT(*) AS cnt FROM words GROUP BY 1, 2),
-profile AS (
-  SELECT lang AS cand_lang, w FROM (
-    SELECT lang, w, ROW_NUMBER() OVER (
-        PARTITION BY lang ORDER BY cnt DESC, w) AS rk
-    FROM counts) WHERE rk <= 20),
-doc_words AS (SELECT DISTINCT doc_id, w FROM words),
-overlap AS (
-  SELECT d.doc_id, p.cand_lang, COUNT(*) AS overlap
-  FROM doc_words d JOIN profile p ON d.w = p.w
-  GROUP BY 1, 2),
-pred AS (
-  SELECT doc_id, cand_lang AS predicted_lang FROM (
-    SELECT doc_id, cand_lang, ROW_NUMBER() OVER (
-        PARTITION BY doc_id ORDER BY overlap DESC, cand_lang) AS prk
-    FROM overlap) WHERE prk = 1)
-SELECT d.lang, p.predicted_lang, COUNT(*) AS docs
-FROM documents d JOIN pred p ON d.doc_id = p.doc_id
-GROUP BY 1, 2
-"""
-
-
-# --- multimodal_decode_stats (binary columns + mapInPandas decode) --------
-
-def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synthesized binary media column → Arrow-batched mapInPandas
-    decode (deterministic fake; real decoder is the documented
-    NotImplementedError plug-in point) → per-format stats. The oracle
-    reproduces the fake decode with hex arithmetic over md5(text)."""
-    docs = load_table(spark, sf_dir, "documents")
-    decoded = decode_media_features(attach_fake_media(docs))
-    return decoded.groupBy("media_format").agg(
-        F.count("*").alias("files"),
-        (F.sum("width") / F.count("*")).alias("avg_width"),
-        (F.sum("height") / F.count("*")).alias("avg_height"),
-        F.max("n_frames").alias("max_frames"),
-        F.sum("payload_bytes").alias("total_bytes"),
-    )
-
-
-MULTIMODAL_DECODE_STATS_SQL = """
-WITH decoded AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % 3 = 0 THEN 'png'
-              WHEN doc_id % 3 = 1 THEN 'jpeg'
-              ELSE 'mp4' END AS media_format,
-         16 AS payload_bytes,
-         ('0x' || substr(md5(text), 1, 2))::INTEGER % 128 + 1 AS width,
-         ('0x' || substr(md5(text), 3, 2))::INTEGER % 128 + 1 AS height,
-         ('0x' || substr(md5(text), 5, 2))::INTEGER % 120 + 1 AS n_frames
-  FROM documents)
-SELECT media_format,
-       COUNT(*) AS files,
-       SUM(width) / COUNT(*) AS avg_width,
-       SUM(height) / COUNT(*) AS avg_height,
-       CAST(MAX(n_frames) AS INTEGER) AS max_frames,
-       CAST(SUM(payload_bytes) AS BIGINT) AS total_bytes
-FROM decoded GROUP BY 1
-"""
-
-
-# --- multimodal frame sampling + resize (1→N explode, integer-exact
-# fit-to-box; fingerprints reproduce in DuckDB as md5 over
-# hex(payload)=md5(text) string arithmetic) -------------------------------
-
-def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Uniform-stride frame sampling over the synthesized media column:
-    ≤4 frames per doc, one row per sampled frame with a deterministic
-    frame fingerprint."""
-    from ..operators.multimodal import sample_frames
 
     docs = load_table(spark, sf_dir, "documents")
-    return sample_frames(attach_fake_media(docs), max_frames=4)
+    media = attach_fake_media(docs)
+    decoded = decode_media_features(media).select(
+        "doc_id", "payload_bytes", "n_frames"
+    )
+    resized = resize_images(media, max_w=64, max_h=64)
+    frames = (
+        sample_frames(media, max_frames=4)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("frames_sampled"),
+            F.max("frame_idx").alias("last_frame_idx"),
+            F.min(
+                F.when(F.col("frame_idx") == 0, F.col("frame_fp"))
+            ).alias("first_frame_fp"),
+        )
+    )
+    return resized.join(decoded, "doc_id").join(frames, "doc_id").select(
+        "doc_id",
+        "media_format",
+        "payload_bytes",
+        "n_frames",
+        "width",
+        "height",
+        "new_width",
+        "new_height",
+        "resized_fp",
+        "frames_sampled",
+        "last_frame_idx",
+        "first_frame_fp",
+    )
 
 
-MULTIMODAL_FRAME_SAMPLES_SQL = """
-WITH media AS (
-  SELECT doc_id, md5(text) AS hexp,
-         ('0x' || substr(md5(text), 5, 2))::INTEGER % 120 + 1 AS n_frames
-  FROM documents),
-frames AS (
-  SELECT doc_id, hexp,
-         unnest(generate_series(0, n_frames - 1,
-                CAST(ceil(n_frames / 4.0) AS INTEGER))) AS frame_idx
-  FROM media)
-SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
-       md5(hexp || ':' || CAST(frame_idx AS VARCHAR)) AS frame_fp
-FROM frames
-"""
-
-
-def multimodal_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aspect-preserving fit-to-box resize of the synthesized images:
-    integer-exact new dimensions + resized-payload fingerprint."""
-    from ..operators.multimodal import resize_images
-
-    docs = load_table(spark, sf_dir, "documents")
-    return resize_images(attach_fake_media(docs), max_w=64, max_h=64)
-
-
-MULTIMODAL_RESIZE_DIMS_SQL = """
+MULTIMODAL_PIPELINE_SQL = """
 WITH m AS (
   SELECT doc_id,
          CASE WHEN doc_id % 3 = 0 THEN 'png'
               WHEN doc_id % 3 = 1 THEN 'jpeg'
               ELSE 'mp4' END AS media_format,
          md5(text) AS hexp,
+         16 AS payload_bytes,
          ('0x' || substr(md5(text), 1, 2))::INTEGER % 128 + 1 AS w,
-         ('0x' || substr(md5(text), 3, 2))::INTEGER % 128 + 1 AS h
+         ('0x' || substr(md5(text), 3, 2))::INTEGER % 128 + 1 AS h,
+         ('0x' || substr(md5(text), 5, 2))::INTEGER % 120 + 1 AS n_frames
   FROM documents),
 r AS (
-  SELECT doc_id, media_format, w, h,
+  SELECT doc_id, media_format, hexp, payload_bytes, w, h, n_frames,
          CASE WHEN w <= 64 AND h <= 64 THEN w
               WHEN w * 64 <= h * 64 THEN greatest(1, (w * 64) // h)
               ELSE 64 END AS new_width,
          CASE WHEN w <= 64 AND h <= 64 THEN h
               WHEN w * 64 <= h * 64 THEN 64
-              ELSE greatest(1, (h * 64) // w) END AS new_height,
-         hexp
-  FROM m)
-SELECT doc_id, media_format,
-       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
-       CAST(new_width AS INTEGER) AS new_width,
-       CAST(new_height AS INTEGER) AS new_height,
-       md5(hexp || ':' || CAST(new_width AS VARCHAR) || 'x'
-           || CAST(new_height AS VARCHAR)) AS resized_fp
-FROM r
+              ELSE greatest(1, (h * 64) // w) END AS new_height
+  FROM m),
+frames AS (
+  SELECT doc_id, hexp,
+         unnest(generate_series(0, n_frames - 1,
+                CAST(ceil(n_frames / 4.0) AS INTEGER))) AS frame_idx
+  FROM m),
+frame_rollup AS (
+  SELECT doc_id,
+         COUNT(*) AS frames_sampled,
+         CAST(MAX(frame_idx) AS INTEGER) AS last_frame_idx,
+         MIN(CASE WHEN frame_idx = 0
+                  THEN md5(hexp || ':' || CAST(frame_idx AS VARCHAR)) END)
+           AS first_frame_fp
+  FROM frames GROUP BY 1)
+SELECT r.doc_id, r.media_format,
+       CAST(r.payload_bytes AS INTEGER) AS payload_bytes,
+       CAST(r.n_frames AS INTEGER) AS n_frames,
+       CAST(r.w AS INTEGER) AS width, CAST(r.h AS INTEGER) AS height,
+       CAST(r.new_width AS INTEGER) AS new_width,
+       CAST(r.new_height AS INTEGER) AS new_height,
+       md5(r.hexp || ':' || CAST(r.new_width AS VARCHAR) || 'x'
+           || CAST(r.new_height AS VARCHAR)) AS resized_fp,
+       f.frames_sampled,
+       f.last_frame_idx,
+       f.first_frame_fp
+FROM r JOIN frame_rollup f ON r.doc_id = f.doc_id
 """
 
 
@@ -304,37 +225,9 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
 """
 
 
-# --- incremental_extract (P5 range predicate + A6 global max watermark) ---
-
-def incremental_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's incremental-extract pattern (etl_framework.py:
-    216-249): read the target's max watermark (global agg → driver
-    boundary), then filter the source above it. The watermark here is
-    max(ts) of the 'already loaded' first 20 days."""
-    from ..functions.dialect import epoch_us
-
-    e = load_table(spark, sf_dir, "events")
-    loaded = e.filter(
-        F.col("ts") < F.lit("2024-01-21 00:00:00").cast("timestamp_ntz")
-    )
-    last_ts = loaded.agg(F.max("ts")).collect()[0][0]
-    fresh = e.filter(F.col("ts") > F.lit(last_ts))
-    return fresh.groupBy("event_type").agg(
-        F.count("*").alias("fresh_events"),
-        F.min(epoch_us(F.col("ts"))).alias("min_ts_us"),
-        F.round(F.sum("value"), 2).alias("fresh_value"),
-    )
-
-
-INCREMENTAL_EXTRACT_SQL = """
-SELECT event_type, COUNT(*) AS fresh_events,
-       MIN(epoch_us(ts)) AS min_ts_us,
-       ROUND(SUM(value), 2) AS fresh_value
-FROM events
-WHERE ts > (SELECT MAX(ts) FROM events
-            WHERE ts < TIMESTAMP '2024-01-21 00:00:00')
-GROUP BY 1
-"""
+# incremental_extract (P5 range predicate + A6 global-max watermark
+# driver boundary) was folded into events_views.merge_upsert_events,
+# whose MERGE source is now the watermark-driven incremental slice.
 
 
 # --- star_schema_monthly (fact ↔ generated DIM_TIME join, J2/S13) ---------
@@ -343,7 +236,13 @@ def star_schema_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The warehouse path (SURVEY §3.3): events as the fact, joined to
     the generated calendar dimension on the surrogate ``time_key``
     (snowflake_pipeline.py:305-345), rolled up by month attributes.
-    The dim side is generated, bounded (366 rows), and broadcast."""
+    The dim side is generated, bounded (366 rows), and broadcast.
+
+    The final aggregation runs as a ROLLUP (grouping sets — beyond the
+    reference, SURVEY §2.4 note), emitting month-level and grand totals
+    alongside the (month, weekend) cells; formerly the separate
+    ``daily_rollup_totals`` query, folded here so the catalog fits the
+    driver's 50-query check window."""
     from ..functions.dialect import day_name, month_name, time_key
 
     e = load_table(spark, sf_dir, "events")
@@ -364,10 +263,20 @@ def star_schema_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         fact.join(F.broadcast(dim_time), "time_key")
-        .groupBy("month_name", "is_weekend")
+        .rollup("month_name", "is_weekend")
         .agg(
             F.count("*").alias("events_cnt"),
             F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        # Nullable BOOLEAN outputs hash differently across engines once
+        # ROLLUP introduces NULLs (Spark pandas: None in an object
+        # column; DuckDB .df(): float nan) — emit the flag as a
+        # nullable INT, which both engines render as float64/NaN.
+        .select(
+            "month_name",
+            F.col("is_weekend").cast("int").alias("is_weekend"),
+            "events_cnt",
+            "total_value",
         )
     )
 
@@ -382,52 +291,16 @@ fact AS (
   SELECT CAST(year(ts) * 10000 + month(ts) * 100 + day(ts) AS INTEGER) AS time_key,
          event_type, value
   FROM events)
-SELECT d.month_name, d.is_weekend,
+SELECT d.month_name, CAST(d.is_weekend AS INTEGER) AS is_weekend,
        COUNT(*) AS events_cnt,
        ROUND(SUM(f.value), 2) AS total_value
 FROM fact f JOIN dim_time d ON f.time_key = d.time_key
-GROUP BY 1, 2
+GROUP BY ROLLUP(d.month_name, d.is_weekend)
 """
 
 
-# --- orders_above_segment_avg (correlated subquery → window rewrite) ------
-
-def orders_above_segment_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated-subquery shape ('orders above their segment's average
-    price') rewritten as a window aggregate — one shuffle instead of a
-    per-row subquery. The window average is round(sum)/count so both
-    engines compare against the identical threshold double."""
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    joined = orders.join(
-        cust.select("c_custkey", "c_mktsegment"),
-        orders.o_custkey == F.col("c_custkey"),
-    )
-    w = Window.partitionBy("c_mktsegment")
-    seg_avg = F.round(F.sum("o_totalprice").over(w), 2) / F.count("*").over(w)
-    return (
-        joined.withColumn("segment_avg", seg_avg)
-        .filter(F.col("o_totalprice") > F.col("segment_avg"))
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count("*").alias("above_avg_orders"),
-            F.round(F.max("o_totalprice"), 2).alias("max_price"),
-        )
-    )
-
-
-ORDERS_ABOVE_SEGMENT_AVG_SQL = """
-WITH joined AS (
-  SELECT o.o_totalprice, c.c_mktsegment,
-         ROUND(SUM(o.o_totalprice) OVER (PARTITION BY c.c_mktsegment), 2)
-           / COUNT(*) OVER (PARTITION BY c.c_mktsegment) AS segment_avg
-  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
-SELECT c_mktsegment,
-       COUNT(*) AS above_avg_orders,
-       ROUND(MAX(o_totalprice), 2) AS max_price
-FROM joined WHERE o_totalprice > segment_avg
-GROUP BY 1
-"""
+# orders_above_segment_avg (correlated subquery → window rewrite) was
+# folded into relational.segment_buyers.
 
 
 # --- party_union (set ops — beyond the reference, SURVEY §2.6 note) -------
@@ -468,37 +341,9 @@ GROUP BY 1, 2
 """
 
 
-# --- regex_token_counts (BPE-ish regex tokenization) ----------------------
-
-def regex_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting with a word/punctuation regex (the 'BPE-ish'
-    tokenizer of the north-star list) alongside whitespace counting."""
-    d = load_table(spark, sf_dir, "documents")
-    ws_tokens = F.size(F.split(F.trim("text"), r"\s+"))
-    re_tokens = F.size(F.regexp_extract_all("text", F.lit(r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"), F.lit(0)))
-    return d.groupBy("source").agg(
-        F.count("*").alias("docs"),
-        F.sum(ws_tokens).alias("ws_tokens"),
-        F.sum(re_tokens).alias("re_tokens"),
-        (F.sum(re_tokens) / F.sum(ws_tokens)).alias("ratio"),
-    )
-
-
-REGEX_TOKEN_COUNTS_SQL = r"""
-SELECT source, COUNT(*) AS docs,
-       CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS ws_tokens,
-       CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS re_tokens,
-       SUM(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')))
-         / SUM(len(string_split_regex(trim(text), '\s+'))) AS ratio
-FROM documents GROUP BY 1
-"""
-
-
-# --- simhash_pairs (rows-only; hash-function-specific) --------------------
-
-def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return simhash_candidates(docs, max_hamming=3)
+# regex_token_counts (BPE-ish regex tokenization) was folded into
+# llm_ops.doc_token_stats; simhash_pairs was folded into
+# llm_ops.hash_dedup_candidates (stacked with the MinHash candidates).
 
 
 QUERIES: dict[str, QuerySpec] = {
@@ -507,48 +352,20 @@ QUERIES: dict[str, QuerySpec] = {
         CLEAN_STANDARDIZE_CUSTOMERS_SQL,
         "trim / empty→NULL / upper / IPv4 validation (F2-F5)",
     ),
-    "value_percentiles": QuerySpec(
-        value_percentiles, VALUE_PERCENTILES_SQL, "exact interpolated percentiles"
-    ),
-    "lang_id_confusion": QuerySpec(
-        lang_id_confusion, LANG_ID_CONFUSION_SQL, "corpus-trained unigram language ID"
-    ),
-    "multimodal_decode_stats": QuerySpec(
-        multimodal_decode_stats,
-        MULTIMODAL_DECODE_STATS_SQL,
-        "binary media column + mapInPandas decode stub",
-    ),
-    "multimodal_frame_samples": QuerySpec(
-        multimodal_frame_samples,
-        MULTIMODAL_FRAME_SAMPLES_SQL,
-        "uniform-stride frame sampling (1→N mapInPandas explode)",
-    ),
-    "multimodal_resize_dims": QuerySpec(
-        multimodal_resize_dims,
-        MULTIMODAL_RESIZE_DIMS_SQL,
-        "aspect-preserving fit-to-box resize, integer-exact dims",
-    ),
-    "simhash_pairs": QuerySpec(
-        simhash_pairs, None, "SimHash near-dup candidates (rows-only)"
+    "multimodal_pipeline": QuerySpec(
+        multimodal_pipeline,
+        MULTIMODAL_PIPELINE_SQL,
+        "binary media → mapInPandas decode + resize + frame sampling",
     ),
     "user_value_timeline": QuerySpec(
         user_value_timeline, USER_VALUE_TIMELINE_SQL, "lead/dense_rank/first_value (W6)"
     ),
-    "incremental_extract": QuerySpec(
-        incremental_extract, INCREMENTAL_EXTRACT_SQL, "watermark-driven incremental read (P5+A6)"
-    ),
     "star_schema_monthly": QuerySpec(
-        star_schema_monthly, STAR_SCHEMA_MONTHLY_SQL, "fact ↔ generated DIM_TIME join (J2+S13)"
-    ),
-    "orders_above_segment_avg": QuerySpec(
-        orders_above_segment_avg,
-        ORDERS_ABOVE_SEGMENT_AVG_SQL,
-        "correlated subquery → window rewrite",
+        star_schema_monthly,
+        STAR_SCHEMA_MONTHLY_SQL,
+        "fact ↔ generated DIM_TIME join (J2+S13) + ROLLUP grouping sets",
     ),
     "party_union": QuerySpec(
         party_union, PARTY_UNION_SQL, "unionByName set op + dim join"
-    ),
-    "regex_token_counts": QuerySpec(
-        regex_token_counts, REGEX_TOKEN_COUNTS_SQL, "regex (BPE-ish) tokenization"
     ),
 }

@@ -12,9 +12,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import exact_dedup_groups, minhash_lsh_candidates
+from ..operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_candidates,
+    simhash_candidates,
+)
 from ..operators.similarity import cosine_topk, label_centroid_norms
-from ..operators.text import add_text_features, doc_fingerprint, ngram_jaccard_pairs
+from ..operators.text import (
+    add_text_features,
+    fingerprint_col,
+    ngram_jaccard_pairs,
+    predict_language,
+    rolling_hash_col,
+)
 from ..sources.readers import load_table
 from .catalog import QuerySpec
 
@@ -27,29 +37,30 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
-# --- exact dedup ----------------------------------------------------------
+# --- token statistics (incl. BPE-ish regex tokenization, folded from
+# the former regex_token_counts query) -------------------------------------
 
-def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return exact_dedup_groups(_docs(spark, sf_dir), "text", "doc_id")
+_RE_TOKEN_PATTERN = r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"
 
-
-DEDUP_EXACT_DOCS_SQL = """
-SELECT md5(text) AS text_hash, COUNT(*) AS dup_count,
-       MIN(doc_id) AS canonical_doc_id
-FROM documents GROUP BY 1
-"""
-
-
-# --- token statistics -----------------------------------------------------
 
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token stats: whitespace tokens AND the
+    word/punctuation regex tokenizer (the 'BPE-ish' tokenizer of the
+    north-star list; formerly the separate ``regex_token_counts``
+    query, folded here so the catalog fits the driver's 50-query
+    check window)."""
     d = _docs(spark, sf_dir)
     n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    re_tokens = F.size(
+        F.regexp_extract_all("text", F.lit(_RE_TOKEN_PATTERN), F.lit(0))
+    )
     return d.groupBy("lang").agg(
         F.count("*").alias("docs"),
         (F.sum(n_tokens) / F.count("*")).alias("avg_tokens"),
         F.max(n_tokens).alias("max_tokens"),
         (F.sum("n_chars") / F.count("*")).alias("avg_chars"),
+        F.sum(re_tokens).alias("re_tokens"),
+        (F.sum(re_tokens) / F.sum(n_tokens)).alias("re_ws_ratio"),
     )
 
 
@@ -57,68 +68,113 @@ DOC_TOKEN_STATS_SQL = r"""
 SELECT lang, COUNT(*) AS docs,
        SUM(len(string_split_regex(trim(text), '\s+'))) / COUNT(*) AS avg_tokens,
        CAST(MAX(len(string_split_regex(trim(text), '\s+'))) AS INTEGER) AS max_tokens,
-       SUM(n_chars) / COUNT(*) AS avg_chars
+       SUM(n_chars) / COUNT(*) AS avg_chars,
+       CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS re_tokens,
+       SUM(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')))
+         / SUM(len(string_split_regex(trim(text), '\s+'))) AS re_ws_ratio
 FROM documents GROUP BY lang
 """
 
 
-# --- per-doc quality features ----------------------------------------------
+# --- per-doc quality features + language ID --------------------------------
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return add_text_features(_docs(spark, sf_dir))
+    """Per-doc quality features plus the corpus-trained unigram
+    language ID (operators/text.py::predict_language — formerly the
+    separate ``lang_id_confusion`` query; the per-doc (lang,
+    predicted_lang) columns carry strictly more information than the
+    confusion matrix they replace)."""
+    d = _docs(spark, sf_dir)
+    pred = predict_language(d)
+    return (
+        add_text_features(d)
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .join(pred, "doc_id")
+    )
 
 
 TEXT_QUALITY_SQL = r"""
-SELECT doc_id,
-       CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
-       CAST(length(text) AS INTEGER) AS n_chars_measured,
-       length(regexp_replace(text, '\s+', '', 'g'))
-             / len(string_split_regex(trim(text), '\s+')) AS avg_token_len,
-       (length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')))
-             / CAST(length(text) AS DOUBLE) AS vowel_ratio,
-       CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 60
-                 AND (length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')))
-                           / CAST(length(text) AS DOUBLE) > 0.25 THEN 'high'
-            WHEN len(string_split_regex(trim(text), '\s+')) >= 30 THEN 'medium'
-            ELSE 'low' END AS quality
-FROM documents
+WITH words AS (
+  SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\s+')) AS w
+  FROM documents),
+counts AS (SELECT lang, w, COUNT(*) AS cnt FROM words GROUP BY 1, 2),
+profile AS (
+  SELECT lang AS cand_lang, w FROM (
+    SELECT lang, w, ROW_NUMBER() OVER (
+        PARTITION BY lang ORDER BY cnt DESC, w) AS rk
+    FROM counts) WHERE rk <= 20),
+doc_words AS (SELECT DISTINCT doc_id, w FROM words),
+overlap AS (
+  SELECT d.doc_id, p.cand_lang, COUNT(*) AS overlap
+  FROM doc_words d JOIN profile p ON d.w = p.w
+  GROUP BY 1, 2),
+pred AS (
+  SELECT doc_id, cand_lang AS predicted_lang FROM (
+    SELECT doc_id, cand_lang, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY overlap DESC, cand_lang) AS prk
+    FROM overlap) WHERE prk = 1)
+SELECT d.doc_id,
+       CAST(len(string_split_regex(trim(d.text), '\s+')) AS INTEGER) AS n_tokens,
+       CAST(length(d.text) AS INTEGER) AS n_chars_measured,
+       length(regexp_replace(d.text, '\s+', '', 'g'))
+             / len(string_split_regex(trim(d.text), '\s+')) AS avg_token_len,
+       (length(d.text) - length(regexp_replace(d.text, '[aeiou]', '', 'g')))
+             / CAST(length(d.text) AS DOUBLE) AS vowel_ratio,
+       CASE WHEN len(string_split_regex(trim(d.text), '\s+')) >= 60
+                 AND (length(d.text) - length(regexp_replace(d.text, '[aeiou]', '', 'g')))
+                           / CAST(length(d.text) AS DOUBLE) > 0.25 THEN 'high'
+            WHEN len(string_split_regex(trim(d.text), '\s+')) >= 30 THEN 'medium'
+            ELSE 'low' END AS quality,
+       d.lang,
+       p.predicted_lang
+FROM documents d JOIN pred p ON d.doc_id = p.doc_id
 """
 
 
-# --- content fingerprint ----------------------------------------------------
+# --- exact dedup + content fingerprints (one per-doc surface) --------------
 
-def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return doc_fingerprint(_docs(spark, sf_dir))
+def doc_dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc dedup + fingerprint surface (formerly the separate
+    ``dedup_exact_docs`` / ``doc_fingerprints`` / ``rolling_fingerprints``
+    queries, folded so the catalog fits the driver's 50-query check
+    window): exact hash-groupBy duplicate groups
+    (:func:`..operators.dedup.exact_dedup_groups`) re-attached per doc,
+    the order-insensitive shingle-set md5, and the order-sensitive
+    Rabin–Karp rolling hash — all three per-row expressions computed in
+    ONE scan; the group stats join is AQE-broadcast (group table ≤ one
+    row per distinct content)."""
+    d = _docs(spark, sf_dir)
+    groups = exact_dedup_groups(d, "text", "doc_id")
+    per_doc = d.select(
+        "doc_id",
+        F.md5("text").alias("text_hash"),
+        fingerprint_col("text").alias("fingerprint"),
+        rolling_hash_col("text").alias("rhash"),
+    )
+    return per_doc.join(groups, "text_hash").select(
+        "doc_id", "text_hash", "dup_count", "canonical_doc_id",
+        "fingerprint", "rhash",
+    )
 
 
-DOC_FINGERPRINTS_SQL = """
-SELECT doc_id,
+DOC_DEDUP_FINGERPRINTS_SQL = """
+WITH groups AS (
+  SELECT md5(text) AS text_hash, COUNT(*) AS dup_count,
+         MIN(doc_id) AS canonical_doc_id
+  FROM documents GROUP BY 1)
+SELECT d.doc_id, md5(d.text) AS text_hash, g.dup_count, g.canonical_doc_id,
        md5(array_to_string(list_sort(list_distinct(
-         list_transform(generate_series(1, greatest(length(text) - 2, 1)),
-                        i -> substr(text, CAST(i AS INTEGER), 3)))), '')) AS fingerprint
-FROM documents
-"""
-
-
-# --- rolling-hash fingerprints (order-sensitive, integer-exact) --------------
-
-def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.text import rolling_fingerprint
-
-    return rolling_fingerprint(_docs(spark, sf_dir))
-
-
-ROLLING_FINGERPRINTS_SQL = """
-SELECT doc_id,
-       CASE WHEN text IS NULL THEN NULL
-            WHEN length(text) > 0 THEN
+         list_transform(generate_series(1, greatest(length(d.text) - 2, 1)),
+                        i -> substr(d.text, CAST(i AS INTEGER), 3)))), '')) AS fingerprint,
+       CASE WHEN d.text IS NULL THEN NULL
+            WHEN length(d.text) > 0 THEN
          list_reduce(
            list_prepend(CAST(0 AS BIGINT),
-             list_transform(generate_series(1, length(text)),
-               i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
+             list_transform(generate_series(1, length(d.text)),
+               i -> CAST(ascii(substr(d.text, CAST(i AS INTEGER), 1)) AS BIGINT))),
            (a, x) -> (a * 131 + x) % 1000000000000000)
        ELSE 0 END AS rhash
-FROM documents
+FROM documents d JOIN groups g ON md5(d.text) = g.text_hash
 """
 
 
@@ -156,22 +212,36 @@ WHERE rk <= 50
 """
 
 
-# --- MinHash + LSH (scale path; rows-only check) ------------------------------
+# --- MinHash/SimHash LSH candidates (scale path; rows-only check) ---------
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_lsh_candidates(_docs(spark, sf_dir), min_est_jaccard=0.2)
+def hash_dedup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both hash-sketch near-dup candidate generators in one output,
+    stacked by ``method`` (formerly the separate ``minhash_lsh_pairs``
+    and ``simhash_pairs`` queries, folded so the catalog fits the
+    driver's 50-query check window):
 
+    * ``minhash``: MinHash signatures + LSH banding, score =
+      estimated Jaccard (``min_est_jaccard=0.2``),
+    * ``simhash``: 64-bit SimHash + pigeonhole chunk banding, score =
+      Hamming distance (``max_hamming=3``).
 
-def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed near-dup pairs over embeddings — the
-    sub-quadratic approximate companion to ``embedding_cosine_pairs``
-    (rows-only: bucket membership depends on the seeded hyperplanes, so
-    the pair *set* is not SQL-expressible; every emitted cosine IS
-    exact, which tests/test_similarity.py checks against the exact
-    operator)."""
-    from ..operators.similarity import lsh_cosine_pairs
-
-    return lsh_cosine_pairs(_emb(spark, sf_dir), threshold=0.4, dim=64)
+    Rows-only: both candidate sets are hash-function-specific; the
+    exact companion ``ngram_jaccard_top_pairs`` IS oracle-checked and
+    validates the same near-dup semantics."""
+    d = _docs(spark, sf_dir)
+    mh = minhash_lsh_candidates(d, min_est_jaccard=0.2).select(
+        F.lit("minhash").alias("method"),
+        "id_a",
+        "id_b",
+        F.col("est_jaccard").cast("double").alias("score"),
+    )
+    sh = simhash_candidates(d, max_hamming=3).select(
+        F.lit("simhash").alias("method"),
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("double").alias("score"),
+    )
+    return mh.unionByName(sh)
 
 
 # --- vector similarity ---------------------------------------------------------
@@ -277,6 +347,33 @@ FROM reach GROUP BY 1
 """
 
 
+def embedding_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB composition for near-dup clustering: connected
+    components over ``lsh_cosine_pairs``' bucketed candidate pairs
+    instead of :func:`embedding_dedup_clusters`' exact quadratic
+    all-pairs join. Pair generation cost drops from O(B²/2) block
+    pairs to the LSH band join (only (id, band, code) triples
+    shuffle); every surviving pair's cosine is exactly verified, so
+    clusters can only ever be a REFINEMENT of the exact pipeline's —
+    no false merges — and recall of the candidate step is the sole
+    approximation. In LSH's designed operating regime (true near-dups,
+    cosine ≥ ~0.9) that recall is ≈1 and the composition reproduces
+    the exact clusters — proven by tests/test_graph.py on a corpus
+    with injected near-duplicates; at this demo threshold (0.4, chosen
+    to mirror the exact sibling on the weakly-similar synthetic
+    corpus) recall is partial, which the refinement test also pins.
+    Rows-only for the driver: the seeded hyperplanes are not
+    SQL-expressible."""
+    from ..operators.graph import connected_components
+    from ..operators.similarity import lsh_cosine_pairs
+
+    emb = _emb(spark, sf_dir)
+    pairs = lsh_cosine_pairs(emb, threshold=0.4, dim=64)
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    cc = connected_components(pairs.select("id_a", "id_b"), nodes, node_col="id")
+    return cc.select(F.col("id").alias("vec_id"), "cluster_id")
+
+
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroid_norms(_emb(spark, sf_dir))
 
@@ -296,31 +393,32 @@ FROM counts JOIN norms ON counts.label = norms.label
 
 
 QUERIES: dict[str, QuerySpec] = {
-    "dedup_exact_docs": QuerySpec(
-        dedup_exact_docs, DEDUP_EXACT_DOCS_SQL, "exact dedup via hash-groupBy"
+    "doc_dedup_fingerprints": QuerySpec(
+        doc_dedup_fingerprints,
+        DOC_DEDUP_FINGERPRINTS_SQL,
+        "exact hash-groupBy dedup + shingle-set md5 + Rabin-Karp "
+        "rolling hash, per doc",
     ),
     "doc_token_stats": QuerySpec(
-        doc_token_stats, DOC_TOKEN_STATS_SQL, "token counting per language"
+        doc_token_stats,
+        DOC_TOKEN_STATS_SQL,
+        "whitespace + BPE-ish regex token counting per language",
     ),
     "text_quality": QuerySpec(
-        text_quality, TEXT_QUALITY_SQL, "per-doc quality scoring"
-    ),
-    "doc_fingerprints": QuerySpec(
-        doc_fingerprints, DOC_FINGERPRINTS_SQL, "shingle-set content fingerprint"
-    ),
-    "rolling_fingerprints": QuerySpec(
-        rolling_fingerprints,
-        ROLLING_FINGERPRINTS_SQL,
-        "Rabin-Karp rolling-hash fingerprint (order-sensitive, "
-        "integer-exact fold)",
+        text_quality,
+        TEXT_QUALITY_SQL,
+        "per-doc quality scoring + corpus-trained language ID",
     ),
     "ngram_jaccard_top_pairs": QuerySpec(
         ngram_jaccard_top_pairs,
         NGRAM_JACCARD_TOP_PAIRS_SQL,
         "exact word-3gram Jaccard near-dup pairs",
     ),
-    "minhash_lsh_pairs": QuerySpec(
-        minhash_lsh_pairs, None, "MinHash+LSH candidates (scale path; rows-only)"
+    "hash_dedup_candidates": QuerySpec(
+        hash_dedup_candidates,
+        None,
+        "MinHash-LSH + SimHash near-dup candidates (scale paths; "
+        "rows-only), stacked by method",
     ),
     "ann_cosine_topk": QuerySpec(
         ann_cosine_topk, ANN_COSINE_TOPK_SQL, "brute-force cosine top-k"
@@ -330,11 +428,11 @@ QUERIES: dict[str, QuerySpec] = {
         EMBEDDING_COSINE_PAIRS_SQL,
         "exact all-pairs cosine near-dup via distributed block-pair matmul",
     ),
-    "embedding_lsh_pairs": QuerySpec(
-        embedding_lsh_pairs,
+    "embedding_dedup_clusters_lsh": QuerySpec(
+        embedding_dedup_clusters_lsh,
         None,
-        "hyperplane-LSH bucketed near-dup pairs (approximate scale "
-        "path; rows-only — seeded hyperplanes are not SQL-expressible)",
+        "connected components over hyperplane-LSH candidate pairs — "
+        "the 100 TB dedup-clustering composition (rows-only)",
     ),
     "ann_ivf_topk": QuerySpec(
         ann_ivf_topk_query,

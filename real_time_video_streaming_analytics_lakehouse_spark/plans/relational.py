@@ -237,20 +237,64 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 # --- segment_buyers (semi join + groupBy) --------------------------------
 
 def segment_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment buyer stats: semi-join buyer counts PLUS the
+    correlated-subquery shape ('orders above their segment's average
+    price') rewritten as a window aggregate — one shuffle instead of a
+    per-row subquery (formerly the separate ``orders_above_segment_avg``
+    query, folded here so the catalog fits the driver's 50-query check
+    window). The window average divides an exact decimal-grid sum by
+    the count, so both engines compare against the identical threshold
+    double."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
-    return (
+    buyers = (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("customers_with_orders"))
     )
+    joined = orders.join(
+        cust.select("c_custkey", "c_mktsegment"),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    w = Window.partitionBy("c_mktsegment")
+    # money_sum's shape, windowed: exact decimal SUM over the partition,
+    # cast to double once (over() must wrap the SUM itself).
+    seg_avg = (
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).over(w).cast("double")
+        / F.count("*").over(w)
+    )
+    above = (
+        joined.withColumn("segment_avg", seg_avg)
+        .filter(F.col("o_totalprice") > F.col("segment_avg"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("above_avg_orders"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+    return buyers.join(above, "c_mktsegment")
 
 
 SEGMENT_BUYERS_SQL = """
-SELECT c_mktsegment, COUNT(*) AS customers_with_orders
-FROM customer c
-WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-GROUP BY 1
+WITH buyers AS (
+  SELECT c_mktsegment, COUNT(*) AS customers_with_orders
+  FROM customer c
+  WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  GROUP BY 1),
+joined AS (
+  SELECT o.o_totalprice, c.c_mktsegment,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,2)))
+              OVER (PARTITION BY c.c_mktsegment) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY c.c_mktsegment) AS segment_avg
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+above AS (
+  SELECT c_mktsegment,
+         COUNT(*) AS above_avg_orders,
+         ROUND(MAX(o_totalprice), 2) AS max_price
+  FROM joined WHERE o_totalprice > segment_avg
+  GROUP BY 1)
+SELECT b.c_mktsegment, b.customers_with_orders, a.above_avg_orders, a.max_price
+FROM buyers b JOIN above a ON b.c_mktsegment = a.c_mktsegment
 """
 
 

@@ -1,4 +1,5 @@
-"""Connected-components unit tests: chain, cycle, singleton."""
+"""Connected-components unit tests: chain, cycle, singleton, and the
+LSH-composed scale path vs the exact pipeline."""
 
 from __future__ import annotations
 
@@ -26,3 +27,93 @@ def test_connected_components_chain_cycle_singleton(spark):
         for r in connected_components(edges, nodes).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4, 7: 7}
+
+
+def test_lsh_composed_clusters_refine_exact(spark):
+    """CC over LSH candidate pairs (catalog ``embedding_dedup_clusters_lsh``)
+    can only MERGE what the exact pipeline merges — cosines are exactly
+    verified, so any two vectors the LSH path puts in one cluster must
+    share an exact cluster too (no false merges, at any threshold)."""
+    from real_time_video_streaming_analytics_lakehouse_spark.plans import CATALOG
+
+    from .conftest import SF_DIR
+
+    lsh = {
+        r["vec_id"]: r["cluster_id"]
+        for r in CATALOG["embedding_dedup_clusters_lsh"].fn(
+            spark, SF_DIR
+        ).collect()
+    }
+    exact = {
+        r["vec_id"]: r["cluster_id"]
+        for r in CATALOG["embedding_dedup_clusters"].fn(spark, SF_DIR).collect()
+    }
+    assert lsh.keys() == exact.keys()
+    by_lsh_cluster: dict[int, list[int]] = {}
+    for vec, cl in lsh.items():
+        by_lsh_cluster.setdefault(cl, []).append(vec)
+    for members in by_lsh_cluster.values():
+        assert len({exact[m] for m in members}) == 1, (
+            f"LSH falsely merged vectors across exact clusters: {members}"
+        )
+
+
+def test_lsh_composed_clusters_match_exact_in_near_dup_regime(spark):
+    """In LSH's designed operating regime — true near-duplicates,
+    cosine ≥ ~0.9 — candidate recall is ≈1 and the scale composition
+    (CC over lsh_cosine_pairs) reproduces the exact pipeline's clusters
+    bit-for-bit. The synthetic corpus has no near-dups (max pairwise
+    cosine ≈ 0.51), so inject them: 40 vectors get a deterministic
+    tiny-noise copy (cosine ≥ 0.99), everything is seeded, and the
+    assertion is deterministic."""
+    import numpy as np
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.graph import (
+        connected_components,
+    )
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.similarity import (
+        cosine_pairs,
+        lsh_cosine_pairs,
+    )
+    from real_time_video_streaming_analytics_lakehouse_spark.sources.readers import (
+        load_table,
+    )
+
+    from .conftest import SF_DIR
+
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    rng = np.random.RandomState(7)
+    base = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.limit(40).collect()}
+    dups = [
+        (int(vec_id) + 100_000,
+         [float(x) for x in v + rng.normal(0, 0.01, size=v.shape)])
+        for vec_id, v in base.items()
+    ]
+    corpus = emb.unionByName(
+        spark.createDataFrame(dups, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    )
+    nodes = corpus.select(F.col("vec_id").alias("id"))
+    exact_cc = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(
+            cosine_pairs(corpus, threshold=0.9).select("id_a", "id_b"),
+            nodes,
+            node_col="id",
+        ).collect()
+    }
+    lsh_cc = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(
+            lsh_cosine_pairs(
+                corpus, threshold=0.9, num_hyperplanes=128, num_bands=16
+            ).select("id_a", "id_b"),
+            nodes,
+            node_col="id",
+        ).collect()
+    }
+    # sanity: the injected dups really did form non-trivial clusters
+    assert sum(1 for v, c in exact_cc.items() if v != c) >= 40
+    assert lsh_cc == exact_cc

@@ -44,12 +44,12 @@ def test_no_unbounded_driver_collect_at_construction(spark):
     """Guard against driver-side corpus materialization (round-1's
     cosine_pairs collected the whole embedding table): constructing ANY
     catalog query must not call DataFrame.collect()/toPandas(), except
-    the two documented bounded reads — incremental_extract's 1-row
+    the two documented bounded reads — merge_upsert_events' 1-row
     watermark and ann_ivf_topk's capped k-means sample."""
     import pyspark.sql
 
     ALLOWED_BOUNDED = {
-        "incremental_extract": 1,      # watermark read: exactly 1 row
+        "merge_upsert_events": 1,      # watermark read: exactly 1 row
         "ann_ivf_topk": 4096,          # sample collect: capped by limit()
     }
 

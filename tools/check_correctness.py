@@ -135,13 +135,20 @@ def _dtype_kind(series) -> str:
         return "float"
     if pd.api.types.is_datetime64_any_dtype(series):
         return "temporal"
-    probe = next((v for v in series if v is not None), None)
+    def _is_null(v) -> bool:
+        import math
+
+        return v is None or (isinstance(v, float) and math.isnan(v))
+
+    probe = next((v for v in series if not _is_null(v)), None)
     import datetime
 
     if isinstance(probe, (datetime.date, datetime.datetime)):
         return "temporal"
     if isinstance(probe, (list, tuple, set, dict)) or type(probe).__name__ == "ndarray":
         return "unhashable"
+    if isinstance(probe, bool):  # before int: bool is an int subclass
+        return "bool"
     if isinstance(probe, float):
         return "float"
     if isinstance(probe, int):
@@ -175,6 +182,30 @@ def driver_view_problems(spark_pdf, oracle_pdf) -> list[str]:
                 f"{spark_pdf[col].dtype}) vs {ok} (oracle, "
                 f"{oracle_pdf[col].dtype}) — driver hashes these differently"
             )
+            continue
+        if str(spark_pdf[col].dtype) == "object" and str(
+            oracle_pdf[col].dtype
+        ) == "object":
+            # Same kind, but object columns can still disagree on the
+            # NULL representation: Spark's toPandas uses None while
+            # DuckDB's .df() uses float nan (seen on nullable BOOLEAN)
+            # — those hash differently too.
+            import math
+
+            def null_reprs(series):
+                return {
+                    "nan" if isinstance(v, float) and math.isnan(v) else "none"
+                    for v in series
+                    if v is None or (isinstance(v, float) and math.isnan(v))
+                }
+
+            sn, on = null_reprs(spark_pdf[col]), null_reprs(oracle_pdf[col])
+            if sn != on:
+                problems.append(
+                    f"col {col}: object-column NULLs differ — spark "
+                    f"{sorted(sn)} vs oracle {sorted(on)} (None vs nan "
+                    "hash differently)"
+                )
     return problems
 
 
