@@ -8,6 +8,13 @@ Each query is fully materialized through the ``noop`` sink (forces
 execution of every operator, no driver-side collect skew). One warm-up
 run of a small query absorbs JVM/codegen startup so per-query numbers
 reflect steady-state execution.
+
+Per-query times are the MIN over ``$SPARK_GRAFT_BENCH_RUNS`` (default
+3) full passes: round-2 showed host-load noise swinging unchanged
+relational queries 3-7x run-to-run, which buried real regressions —
+min-of-N is the standard load-noise filter (the minimum is the run
+least disturbed by the host). The JSON carries ``runs`` so rounds stay
+comparable.
 """
 
 from __future__ import annotations
@@ -34,17 +41,22 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
-    for name, spec in sorted(CATALOG.items()):
-        start = time.perf_counter()
-        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+    for run in range(n_runs):
+        for name, spec in sorted(CATALOG.items()):
+            start = time.perf_counter()
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            elapsed = round(time.perf_counter() - start, 3)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
 
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "catalog_total_wall_clock",
         "value": total,
         "unit": "sec",
+        "runs": n_runs,
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

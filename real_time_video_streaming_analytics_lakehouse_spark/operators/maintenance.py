@@ -61,7 +61,17 @@ def compact_partitions(
             for f in __import__("pathlib").Path(tgt).rglob("*.parquet")
         )
         n_files = max(1, size_bytes // (target_file_mb * 1024 * 1024))
-        tmp = tgt.rstrip("/") + "__compacting"
+        # The tmp dir must be INVISIBLE to Spark partition discovery if
+        # a crash leaves it behind: leading "_" and no "=" in the name
+        # (a `day=X__compacting` sibling inside the table root would
+        # parse as a phantom partition and can double-read or flip the
+        # inferred partition type — see util.atomic_swap_dir's aside
+        # naming and the listing-filter rule it documents).
+        clean = tgt.rstrip("/")
+        tmp = os.path.join(
+            os.path.dirname(clean),
+            "_" + os.path.basename(clean).replace("=", "~") + "__compacting",
+        )
         df.coalesce(int(n_files)).write.format(fmt).mode("overwrite").save(
             tmp
         )

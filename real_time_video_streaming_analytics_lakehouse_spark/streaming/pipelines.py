@@ -304,7 +304,12 @@ def run_merge_stream(
     from ..operators.util import atomic_swap_dir, require_local_dir
 
     spark = result.sparkSession
-    require_local_dir(target_path)
+    # Use the NORMALIZED path everywhere below: require_local_dir
+    # accepts file:// URIs and returns the stripped local path —
+    # os.path.exists on the raw URI is always False, which would send
+    # every micro-batch down the "first batch" overwrite path and
+    # silently discard previously merged keys.
+    target_path = require_local_dir(target_path)
 
     def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
         import os

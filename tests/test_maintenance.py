@@ -174,3 +174,28 @@ def test_compact_single_partition_leaves_others_untouched(spark, tmp_path):
     assert os.stat(sorted(glob.glob(f"{p2}/*.parquet"))[0]).st_ino == inode_p2
     # data intact (partition col comes from dir name on read)
     assert spark.read.parquet(path).count() == 100
+
+
+def test_compaction_crash_leftover_tmp_is_invisible_to_spark(spark, tmp_path):
+    """A crash between the compaction write and the swap leaves the tmp
+    dir behind INSIDE the table root (per-partition compaction writes a
+    sibling of the partition dir). Its name must be '_'-prefixed with
+    no '=' so Spark's listing filter ignores it — a 'day=X__compacting'
+    name would parse as a phantom partition (duplicate rows / partition
+    type flip)."""
+    path = str(tmp_path / "crashcomp")
+    spark.createDataFrame(
+        [Row(k=i, day="2024-01-01" if i % 2 else "2024-01-02")
+         for i in range(40)]
+    ).repartition(2).write.partitionBy("day").parquet(path)
+    # Reproduce the exact tmp location/name compact_partitions uses for
+    # partitions=["day=2024-01-01"], holding a full copy of the data:
+    tmp = os.path.join(path, "_day~2024-01-01__compacting")
+    spark.read.parquet(f"{path}/day=2024-01-01").coalesce(1).write.parquet(tmp)
+    got = spark.read.parquet(path)
+    assert got.count() == 40  # no duplicate rows from the leftover
+    # partition values stay the two real days (inferred as DATE);
+    # a phantom-partition parse would have errored or changed the set
+    assert {str(r["day"]) for r in got.select("day").distinct().collect()} == {
+        "2024-01-01", "2024-01-02"
+    }

@@ -146,6 +146,35 @@ def test_run_merge_stream_upserts_per_batch(spark, tmp_path):
     assert out == {1: ("click", 10.0), 2: ("view", 2.0), 3: ("view", 3.0)}
 
 
+def test_run_merge_stream_accepts_file_uri_target(spark, tmp_path):
+    """A file:// target URI must behave identically to a plain path:
+    the sink normalizes it before its os.path.exists checks, so batch 2
+    MERGES into batch 1's keys instead of silently taking the
+    first-batch overwrite path every time."""
+    src_dir = str(tmp_path / "uri_src")
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    batches = [
+        [Row(event_id=1, ts=t, user_id=1, event_type="view", value=1.0)],
+        [Row(event_id=2, ts=t, user_id=2, event_type="view", value=2.0)],
+    ]
+    for i, rows in enumerate(batches):
+        before = set(glob.glob(f"{src_dir}/*.parquet"))
+        spark.createDataFrame(rows).coalesce(1).write.mode("append").parquet(src_dir)
+        for f in set(glob.glob(f"{src_dir}/*.parquet")) - before:
+            os.utime(f, (1700000000 + i * 100, 1700000000 + i * 100))
+    src = stream_events_from_files(
+        spark, src_dir, spark.read.parquet(src_dir).schema, max_files_per_trigger=1
+    )
+    q = run_merge_stream(
+        src, f"file://{tmp_path}/uri_target", f"{tmp_path}/uri_ckpt",
+        keys=["event_id"], precedence_col="ts",
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(f"{tmp_path}/uri_target").collect()
+    # both batches' keys survive — batch 2 merged, not overwrote
+    assert sorted(r["event_id"] for r in rows) == [1, 2]
+
+
 def test_late_data_dropped_after_watermark(spark, tmp_path):
     """Rows older than the current watermark are dropped (T1/T3).
 
