@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.dialect import epoch_us
+from ..functions.dialect import epoch_us, money_sum
 
 
 def gap_sessionize(
@@ -62,6 +62,6 @@ def session_rollup(
         ((F.max(us) - F.min(us)) / F.lit(1_000_000)).cast("long").alias(
             "duration_sec"
         ),
-        F.round(F.sum(value_col), 2).alias("total_value"),
+        money_sum(F.col(value_col), 2).alias("total_value"),
         F.count(F.when(F.col(type_col) == "purchase", 1)).alias("purchases"),
     )

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.dialect import epoch_us, floor_div, window_start_sec
+from ..functions.dialect import epoch_us, floor_div, money_sum, window_start_sec
 from ..operators.dedup import dedup_keep_latest
 from ..operators.merge import merge_upsert
 from ..operators.quality import dq_summary
@@ -61,11 +61,9 @@ def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(
             F.when(F.col("event_type") == "purchase", F.col("user_id"))
         ).alias("purchasers"),
-        F.round(
-            F.sum(
-                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
-                    0.0
-                )
+        money_sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                0.0
             ),
             2,
         ).alias("revenue"),
@@ -83,7 +81,7 @@ SELECT CAST(ts AS DATE) AS day,
        COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
        COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS errors,
        COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS purchasers,
-       ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS revenue,
+       CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END AS DECIMAL(30,2))) AS DOUBLE) AS revenue,
        COUNT(CASE WHEN event_type = 'error' THEN 1 END) * 100.0 / COUNT(*) AS error_rate_pct
 FROM events GROUP BY 1
 """
@@ -134,11 +132,9 @@ def user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("events_cnt"),
         F.count_distinct(F.to_date("ts")).alias("active_days"),
         F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
-        F.round(
-            F.sum(
-                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
-                    0.0
-                )
+        money_sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                0.0
             ),
             2,
         ).alias("revenue"),
@@ -155,7 +151,7 @@ def user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seg.groupBy("segment").agg(
         F.count("*").alias("users"),
         (F.sum("events_cnt") / F.count("*")).alias("avg_events"),
-        (F.round(F.sum("revenue"), 2) / F.count("*")).alias("avg_revenue"),
+        (money_sum(F.col("revenue"), 2) / F.count("*")).alias("avg_revenue"),
         F.sum("purchases").alias("total_purchases"),
     )
 
@@ -165,7 +161,7 @@ WITH per_user AS (
   SELECT user_id, COUNT(*) AS events_cnt,
          COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
          COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
-         ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS revenue
+         CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END AS DECIMAL(30,2))) AS DOUBLE) AS revenue
   FROM events GROUP BY 1)
 SELECT CASE WHEN purchases >= 20 AND revenue >= 3000 THEN 'vip'
             WHEN purchases >= 5 THEN 'buyer'
@@ -173,7 +169,7 @@ SELECT CASE WHEN purchases >= 20 AND revenue >= 3000 THEN 'vip'
             ELSE 'casual' END AS segment,
        COUNT(*) AS users,
        SUM(events_cnt) / COUNT(*) AS avg_events,
-       ROUND(SUM(revenue), 2) / COUNT(*) AS avg_revenue,
+       CAST(SUM(CAST(revenue AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_revenue,
        CAST(SUM(purchases) AS BIGINT) AS total_purchases
 FROM per_user GROUP BY 1
 """
@@ -190,8 +186,8 @@ def event_type_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = e.groupBy("event_type").agg(
         F.count("*").alias("events_cnt"),
         F.count_distinct("user_id").alias("users"),
-        F.round(F.sum("value"), 2).alias("total_value"),
-        (F.round(F.sum("value"), 2) / F.count("*")).alias("avg_value"),
+        money_sum(F.col("value"), 2).alias("total_value"),
+        (money_sum(F.col("value"), 2) / F.count("*")).alias("avg_value"),
         F.percentile("value", F.lit(0.5)).alias("p50"),
         F.percentile("value", F.lit(0.95)).alias("p95"),
         F.min("value").alias("min_value"),
@@ -207,8 +203,8 @@ def event_type_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENT_TYPE_RANK_SQL = """
 WITH t AS (
   SELECT event_type, COUNT(*) AS events_cnt, COUNT(DISTINCT user_id) AS users,
-         ROUND(SUM(value), 2) AS total_value,
-         ROUND(SUM(value), 2) / COUNT(*) AS avg_value,
+         CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value,
+         CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_value,
          quantile_cont(value, 0.5) AS p50,
          quantile_cont(value, 0.95) AS p95,
          MIN(value) AS min_value,
@@ -269,12 +265,10 @@ def executive_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).agg(
             F.count("*").alias(f"{prefix}_events"),
             F.count_distinct("user_id").alias(f"{prefix}_active_users"),
-            F.round(
-                F.sum(
-                    F.when(
-                        F.col("event_type") == "purchase", F.col("value")
-                    ).otherwise(0.0)
-                ),
+            money_sum(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("value")
+                ).otherwise(0.0),
                 2,
             ).alias(f"{prefix}_revenue"),
         )
@@ -305,12 +299,12 @@ def executive_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXECUTIVE_KPIS_SQL = """
 WITH cur AS (
   SELECT COUNT(*) AS cur_events, COUNT(DISTINCT user_id) AS cur_active_users,
-         ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS cur_revenue
+         CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END AS DECIMAL(30,2))) AS DOUBLE) AS cur_revenue
   FROM events
   WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' AND ts < TIMESTAMP '2024-01-31 00:00:00'),
 prev AS (
   SELECT COUNT(*) AS prev_events, COUNT(DISTINCT user_id) AS prev_active_users,
-         ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS prev_revenue
+         CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END AS DECIMAL(30,2))) AS DOUBLE) AS prev_revenue
   FROM events
   WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-16 00:00:00')
 SELECT cur_events, prev_events, cur_active_users, prev_active_users,
@@ -330,7 +324,7 @@ def weekly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     weekly = e.groupBy(
         "event_type",
         F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
-    ).agg(F.round(F.sum("value"), 2).alias("revenue"))
+    ).agg(money_sum(F.col("value"), 2).alias("revenue"))
     w = Window.partitionBy("event_type").orderBy("week")
     prev = F.lag("revenue").over(w)
     return weekly.select(
@@ -347,7 +341,7 @@ def weekly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 WEEKLY_REVENUE_GROWTH_SQL = """
 WITH weekly AS (
   SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week,
-         ROUND(SUM(value), 2) AS revenue
+         CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS revenue
   FROM events GROUP BY 1, 2)
 SELECT event_type, week, revenue,
        LAG(revenue) OVER (PARTITION BY event_type ORDER BY week) AS prev_revenue,
@@ -448,13 +442,11 @@ def device_platform_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 err.alias("errors"),
                 (err * 100.0 / F.count("*")).alias("error_rate_pct"),
                 (views * 100.0 / F.count("*")).alias("view_rate_pct"),
-                (F.round(F.sum("value"), 2) / F.count("*")).alias("avg_value"),
-                F.round(
-                    F.sum(
-                        F.when(
-                            F.col("event_type") == "purchase", F.col("value")
-                        ).otherwise(0.0)
-                    ),
+                (money_sum(F.col("value"), 2) / F.count("*")).alias("avg_value"),
+                money_sum(
+                    F.when(
+                        F.col("event_type") == "purchase", F.col("value")
+                    ).otherwise(0.0),
                     2,
                 ).alias("revenue"),
             )
@@ -488,8 +480,8 @@ SELECT '{dim}' AS dim,
        COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS errors,
        COUNT(CASE WHEN event_type = 'error' THEN 1 END) * 100.0 / COUNT(*) AS error_rate_pct,
        COUNT(CASE WHEN event_type = 'view' THEN 1 END) * 100.0 / COUNT(*) AS view_rate_pct,
-       ROUND(SUM(value), 2) / COUNT(*) AS avg_value,
-       ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS revenue,
+       CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+       CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END AS DECIMAL(30,2))) AS DOUBLE) AS revenue,
        CASE WHEN {dim_sql} IN ({mobile_list}) THEN 1 ELSE 0 END AS is_mobile_flag
 FROM events GROUP BY 2
 """
@@ -524,11 +516,11 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     attributed = p.join(v, cond, "left_semi")
     totals = p.groupBy("user_id").agg(
         F.count("*").alias("purchases"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        money_sum(F.col("value"), 2).alias("total_value"),
     )
     attr = attributed.groupBy("user_id").agg(
         F.count("*").alias("attributed_purchases"),
-        F.round(F.sum("value"), 2).alias("attributed_value"),
+        money_sum(F.col("value"), 2).alias("attributed_value"),
     )
     return totals.join(attr, "user_id", "left_outer").select(
         "user_id",
@@ -555,11 +547,11 @@ a AS (
       AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTE)),
 totals AS (
   SELECT user_id, COUNT(*) AS purchases,
-         ROUND(SUM(value), 2) AS total_value
+         CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
   FROM p GROUP BY 1),
 attr AS (
   SELECT user_id, COUNT(*) AS attributed_purchases,
-         ROUND(SUM(value), 2) AS attributed_value
+         CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS attributed_value
   FROM a GROUP BY 1)
 SELECT totals.user_id, purchases, total_value,
        COALESCE(attributed_purchases, 0) AS attributed_purchases,
@@ -631,12 +623,10 @@ def daily_user_metrics_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(
             floor_div(epoch_us(F.col("ts")), 1_800_000_000)
         ).alias("sessions_count"),
-        F.round(
-            F.sum(
-                F.when(
-                    F.col("event_type") == "purchase", F.col("value")
-                ).otherwise(0.0)
-            ),
+        money_sum(
+            F.when(
+                F.col("event_type") == "purchase", F.col("value")
+            ).otherwise(0.0),
             2,
         ).alias("revenue"),
         F.array_sort(F.collect_set(_event_device_col())).alias(
@@ -678,7 +668,7 @@ SELECT CAST(ts AS DATE) AS day,
        COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS videos_watched,
        COUNT(DISTINCT event_type) AS unique_content_types,
        COUNT(DISTINCT epoch_us(ts) // 1800000000) AS sessions_count,
-       ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS revenue,
+       CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END AS DECIMAL(30,2))) AS DOUBLE) AS revenue,
        array_to_string(list_sort(list_distinct(list({_EVENT_DEVICE_SQL}))), '|') AS device_types,
        array_to_string(list_sort(list_distinct(list({_EVENT_COUNTRY_SQL}))), '|') AS countries,
        array_to_string(list_sort(list_distinct(list(event_type))), '|') AS event_types
@@ -728,14 +718,14 @@ def props_key_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.get_json_object("props", "$.k").cast("int")
     return e.groupBy((k % 10).alias("k_mod")).agg(
         F.count("*").alias("events_cnt"),
-        (F.round(F.sum("value"), 2) / F.count("*")).alias("avg_value"),
+        (money_sum(F.col("value"), 2) / F.count("*")).alias("avg_value"),
     )
 
 
 PROPS_KEY_DISTRIBUTION_SQL = """
 SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
        COUNT(*) AS events_cnt,
-       ROUND(SUM(value), 2) / COUNT(*) AS avg_value
+       CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_value
 FROM events GROUP BY 1
 """
 
@@ -758,7 +748,7 @@ def user_activity_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs = [
         F.count("*").alias("events_cnt"),
         F.count_distinct("user_id").alias("users"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        money_sum(F.col("value"), 2).alias("total_value"),
     ]
     tumbling = e.groupBy(
         window_start_sec("ts", 300).alias("window_start_sec"),
@@ -787,7 +777,7 @@ SELECT (epoch_us(ts) // 300000000) * 300 AS window_start_sec,
        event_type,
        COUNT(*) AS events_cnt,
        COUNT(DISTINCT user_id) AS users,
-       ROUND(SUM(value), 2) AS total_value,
+       CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value,
        'tumbling' AS window_kind
 FROM events GROUP BY 1, 2
 UNION ALL
@@ -795,7 +785,7 @@ SELECT (epoch_us(ts) // 60000000 - k) * 60 AS window_start_sec,
        event_type,
        COUNT(*) AS events_cnt,
        COUNT(DISTINCT user_id) AS users,
-       ROUND(SUM(value), 2) AS total_value,
+       CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value,
        'sliding' AS window_kind
 FROM events, unnest(generate_series(0, 4)) AS t(k)
 GROUP BY 1, 2
@@ -947,7 +937,7 @@ def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("events"),
             F.count_distinct("event_type").alias("distinct_event_types"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            money_sum(F.col("value"), 2).alias("total_value"),
             F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
                 "purchases"
             ),
@@ -982,7 +972,7 @@ SELECT user_id,
        MAX(us) + 1800000000 AS session_end_us,
        COUNT(*) AS events,
        COUNT(DISTINCT event_type) AS distinct_event_types,
-       ROUND(SUM(value), 2) AS total_value,
+       CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value,
        COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases
 FROM sess GROUP BY user_id, session_num
 """
@@ -1007,7 +997,7 @@ SELECT user_id, session_num,
        MIN(us) AS start_us,
        MAX(us) AS end_us,
        (MAX(us) - MIN(us)) // 1000000 AS duration_sec,
-       ROUND(SUM(value), 2) AS total_value,
+       CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value,
        COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases
 FROM sess GROUP BY 1, 2
 """
@@ -1032,8 +1022,17 @@ def merge_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "value", F.lit("target").alias("src")
     )
     last_ts = e.filter(F.col("ts") < split_ts).agg(F.max("ts")).collect()[0][0]
-    reprocess_from = last_ts - datetime.timedelta(days=10)
-    source = e.filter(F.col("ts") >= F.lit(reprocess_from)).select(
+    if last_ts is None:
+        # No loaded history → NULL watermark. Mirror the oracle's SQL
+        # semantics (ts >= NULL is never true): empty source, so the
+        # merge degrades to the (empty) target instead of crashing on
+        # None - timedelta.
+        source_pred = F.lit(False)
+    else:
+        source_pred = F.col("ts") >= F.lit(
+            last_ts - datetime.timedelta(days=10)
+        )
+    source = e.filter(source_pred).select(
         "event_id",
         "user_id",
         "event_type",

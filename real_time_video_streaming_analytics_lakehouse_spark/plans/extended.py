@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.dialect import money_sum
 from ..operators.multimodal import attach_fake_media
 from ..operators.transforms import clean_and_standardize
 from ..sources.readers import load_table
@@ -266,7 +267,7 @@ def star_schema_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("month_name", "is_weekend")
         .agg(
             F.count("*").alias("events_cnt"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            money_sum(F.col("value"), 2).alias("total_value"),
         )
         # Nullable BOOLEAN outputs hash differently across engines once
         # ROLLUP introduces NULLs (Spark pandas: None in an object
@@ -293,7 +294,7 @@ fact AS (
   FROM events)
 SELECT d.month_name, CAST(d.is_weekend AS INTEGER) AS is_weekend,
        COUNT(*) AS events_cnt,
-       ROUND(SUM(f.value), 2) AS total_value
+       CAST(SUM(CAST(f.value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
 FROM fact f JOIN dim_time d ON f.time_key = d.time_key
 GROUP BY ROLLUP(d.month_name, d.is_weekend)
 """
@@ -323,7 +324,7 @@ def party_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name", "party_type")
         .agg(
             F.count("*").alias("parties"),
-            F.round(F.sum("acctbal"), 2).alias("total_acctbal"),
+            money_sum(F.col("acctbal"), 2).alias("total_acctbal"),
         )
     )
 
@@ -335,7 +336,7 @@ WITH parties AS (
   UNION ALL
   SELECT s_nationkey, 'supplier', s_acctbal FROM supplier)
 SELECT n.n_name, p.party_type, COUNT(*) AS parties,
-       ROUND(SUM(p.acctbal), 2) AS total_acctbal
+       CAST(SUM(CAST(p.acctbal AS DECIMAL(30,2))) AS DOUBLE) AS total_acctbal
 FROM parties p JOIN nation n ON p.nationkey = n.n_nationkey
 GROUP BY 1, 2
 """

@@ -86,10 +86,13 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     confusion matrix they replace)."""
     d = _docs(spark, sf_dir)
     pred = predict_language(d)
+    # LEFT joins: a doc with no profile overlap (or NULL/empty text)
+    # gets predicted_lang NULL — the quality surface must still emit
+    # EVERY doc, exactly like the pre-fold per-doc query did.
     return (
         add_text_features(d)
-        .join(d.select("doc_id", "lang"), "doc_id")
-        .join(pred, "doc_id")
+        .join(d.select("doc_id", "lang"), "doc_id", "left_outer")
+        .join(pred, "doc_id", "left_outer")
     )
 
 
@@ -127,7 +130,7 @@ SELECT d.doc_id,
             ELSE 'low' END AS quality,
        d.lang,
        p.predicted_lang
-FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id
 """
 
 
@@ -151,8 +154,15 @@ def doc_dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint_col("text").alias("fingerprint"),
         rolling_hash_col("text").alias("rhash"),
     )
-    return per_doc.join(groups, "text_hash").select(
-        "doc_id", "text_hash", "dup_count", "canonical_doc_id",
+    # Null-safe join key: md5(NULL) is NULL, and NULL-text docs must
+    # still appear (grouped together), matching rolling_hash_col's
+    # documented missing≠empty semantics — a plain equi-join would
+    # silently drop every NULL-text doc.
+    joined = per_doc.join(
+        groups, per_doc.text_hash.eqNullSafe(groups.text_hash)
+    )
+    return joined.select(
+        per_doc.doc_id, per_doc.text_hash, "dup_count", "canonical_doc_id",
         "fingerprint", "rhash",
     )
 
@@ -174,7 +184,7 @@ SELECT d.doc_id, md5(d.text) AS text_hash, g.dup_count, g.canonical_doc_id,
                i -> CAST(ascii(substr(d.text, CAST(i AS INTEGER), 1)) AS BIGINT))),
            (a, x) -> (a * 131 + x) % 1000000000000000)
        ELSE 0 END AS rhash
-FROM documents d JOIN groups g ON md5(d.text) = g.text_hash
+FROM documents d JOIN groups g ON md5(d.text) IS NOT DISTINCT FROM g.text_hash
 """
 
 

@@ -272,7 +272,10 @@ def segment_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
         )
     )
-    return buyers.join(above, "c_mktsegment")
+    # LEFT join: a segment whose orders are all equal (nothing strictly
+    # above its own average) must keep its buyer count, with NULL
+    # above-avg stats — an inner join would drop the segment entirely.
+    return buyers.join(above, "c_mktsegment", "left_outer")
 
 
 SEGMENT_BUYERS_SQL = """
@@ -294,7 +297,7 @@ above AS (
   FROM joined WHERE o_totalprice > segment_avg
   GROUP BY 1)
 SELECT b.c_mktsegment, b.customers_with_orders, a.above_avg_orders, a.max_price
-FROM buyers b JOIN above a ON b.c_mktsegment = a.c_mktsegment
+FROM buyers b LEFT JOIN above a ON b.c_mktsegment = a.c_mktsegment
 """
 
 

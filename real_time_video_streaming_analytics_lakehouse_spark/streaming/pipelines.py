@@ -30,6 +30,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
+from ..functions.dialect import money_sum
+
 
 def kafka_stream(
     spark: SparkSession,
@@ -109,7 +111,7 @@ def user_activity_stream(
         .agg(
             F.count("*").alias("events_cnt"),
             F.approx_count_distinct("user_id").alias("approx_users"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            money_sum(F.col("value"), 2).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
