@@ -95,6 +95,29 @@ def test_purchase_attribution_uses_equi_join_not_nested_loop(spark):
     assert "LeftSemi" in plan  # attribution dedup stays a semi join
 
 
+def test_folded_queries_avoid_nested_loop_joins(spark):
+    """The round-3 folds added joins (buyer stats, dedup groups,
+    multimodal frame rollup, star dim): all must stay hash/broadcast
+    equi-joins — a BroadcastNestedLoopJoin over a fact table would be
+    quadratic at scale."""
+    for name in (
+        "segment_buyers",
+        "star_schema_monthly",
+        "device_platform_quality",
+        "doc_dedup_fingerprints",
+        "multimodal_pipeline",
+        "text_quality",
+    ):
+        assert "BroadcastNestedLoopJoin" not in _plan(spark, name), name
+
+
+def test_star_schema_broadcasts_generated_dim(spark):
+    """The 366-row generated calendar dim must broadcast; the events
+    fact side must never be the built side of anything."""
+    plan = _plan(spark, "star_schema_monthly")
+    assert "BroadcastHashJoin" in plan
+
+
 def test_daily_user_metrics_single_scan_single_shuffle(spark):
     """The gold rollup is one scan and one shuffle on the grouping key;
     collect_set must not introduce extra exchanges."""
