@@ -424,50 +424,53 @@ _PLATFORM_SQL = """CASE WHEN user_id % 3 = 0 THEN 'web'
 def device_platform_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V_DEVICE_ANALYTICS and V_PLATFORM_QUALITY in one output, stacked
     by ``dim`` ('device' | 'platform') — both views share the same
-    aggregation shape, so one parameterized rollup covers them (folded
-    so the catalog fits the driver's 50-query check window). Each view
-    remains fully represented: its dimension column becomes
-    ``dim_value`` and every measure of BOTH original views is computed
-    for both dimensions."""
+    aggregation shape, so one rollup covers them (folded so the catalog
+    fits the driver's 50-query check window). Each view remains fully
+    represented: its dimension column becomes ``dim_value`` and every
+    measure of BOTH original views is computed for both dimensions.
+
+    Spark-first shape: GROUPING SETS ((device), (platform)) — ONE scan
+    of events with an Expand feeding a single hash aggregate, instead
+    of a two-scan union (halves fact-table IO at scale; the dimension
+    domains are disjoint and non-null, so the active dimension of each
+    output row is just the non-null grouping column)."""
     e = _events(spark, sf_dir)
-
-    def rollup(dim: str, dim_col, mobile_vals: list[str]) -> DataFrame:
-        err = F.count(F.when(F.col("event_type") == "error", 1))
-        views = F.count(F.when(F.col("event_type") == "view", 1))
-        return (
-            e.groupBy(dim_col.alias("dim_value"))
-            .agg(
-                F.count_distinct("user_id").alias("users"),
-                F.count("*").alias("events_cnt"),
-                err.alias("errors"),
-                (err * 100.0 / F.count("*")).alias("error_rate_pct"),
-                (views * 100.0 / F.count("*")).alias("view_rate_pct"),
-                (money_sum(F.col("value"), 2) / F.count("*")).alias("avg_value"),
-                money_sum(
-                    F.when(
-                        F.col("event_type") == "purchase", F.col("value")
-                    ).otherwise(0.0),
-                    2,
-                ).alias("revenue"),
-            )
-            .select(
-                F.lit(dim).alias("dim"),
-                "dim_value",
-                "users",
-                "events_cnt",
-                "errors",
-                "error_rate_pct",
-                "view_rate_pct",
-                "avg_value",
-                "revenue",
-                F.col("dim_value").isin(*mobile_vals).cast("int").alias(
-                    "is_mobile_flag"
-                ),
-            )
+    err = F.count(F.when(F.col("event_type") == "error", 1))
+    views = F.count(F.when(F.col("event_type") == "view", 1))
+    agg = (
+        e.select("*", _device_col().alias("_device"), _platform_col().alias("_platform"))
+        .groupingSets([["_device"], ["_platform"]], "_device", "_platform")
+        .agg(
+            F.count_distinct("user_id").alias("users"),
+            F.count("*").alias("events_cnt"),
+            err.alias("errors"),
+            (err * 100.0 / F.count("*")).alias("error_rate_pct"),
+            (views * 100.0 / F.count("*")).alias("view_rate_pct"),
+            (money_sum(F.col("value"), 2) / F.count("*")).alias("avg_value"),
+            money_sum(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("value")
+                ).otherwise(0.0),
+                2,
+            ).alias("revenue"),
         )
-
-    return rollup("device", _device_col(), ["mobile", "tablet"]).unionByName(
-        rollup("platform", _platform_col(), ["ios", "android"])
+    )
+    return agg.select(
+        F.when(F.col("_device").isNotNull(), "device")
+        .otherwise("platform")
+        .alias("dim"),
+        F.coalesce("_device", "_platform").alias("dim_value"),
+        "users",
+        "events_cnt",
+        "errors",
+        "error_rate_pct",
+        "view_rate_pct",
+        "avg_value",
+        "revenue",
+        F.coalesce("_device", "_platform")
+        .isin("mobile", "tablet", "ios", "android")
+        .cast("int")
+        .alias("is_mobile_flag"),
     )
 
 
