@@ -98,8 +98,8 @@ def user_activity_stream(
     """User-activity aggregate over tumbling (default) or sliding
     windows (reference real_time_streaming.py:273-298; ``slide``
     shorter than ``window`` assigns each event to window/slide
-    overlapping windows — batch-oracled by
-    ``plans.events_views.user_activity_5min_sliding``)."""
+    overlapping windows — batch-oracled by the sliding arm of
+    ``plans.events_views.user_activity_5min``)."""
     w = (
         F.window(F.col(ts_col), window, slide)
         if slide
