@@ -204,19 +204,41 @@ def zorder_by(
 
 
 def vacuum(spark: SparkSession, path: str, retention_hours: int = 168) -> None:
-    """Delta VACUUM (delta_setup.py:548-566) — Delta-only."""
-    if not HAVE_DELTA:
-        raise NotImplementedError(
-            "VACUUM requires delta-spark (transaction log retention); "
-            "plain parquet has no stale-file concept"
-        )
-    DeltaTable.forPath(spark, path).vacuum(retention_hours)
+    """VACUUM (delta_setup.py:548-566).
+
+    Delta when installed; otherwise the native transaction log
+    (:mod:`.txlog`) provides the identical semantics — delete files
+    tombstoned longer than ``retention_hours`` ago plus crash
+    stragglers. Raises only for a plain parquet dir with NO log, where
+    "stale file" is genuinely undefined.
+    """
+    if HAVE_DELTA:
+        DeltaTable.forPath(spark, path).vacuum(retention_hours)
+        return
+    from .txlog import TxTable
+
+    if TxTable.exists(spark, path):
+        TxTable(spark, path).vacuum(retention_hours)
+        return
+    raise NotImplementedError(
+        "VACUUM needs a transaction log (Delta or txlog); plain parquet "
+        "has no stale-file concept — create the table via TxTable to "
+        "get vacuum/time-travel/CDF without delta-spark"
+    )
 
 
 def table_history(spark: SparkSession, path: str, limit: int = 20) -> DataFrame:
-    """Delta history/time-travel (delta_setup.py:568-596) — Delta-only."""
-    if not HAVE_DELTA:
-        raise NotImplementedError(
-            "history/time travel requires the Delta transaction log"
-        )
-    return DeltaTable.forPath(spark, path).history(limit)
+    """History / time travel (delta_setup.py:568-596).
+
+    Delta when installed; otherwise served from the native transaction
+    log for :class:`.txlog.TxTable` tables (same core columns).
+    """
+    if HAVE_DELTA:
+        return DeltaTable.forPath(spark, path).history(limit)
+    from .txlog import TxTable
+
+    if TxTable.exists(spark, path):
+        return TxTable(spark, path).history(limit)
+    raise NotImplementedError(
+        "history/time travel needs a transaction log (Delta or txlog)"
+    )

@@ -1,0 +1,314 @@
+"""Native transaction log: create/write/time-travel/restore/vacuum/CDF/DML.
+
+Models the reference's Delta surface (delta_setup.py:450-505 create,
+548-566 vacuum, 568-596 history/restore, 111/464 CDF, 636-702 DML)
+without delta-spark — see operators/txlog.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from real_time_video_streaming_analytics_lakehouse_spark.operators.txlog import (
+    ConcurrentWriteError,
+    TxTable,
+    VacuumedFileError,
+    _commit_path,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("day", StringType()),
+        StructField("v", IntegerType()),
+    ]
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return TxTable.create(
+        spark,
+        str(tmp_path / "t"),
+        SCHEMA,
+        partition_by=["day"],
+        properties={"delta.enableChangeDataFeed": "true"},
+    )
+
+
+def test_create_empty_with_schema_and_properties(spark, table):
+    # S8: empty create is readable, schema'd, carries properties
+    df = table.read()
+    assert df.count() == 0
+    assert df.schema == SCHEMA or set(df.columns) == {"id", "day", "v"}
+    d = table.detail()
+    assert d["numFiles"] == 0
+    assert d["partitionColumns"] == ["day"]
+    assert d["properties"]["delta.enableChangeDataFeed"] == "true"
+    assert d["latest_operation"] == "CREATE TABLE"
+    assert TxTable.exists(spark, table.root)
+
+
+def test_append_overwrite_and_time_travel(spark, table):
+    v1 = table.write(_df(spark, [(1, "a", 10), (2, "b", 20)]))
+    v2 = table.write(_df(spark, [(3, "a", 30)]))
+    assert (v1, v2) == (1, 2)
+    assert table.read().count() == 3
+    v3 = table.write(_df(spark, [(9, "c", 90)]), mode="overwrite")
+    assert sorted(r.id for r in table.read().collect()) == [9]
+    # D4 time travel: by version
+    assert sorted(r.id for r in table.read(version=2).collect()) == [1, 2, 3]
+    assert sorted(r.id for r in table.read(version=1).collect()) == [1, 2]
+    # by timestamp: the commit's own timestamp resolves to that version
+    ts2 = table.snapshot(version=2)
+    import json
+
+    with open(_commit_path(table.root, 2)) as f:
+        t2 = json.load(f)["timestamp_ms"]
+    assert sorted(
+        r.id for r in table.read(timestamp_ms=t2).collect()
+    ) == [1, 2, 3]
+    del ts2, v3
+
+
+def test_history_newest_first(spark, table):
+    table.write(_df(spark, [(1, "a", 1)]))
+    table.write(_df(spark, [(2, "b", 2)]), mode="overwrite")
+    h = table.history().collect()
+    assert [r.version for r in h] == [2, 1, 0]
+    assert h[0].operation == "OVERWRITE"
+    assert h[0].numRemovedFiles >= 1
+    assert h[-1].operation == "CREATE TABLE"
+    assert table.history(limit=1).count() == 1
+
+
+def test_restore_to_version(spark, table):
+    table.write(_df(spark, [(1, "a", 1), (2, "b", 2)]))
+    table.write(_df(spark, [(3, "c", 3)]), mode="overwrite")
+    rv = table.restore_to_version(1)
+    assert sorted(r.id for r in table.read().collect()) == [1, 2]
+    # restore is itself a commit — history preserved, not rewritten
+    assert [r.version for r in table.history().collect()][0] == rv
+    assert table.history().collect()[0].operation == "RESTORE"
+    # the overwritten version is still reachable
+    assert sorted(r.id for r in table.read(version=2).collect()) == [3]
+
+
+def test_vacuum_tombstones_then_breaks_time_travel(spark, table):
+    table.write(_df(spark, [(1, "a", 1)]))
+    table.write(_df(spark, [(2, "b", 2)]), mode="overwrite")
+    # within retention: nothing deleted
+    assert table.vacuum(retention_hours=168, dry_run=True) == []
+    doomed = table.vacuum(retention_hours=0, dry_run=True)
+    assert len(doomed) >= 1
+    assert all(os.path.exists(os.path.join(table.root, p)) for p in doomed)
+    deleted = table.vacuum(retention_hours=0)
+    assert deleted == doomed
+    assert not any(
+        os.path.exists(os.path.join(table.root, p)) for p in deleted
+    )
+    # current snapshot unaffected
+    assert table.read().count() == 1
+    # the vacuumed snapshot now raises a clear error (Delta's trade)
+    with pytest.raises(VacuumedFileError):
+        table.read(version=1).count()
+
+
+def test_vacuum_collects_crash_stragglers(spark, table):
+    table.write(_df(spark, [(1, "a", 1)]))
+    stray = os.path.join(table.root, "day=a", "part-crashed.parquet")
+    with open(stray, "wb") as f:
+        f.write(b"not really parquet")
+    os.utime(stray, (1, 1))  # ancient mtime -> past any retention
+    doomed = table.vacuum(retention_hours=1)
+    assert os.path.join("day=a", "part-crashed.parquet") in doomed
+    assert not os.path.exists(stray)
+    assert table.read().count() == 1
+
+
+def test_change_feed_insert_delete_pairs(spark, table):
+    table.write(_df(spark, [(1, "a", 1), (2, "b", 2)]))
+    table.write(_df(spark, [(3, "c", 3)]), mode="overwrite")
+    cdf = table.change_feed(from_version=1).orderBy("_commit_version", "id")
+    rows = [(r.id, r._change_type, r._commit_version) for r in cdf.collect()]
+    assert (1, "insert", 1) in rows and (2, "insert", 1) in rows
+    assert (1, "delete", 2) in rows and (2, "delete", 2) in rows
+    assert (3, "insert", 2) in rows
+    # bounded range
+    only_v1 = table.change_feed(from_version=1, to_version=1)
+    assert set(r._commit_version for r in only_v1.collect()) == {1}
+
+
+def test_delete_rewrites_only_touched_files(spark, table):
+    table.write(_df(spark, [(1, "a", 1), (2, "a", 2)]))
+    table.write(_df(spark, [(3, "b", 3)]))
+    before = table.snapshot().files
+    untouched = {p for p in before if p.startswith("day=b")}
+    table.delete(F.col("day") == "a")
+    after = table.snapshot().files
+    # day=b file survives the commit physically untouched
+    assert untouched <= set(after)
+    assert sorted(r.id for r in table.read().collect()) == [3]
+    # deleted rows still visible via time travel
+    assert table.read(version=2).count() == 3
+
+
+def test_delete_no_match_is_noop_version(spark, table):
+    v = table.write(_df(spark, [(1, "a", 1)]))
+    assert table.delete(F.col("id") == 999) == v
+    assert table.read().count() == 1
+
+
+def test_update_by_predicate(spark, table):
+    table.write(_df(spark, [(1, "a", 1), (2, "b", 2)]))
+    table.update(F.col("id") == 1, {"v": F.lit(100)})
+    got = {r.id: r.v for r in table.read().collect()}
+    assert got == {1: 100, 2: 2}
+    # untouched file (day=b) not rewritten
+    assert any(p.startswith("day=b") for p in table.snapshot().files)
+
+
+def test_merge_upsert(spark, table):
+    table.write(_df(spark, [(1, "a", 1), (2, "b", 2)]))
+    src = _df(spark, [(2, "b", 200), (5, "b", 500)])
+    table.merge(src, keys=["id"])
+    got = {r.id: r.v for r in table.read().collect()}
+    assert got == {1: 1, 2: 200, 5: 500}
+    assert table.history().collect()[0].operation == "MERGE"
+    # merge into empty table = plain insert
+    t2 = TxTable.create(
+        spark, table.root + "_m2", SCHEMA, partition_by=["day"]
+    )
+    t2.merge(src, keys=["id"])
+    assert t2.read().count() == 2
+
+
+def test_partition_pruning_from_log(spark, table):
+    table.write(_df(spark, [(1, "a", 1), (2, "b", 2), (3, "c", 3)]))
+    snap = table.snapshot()
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.txlog import _prune
+
+    pruned = _prune(snap, [("day", "=", "b")])
+    assert len(pruned) < len(snap.files)
+    assert all(f["partitionValues"]["day"] == "b" for f in pruned)
+    got = table.read(predicates=[("day", "=", "b")])
+    assert [r.id for r in got.collect()] == [2]
+
+
+def test_stats_skipping(spark, tmp_path):
+    t = TxTable.create(spark, str(tmp_path / "s"), SCHEMA)
+    # two writes -> two commits -> disjoint id ranges in separate files
+    t.write(
+        _df(spark, [(i, "a", i) for i in range(0, 10)]).coalesce(1),
+        stats_cols=["id"],
+    )
+    t.write(
+        _df(spark, [(i, "a", i) for i in range(100, 110)]).coalesce(1),
+        stats_cols=["id"],
+    )
+    snap = t.snapshot()
+    assert all(
+        f.get("stats", {}).get("id", {}).get("min") is not None
+        for f in snap.files.values()
+    )
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.txlog import _prune
+
+    hit = _prune(snap, [("id", ">=", 100)])
+    assert len(hit) == 1
+    assert {r.id for r in t.read(predicates=[("id", ">=", 100)]).collect()} == set(
+        range(100, 110)
+    )
+
+
+def test_concurrent_commit_conflict(spark, table):
+    # two writers race for the same version: put-if-absent lets exactly
+    # one win (the loser sees ConcurrentWriteError at publish time)
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.txlog import (
+        _publish_commit,
+    )
+
+    action = {
+        "version": 1,
+        "timestamp_ms": 0,
+        "operation": "WRITE",
+        "add": [],
+        "remove": [],
+    }
+    _publish_commit(table.root, 1, action)
+    with pytest.raises(ConcurrentWriteError):
+        _publish_commit(table.root, 1, action)
+    # a fresh writer re-resolves and lands on the next version
+    assert table.write(_df(spark, [(2, "b", 2)])) == 2
+
+
+def test_numrecords_in_detail(spark, table):
+    table.write(_df(spark, [(1, "a", 1), (2, "b", 2)]))
+    d = table.detail()
+    assert d["numRecords"] == 2
+    assert d["numFiles"] >= 2  # one per partition dir
+    assert d["sizeInBytes"] > 0
+
+
+def test_optimize_compacts_with_history(spark, tmp_path):
+    t = TxTable.create(spark, str(tmp_path / "o"), SCHEMA)
+    for i in range(3):  # three commits -> >=3 files
+        t.write(_df(spark, [(i * 10 + j, "a", j) for j in range(5)]))
+    before = len(t.snapshot().files)
+    v = t.optimize(target_files=1, stats_cols=["id"])
+    assert len(t.snapshot().files) == 1 < before
+    assert t.read().count() == 15
+    # pre-compaction snapshot still reachable (unlike dir-swap compaction)
+    assert t.read(version=v - 1).count() == 15
+    assert t.history().collect()[0].operation == "OPTIMIZE"
+
+
+def test_optimize_zorder_clusters_minmax(spark, tmp_path):
+    t = TxTable.create(spark, str(tmp_path / "z"), SCHEMA)
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, "a", rng.randrange(1000)) for i in range(2000)]
+    t.write(_df(spark, rows))
+    t.optimize(zorder_cols=["v"], target_files=4)
+    snap = t.snapshot()
+    spans = [
+        (int(f["stats"]["v"]["min"]), int(f["stats"]["v"]["max"]))
+        for f in snap.files.values()
+    ]
+    # clustered: per-file v-ranges are narrow vs the global range
+    assert len(spans) == 4
+    assert sum(hi - lo for lo, hi in spans) < 1000 * 2
+
+
+def test_maintenance_routes_to_txlog(spark, tmp_path):
+    from real_time_video_streaming_analytics_lakehouse_spark.operators import maintenance
+
+    t = TxTable.create(spark, str(tmp_path / "r"), SCHEMA)
+    t.write(_df(spark, [(1, "a", 1)]))
+    t.write(_df(spark, [(2, "a", 2)]), mode="overwrite")
+    h = maintenance.table_history(spark, t.root)
+    assert [r.version for r in h.collect()] == [2, 1, 0]
+    maintenance.vacuum(spark, t.root, retention_hours=0)
+    with pytest.raises(VacuumedFileError):
+        t.read(version=1).count()
+    # plain dir without a log still raises clearly
+    plain = str(tmp_path / "plain")
+    _df(spark, [(1, "a", 1)]).write.parquet(plain)
+    with pytest.raises(NotImplementedError):
+        maintenance.vacuum(spark, plain)
+    with pytest.raises(NotImplementedError):
+        maintenance.table_history(spark, plain)
