@@ -311,7 +311,8 @@ class TxTable:
 
     def write(self, df: DataFrame, mode: str = "append",
               operation: str | None = None,
-              stats_cols: list[str] | None = None) -> int:
+              stats_cols: list[str] | None = None,
+              params: dict | None = None) -> int:
         """Append or overwrite; returns the new version.
 
         The frame is staged with Spark's parquet writer (hive partition
@@ -330,7 +331,7 @@ class TxTable:
             "version": version,
             "timestamp_ms": int(time.time() * 1000),
             "operation": operation or mode.upper(),
-            "operationParameters": {"mode": mode},
+            "operationParameters": {"mode": mode, **(params or {})},
             "schema": df.schema.json(),
             "add": adds,
             "remove": sorted(snap.files) if mode == "overwrite" else [],
@@ -453,6 +454,24 @@ class TxTable:
             "operationParameters string, numAddedFiles long, "
             "numRemovedFiles long",
         )
+
+    def txn_version(self, app_id: str) -> int | None:
+        """Latest committed ``txnVersion`` for ``app_id``, or None if the
+        app has never written. Mirrors Delta's idempotent-write contract
+        (``txnAppId``/``txnVersion`` write options; reference relies on
+        the same mechanism via checkpointed foreachBatch,
+        etl_framework.py:490-524): a writer that stamps monotonically
+        increasing versions — e.g. streaming batch ids — can skip any
+        batch at or below this value after a checkpoint replay.
+
+        Driver-side scan of the commit log, newest first; O(log size)
+        JSON reads, no Spark job.
+        """
+        for v in sorted(_list_versions(self.root), reverse=True):
+            p = _read_commit(self.root, v).get("operationParameters", {})
+            if p.get("txnAppId") == app_id:
+                return int(p["txnVersion"])
+        return None
 
     def restore_to_version(self, version: int) -> int:
         """RESTORE (D4; reference ``delta_setup.py:581-596``): commit a
@@ -665,7 +684,8 @@ class TxTable:
             touched, snap, apply, "UPDATE", {"predicate": str(cond)},
         )
 
-    def merge(self, source: DataFrame, keys: list[str]) -> int:
+    def merge(self, source: DataFrame, keys: list[str],
+              params: dict | None = None) -> int:
         """MERGE upsert (D6/J7; reference ``delta_setup.py:636-668``):
         whenMatchedUpdateAll + whenNotMatchedInsertAll on ``keys``.
         Only files holding matched keys are rewritten; unmatched source
@@ -680,7 +700,8 @@ class TxTable:
         # shuffle join here.
         snap = self.snapshot()
         if not snap.files:
-            return self.write(src, mode="append", operation="MERGE")
+            return self.write(src, mode="append", operation="MERGE",
+                              params=params)
         tgt = self.read()
         hits = (
             tgt.join(F.broadcast(src.select(*keys).distinct()), keys, "left_semi")
@@ -710,10 +731,12 @@ class TxTable:
             inserts = src.join(matched_keys, keys, "left_anti")
             extra = updates.unionByName(inserts).select(*tgt.columns)
             return self._rewrite(
-                touched, snap, apply, "MERGE", {"keys": keys}, extra_df=extra
+                touched, snap, apply, "MERGE",
+                {"keys": keys, **(params or {})}, extra_df=extra
             )
         return self.write(
-            src.select(*tgt.columns), mode="append", operation="MERGE"
+            src.select(*tgt.columns), mode="append", operation="MERGE",
+            params=params,
         )
 
     # -- maintenance -------------------------------------------------------

@@ -367,6 +367,65 @@ def run_merge_stream(
     )
 
 
+def run_merge_stream_versioned(
+    result: DataFrame,
+    table_path: str,
+    checkpoint_path: str,
+    keys: list[str],
+    precedence_col: str,
+    app_id: str | None = None,
+) -> StreamingQuery:
+    """Stream → versioned MERGE sink: each micro-batch is upserted into
+    a native transaction-log table (:class:`~..operators.txlog.TxTable`)
+    as one atomic commit stamped with ``txnAppId``/``txnVersion`` —
+    Delta's idempotent-write contract, which the reference leans on via
+    checkpointed ``foreachBatch`` + ``DeltaTable.merge``
+    (etl_framework.py:490-524, delta_setup.py:636-668).
+
+    Exactly-once: Structured Streaming replays a micro-batch whose
+    commit wasn't recorded in the checkpoint before a crash. A plain
+    parquet MERGE sink tolerates that because the merge is idempotent
+    by value; here every commit also bumps the table version, so a
+    replayed batch would create a duplicate version (same data, noisy
+    history, broken CDF). The sink therefore skips any ``batch_id`` at
+    or below the table's last committed ``txnVersion`` for this
+    ``app_id`` — a driver-side JSON read of the commit log, no Spark
+    job. Two independent writers (distinct app_ids) interleave safely:
+    optimistic concurrency in the log serializes their commits.
+
+    Scale: only files holding matched keys rewrite per batch
+    (``TxTable.merge`` does a broadcast semi-join against per-file
+    min/max stats), so commit cost tracks batch size, not table size.
+    """
+    from ..operators.dedup import dedup_keep_latest
+    from ..operators.txlog import TxTable
+    from ..operators.util import require_local_dir
+
+    table_path = require_local_dir(table_path)
+    app = app_id or f"merge_stream:{checkpoint_path}"
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = dedup_keep_latest(batch_df, keys, precedence_col)
+        params = {"txnAppId": app, "txnVersion": batch_id}
+        if not TxTable.exists(spark, table_path):
+            tx = TxTable.create(spark, table_path, batch.schema)
+            tx.merge(batch, keys, params=params)
+            return
+        tx = TxTable(spark, table_path)
+        last = tx.txn_version(app)
+        if last is not None and batch_id <= last:
+            return  # checkpoint replay of an already-committed batch
+        tx.merge(batch, keys, params=params)
+
+    return (
+        result.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(
     result: DataFrame,
     out_path: str,
