@@ -7,6 +7,7 @@ from .pipelines import (
     parse_kafka_events,
     run_available_now,
     run_merge_stream,
+    run_merge_stream_versioned,
     stream_events_from_files,
     user_activity_stream,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "parse_kafka_events",
     "run_available_now",
     "run_merge_stream",
+    "run_merge_stream_versioned",
     "stream_events_from_files",
     "user_activity_stream",
 ]

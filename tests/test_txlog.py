@@ -312,3 +312,19 @@ def test_maintenance_routes_to_txlog(spark, tmp_path):
         maintenance.vacuum(spark, plain)
     with pytest.raises(NotImplementedError):
         maintenance.table_history(spark, plain)
+
+
+def test_txn_version_tracks_app_commits(spark, table):
+    # Idempotent-writer contract (Delta txnAppId/txnVersion): the log
+    # remembers the latest stamped version per app; unknown apps → None.
+    assert table.txn_version("etl") is None
+    table.merge(_df(spark, [(1, "a", 1)]), keys=["id"],
+                params={"txnAppId": "etl", "txnVersion": 0})
+    table.merge(_df(spark, [(2, "b", 2)]), keys=["id"],
+                params={"txnAppId": "etl", "txnVersion": 1})
+    # an interleaved commit from another app must not disturb etl's counter
+    table.merge(_df(spark, [(3, "c", 3)]), keys=["id"],
+                params={"txnAppId": "other", "txnVersion": 7})
+    assert table.txn_version("etl") == 1
+    assert table.txn_version("other") == 7
+    assert table.txn_version("nope") is None
