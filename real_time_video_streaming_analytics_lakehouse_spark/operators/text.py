@@ -22,13 +22,17 @@ def tokens(text: Column | str) -> Column:
 
 
 def add_text_features(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    extra=(),
 ) -> DataFrame:
     """Per-document quality features + quality bucket.
 
     Columns: n_tokens, n_chars_measured, avg_token_len, vowel_ratio,
     quality. The bucket thresholds use the *rounded* ratio so the DuckDB
-    oracle lands on identical CASE branches.
+    oracle lands on identical CASE branches. ``extra`` columns (names or
+    Column expressions) are appended to the projection — so a caller
+    can carry e.g. the label column or a token array through the SAME
+    scan instead of re-reading the source.
     """
     t = tokens(text_col)
     text = F.col(text_col)
@@ -53,6 +57,7 @@ def add_text_features(
         avg_token_len.alias("avg_token_len"),
         vowel_ratio.alias("vowel_ratio"),
         quality.alias("quality"),
+        *[F.col(c) if isinstance(c, str) else c for c in extra],
     )
 
 
@@ -189,13 +194,26 @@ def predict_language(
     (the profile is bounded at langs × top_k rows and broadcast); the
     per-doc argmax is a single window over the overlap counts.
     """
-    from pyspark.sql import Window
-
     words = df.select(
         F.col(id_col),
         F.col(lang_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
     )
+    return predict_language_from_words(words, id_col, lang_col, top_k)
+
+
+def predict_language_from_words(
+    words: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    top_k: int = 20,
+) -> DataFrame:
+    """:func:`predict_language` over an already-exploded ``(id, lang,
+    w)`` frame — lets callers that tokenized once (e.g. a checkpointed
+    features frame) share the tokenization instead of re-scanning and
+    re-splitting the source."""
+    from pyspark.sql import Window
+
     counts = words.groupBy(lang_col, "w").agg(F.count("*").alias("cnt"))
     wr = Window.partitionBy(lang_col).orderBy(F.col("cnt").desc(), F.col("w"))
     profile = (

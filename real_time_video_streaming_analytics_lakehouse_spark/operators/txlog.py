@@ -4,6 +4,7 @@ The reference's lakehouse features that need a transaction log — VACUUM
 (``delta-lake/delta_setup.py:548-566``), history / time travel / restore
 (``delta_setup.py:568-596``), Change Data Feed (``delta_setup.py:111,464``),
 empty-table create with schema + properties (``delta_setup.py:450-505``),
+schema evolution (``delta_setup.py:87`` enables ``schema.autoMerge``),
 and predicate DELETE/UPDATE/MERGE (``delta_setup.py:636-702``) — were
 environment-gated for three rounds because ``delta-spark`` cannot be
 installed here. This module removes the gate by implementing the log
@@ -13,8 +14,11 @@ of that log.
 
 Layout (all inside the table root)::
 
-    <root>/_txlog/00000000000000000000.json   # commit 0, 1, 2, ...
-    <root>/day=2024-01-01/part-...parquet      # immutable data files
+    <root>/_txlog/00000000000000000000.json             # commit 0, 1, ...
+    <root>/_txlog/00000000000000000010.checkpoint.parquet  # log checkpoint
+    <root>/_txlog/_last_checkpoint.json                  # newest checkpoint ptr
+    <root>/_change_data/cdc-...parquet                   # CDF change files
+    <root>/day=2024-01-01/part-...parquet                # immutable data files
 
 Each commit records ``add`` / ``remove`` file actions with per-file
 partition values, row counts, and optional column min/max stats. A
@@ -26,24 +30,45 @@ travel and CDF free and VACUUM meaningful.
 Commit atomicity: the commit JSON is staged to a tmp name and published
 with ``os.link`` (fails with EEXIST if the version was already claimed)
 — optimistic concurrency exactly like Delta's ``put-if-absent`` commit
-protocol. Data files moved into the root BEFORE the commit exists are
-invisible to snapshot readers (readers consume the explicit file list,
-never a directory listing), so a crash mid-commit leaves garbage files
-but never a corrupt or half-visible table; VACUUM collects the garbage.
+protocol. On losing the race the writer re-reads the log and RETRIES
+when the winning commit is logically disjoint (its removes don't touch
+our removes and it didn't change the schema) — Delta's
+WriteSerializable conflict rules; overlapping rewrites and concurrent
+schema changes still raise :class:`ConcurrentWriteError`. Data files
+moved into the root BEFORE the commit exists are invisible to snapshot
+readers (readers consume the explicit file list, never a directory
+listing), and every writer stages under a writer-unique token, so a
+crash or a lost race leaves garbage files but never a corrupt or
+half-visible table; VACUUM collects the garbage.
+
+Schema evolution (Delta ``mergeSchema``): ``write(..., merge_schema=
+True)`` widens the committed schema — new columns append as nullable,
+integer/float types widen (int→long, float→double) — and each commit
+records the schema its files were written under (``fileSchema``), so a
+snapshot read aligns every file generation to the snapshot schema with
+casts + null-fill. Old versions keep their schemas under time travel,
+and ``change_feed`` spans the evolution.
 
 Scale notes (the parts that matter at 100 TB):
   * Readers prune FILES from the log — partition values and min/max
     stats filter the file list BEFORE Spark ever lists or opens
     anything. Combined with :func:`~.maintenance.zorder_by`-style
     clustering this is the same data-skipping story as Delta/Iceberg.
-  * The log is O(commits); snapshot replay is driver-side dict math
-    over file actions, not data. (Delta checkpoints the replay every 10
-    commits; at this module's scale a full replay of a few thousand
-    JSON commits is sub-second, so checkpointing is omitted, not
-    overlooked.)
+  * The log is O(commits) but snapshot resolution is NOT O(all
+    commits): every ``checkpoint_interval`` commits the replayed state
+    is consolidated into a parquet manifest (Delta's checkpoint
+    mechanism, ``_last_checkpoint`` pointer included), so resolving a
+    snapshot reads one manifest + at most ``interval`` JSON commits —
+    at millions of files the manifest is a columnar scan, not a
+    million JSON parses.
   * Copy-on-write DELETE/UPDATE/MERGE rewrite ONLY files that contain
     matching rows (located by partition + stats pruning, then an
     ``input_file_name()`` probe), never the whole table.
+  * DML commits write explicit change files (Delta's ``_change_data``)
+    holding only the CHANGED rows tagged ``update_preimage`` /
+    ``update_postimage`` / ``insert`` / ``delete`` — so CDF consumers
+    see row-level changes, not the rewritten file's carried-over rows,
+    and OPTIMIZE (``dataChange=false``) is invisible to the feed.
 
 Local-FS only, like the repo's other directory-swap fallbacks — object
 stores need a real put-if-absent primitive (see
@@ -54,23 +79,37 @@ from __future__ import annotations
 
 import json
 import os
+import pathlib
 import shutil
 import time
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 from .util import require_local_dir
 
 _LOG_DIR = "_txlog"
+_CDC_DIR = "_change_data"
+_LAST_CHECKPOINT = "_last_checkpoint.json"
 _STATS_TYPES = ("int", "bigint", "smallint", "tinyint", "double", "float",
                 "string", "date", "decimal", "long")
 
+# Allowed type widenings for merge_schema, by simpleString name (the
+# integer chain and float→double — the same safe set Delta's type
+# widening ships).
+_WIDENS_TO = {
+    "tinyint": {"smallint", "int", "bigint"},
+    "smallint": {"int", "bigint"},
+    "int": {"bigint"},
+    "float": {"double"},
+}
+
 
 class ConcurrentWriteError(RuntimeError):
-    """Another writer committed this version first (put-if-absent lost)."""
+    """Another writer committed a logically conflicting change first."""
 
 
 class VacuumedFileError(RuntimeError):
@@ -89,6 +128,10 @@ def _commit_path(root: str, version: int) -> str:
     return os.path.join(_log_dir(root), f"{version:020d}.json")
 
 
+def _checkpoint_path(root: str, version: int) -> str:
+    return os.path.join(_log_dir(root), f"{version:020d}.checkpoint.parquet")
+
+
 def _list_versions(root: str) -> list[int]:
     d = _log_dir(root)
     if not os.path.isdir(d):
@@ -98,6 +141,20 @@ def _list_versions(root: str) -> list[int]:
         if name.endswith(".json") and not name.endswith(".tmp.json"):
             try:
                 out.append(int(name[: -len(".json")]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _list_checkpoints(root: str) -> list[int]:
+    d = _log_dir(root)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in os.listdir(d):
+        if name.endswith(".checkpoint.parquet"):
+            try:
+                out.append(int(name[: -len(".checkpoint.parquet")]))
             except ValueError:
                 continue
     return sorted(out)
@@ -118,7 +175,7 @@ def _publish_commit(root: str, version: int, action: dict) -> None:
     """
     os.makedirs(_log_dir(root), exist_ok=True)
     final = _commit_path(root, version)
-    tmp = final + f".{os.getpid()}.tmp.json"
+    tmp = final + f".{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp.json"
     with open(tmp, "w") as f:
         json.dump(action, f, separators=(",", ":"))
         f.flush()
@@ -134,19 +191,89 @@ def _publish_commit(root: str, version: int, action: dict) -> None:
 
 
 # ---------------------------------------------------------------------------
+# schema evolution helpers
+
+
+def _merge_schemas(old: StructType, new: StructType) -> StructType:
+    """Delta-``mergeSchema`` union: existing columns keep their position
+    (widened in place when the new type is strictly wider), new columns
+    append as nullable. Incompatible type pairs raise ``ValueError``."""
+    new_by = {f.name: f for f in new.fields}
+    out: list[StructField] = []
+    for f in old.fields:
+        g = new_by.pop(f.name, None)
+        if g is None or f.dataType == g.dataType:
+            out.append(StructField(
+                f.name, f.dataType,
+                f.nullable or (g is not None and g.nullable),
+            ))
+            continue
+        a, b = f.dataType.simpleString(), g.dataType.simpleString()
+        if b in _WIDENS_TO.get(a, ()):
+            out.append(StructField(f.name, g.dataType, True))
+        elif a in _WIDENS_TO.get(b, ()):
+            out.append(StructField(f.name, f.dataType, True))
+        else:
+            raise ValueError(
+                f"cannot merge schemas: column {f.name!r} is {a} in the "
+                f"table but {b} in the new data"
+            )
+    for f in new.fields:  # preserve the new frame's column order
+        if f.name in new_by:
+            out.append(StructField(f.name, f.dataType, True))
+    return StructType(out)
+
+
+def _require_compatible(table: StructType, incoming: StructType) -> None:
+    """Strict (non-evolving) write check: same column set, same types
+    (nullability and order are not part of the contract — Delta matches
+    by name)."""
+    a = {f.name: f.dataType.simpleString() for f in table.fields}
+    b = {f.name: f.dataType.simpleString() for f in incoming.fields}
+    if a != b:
+        only_a = sorted(set(a) - set(b))
+        only_b = sorted(set(b) - set(a))
+        diff = sorted(
+            k for k in set(a) & set(b) if a[k] != b[k]
+        )
+        raise ValueError(
+            "schema mismatch (pass merge_schema=True to evolve): "
+            f"missing={only_a} new={only_b} "
+            f"type_diff={[(k, a[k], b[k]) for k in diff]}"
+        )
+
+
+def _align(df: DataFrame, schema: StructType) -> DataFrame:
+    """Project ``df`` onto ``schema``: cast shared columns, null-fill
+    missing ones — how one file generation is served under a newer
+    (or a time-traveled older) snapshot schema."""
+    have = set(df.columns)
+    return df.select(*[
+        (F.col(f.name).cast(f.dataType) if f.name in have
+         else F.lit(None).cast(f.dataType)).alias(f.name)
+        for f in schema.fields
+    ])
+
+
+# ---------------------------------------------------------------------------
 # snapshot resolution
 
 
 @dataclass
 class Snapshot:
-    """Table state at one version: live files + schema + properties."""
+    """Table state at one version: live files + schema + properties.
+
+    Each file entry carries ``_schema_json`` — the schema its parquet
+    bytes were written under (its *generation*) — so readers can group
+    by generation and align to the snapshot schema."""
 
     root: str
     version: int
     schema_json: str
     properties: dict
     partition_by: list[str]
-    # rel_path -> file action dict ({path, partitionValues, numRecords, stats})
+    # rel_path -> file action dict ({path, partitionValues, numRecords,
+    # stats, _schema_json})
     files: dict = field(default_factory=dict)
 
     @property
@@ -154,10 +281,41 @@ class Snapshot:
         return StructType.fromJson(json.loads(self.schema_json))
 
 
+def _load_checkpoint(root: str, version: int):
+    """Read one parquet log checkpoint back into replay state."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_checkpoint_path(root, version))
+    meta = {
+        k.decode(): v.decode()
+        for k, v in (t.schema.metadata or {}).items()
+    }
+    files: dict = {}
+    for r in t.to_pylist():
+        entry = {
+            "path": r["path"],
+            "partitionValues": json.loads(r["partitionValues"]),
+            "_schema_json": r["schema_json"],
+        }
+        if r["numRecords"] is not None:
+            entry["numRecords"] = r["numRecords"]
+        stats = json.loads(r["stats"])
+        if stats:
+            entry["stats"] = stats
+        files[entry["path"]] = entry
+    return (
+        files,
+        meta.get("schema", ""),
+        json.loads(meta.get("properties", "{}")),
+        json.loads(meta.get("partition_by", "[]")),
+    )
+
+
 def _resolve(root: str, version: int | None = None,
              timestamp_ms: int | None = None) -> Snapshot:
     versions = _list_versions(root)
-    if not versions:
+    checkpoints = _list_checkpoints(root)
+    if not versions and not checkpoints:
         raise FileNotFoundError(f"no transaction log at {root}/{_LOG_DIR}")
     if timestamp_ms is not None:
         eligible = [
@@ -170,16 +328,31 @@ def _resolve(root: str, version: int | None = None,
             )
         version = eligible[-1]
     elif version is None:
-        version = versions[-1]
-    elif version not in versions:
+        version = max(versions[-1] if versions else -1,
+                      checkpoints[-1] if checkpoints else -1)
+    elif version not in versions and version not in checkpoints:
         raise ValueError(f"version {version} does not exist in {root}")
+
     files: dict = {}
     schema_json = ""
     properties: dict = {}
     partition_by: list[str] = []
-    for v in versions:
-        if v > version:
-            break
+    start = 0
+    base = max((c for c in checkpoints if c <= version), default=None)
+    if base is not None:
+        files, schema_json, properties, partition_by = _load_checkpoint(
+            root, base
+        )
+        start = base + 1
+    replay = [v for v in versions if start <= v <= version]
+    expected = set(range(start, version + 1))
+    if set(replay) != expected:
+        raise ValueError(
+            f"cannot resolve version {version} of {root}: commits "
+            f"{sorted(expected - set(replay))} are missing and no "
+            f"checkpoint covers them"
+        )
+    for v in replay:
         c = _read_commit(root, v)
         if c.get("schema"):
             schema_json = c["schema"]
@@ -187,10 +360,15 @@ def _resolve(root: str, version: int | None = None,
             properties.update(c["properties"])
         if c.get("partition_by") is not None:
             partition_by = c["partition_by"]
+        file_schema = c.get("fileSchema") or schema_json
         for rm in c.get("remove", []):
             files.pop(rm, None)
         for ad in c.get("add", []):
-            files[ad["path"]] = ad
+            entry = dict(ad)
+            # restore-copied entries keep their original generation;
+            # fresh adds are stamped with the commit's file schema.
+            entry.setdefault("_schema_json", file_schema)
+            files[entry["path"]] = entry
     return Snapshot(root, version, schema_json, properties, partition_by, files)
 
 
@@ -236,9 +414,19 @@ def _prune(snap: Snapshot, predicates) -> list[dict]:
 class TxTable:
     """Versioned parquet table — the native stand-in for ``DeltaTable``."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    #: consolidate the replayed log into a parquet manifest every N
+    #: commits (Delta's default checkpoint interval is also 10). Set to
+    #: 0 to disable.
+    checkpoint_interval: int = 10
+
+    def __init__(self, spark: SparkSession, path: str,
+                 checkpoint_interval: int | None = None):
         self.spark = spark
         self.root = require_local_dir(path).rstrip("/")
+        if checkpoint_interval is not None:
+            self.checkpoint_interval = checkpoint_interval
+        #: observability: did the last merge() broadcast its key probe?
+        self._last_merge_used_broadcast: bool | None = None
 
     # -- creation ----------------------------------------------------------
 
@@ -278,6 +466,39 @@ class TxTable:
                  timestamp_ms: int | None = None) -> Snapshot:
         return _resolve(self.root, version, timestamp_ms)
 
+    def _read_entries(self, entries: list[dict], schema: StructType,
+                      partition_by: list[str]) -> DataFrame:
+        """Read a set of file entries aligned to ``schema``: files are
+        grouped by the schema GENERATION they were written under, each
+        group is scanned with its exact schema (so parquet types always
+        match), and every group is cast/null-filled onto the target
+        schema. One scan per generation — generations are few even when
+        files are millions."""
+        if not entries:
+            return self.spark.createDataFrame([], schema)
+        target_json = schema.json()
+        groups: dict[str, list[str]] = {}
+        for f_ in entries:
+            p = os.path.join(self.root, f_["path"])
+            if not os.path.exists(p):
+                raise VacuumedFileError(
+                    f"data file {f_['path']} was removed by VACUUM; this "
+                    f"snapshot is no longer reconstructable"
+                )
+            groups.setdefault(f_.get("_schema_json") or target_json, []).append(p)
+        parts = []
+        for sj in sorted(groups):
+            reader = self.spark.read
+            if partition_by:
+                reader = reader.option("basePath", self.root)
+            gen_schema = StructType.fromJson(json.loads(sj))
+            part = reader.schema(gen_schema).parquet(*groups[sj])
+            parts.append(_align(part, schema))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def read(self, version: int | None = None,
              timestamp_ms: int | None = None,
              predicates=None) -> DataFrame:
@@ -287,57 +508,179 @@ class TxTable:
         driver-side from partition values + stats before Spark opens
         anything; pass the same predicate to ``.filter`` for row-level
         exactness (pruning is file-granular).
+
+        A snapshot whose files span schema generations (after
+        ``merge_schema`` writes) is served under the snapshot's schema:
+        old-generation files are cast/null-filled; time travel to an
+        old version serves that version's (old) schema.
         """
         snap = self.snapshot(version, timestamp_ms)
         files = _prune(snap, predicates)
-        if not files:
-            return self.spark.createDataFrame([], snap.schema)
-        paths = []
-        for f_ in files:
-            p = os.path.join(self.root, f_["path"])
-            if not os.path.exists(p):
-                raise VacuumedFileError(
-                    f"data file {f_['path']} of version {snap.version} "
-                    f"was removed by VACUUM; this snapshot is no longer "
-                    f"reconstructable"
-                )
-            paths.append(p)
-        reader = self.spark.read
-        if snap.partition_by:
-            reader = reader.option("basePath", self.root)
-        return reader.parquet(*paths)
+        return self._read_entries(files, snap.schema, snap.partition_by)
+
+    # -- commit machinery --------------------------------------------------
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        if self.checkpoint_interval and version > 0 \
+                and version % self.checkpoint_interval == 0:
+            self._write_checkpoint(version)
+
+    def _write_checkpoint(self, version: int) -> None:
+        """Consolidate the replayed state at ``version`` into a parquet
+        manifest (Delta's checkpoint): snapshot resolution then reads
+        one columnar file + ≤ ``checkpoint_interval`` JSON commits
+        instead of replaying the whole log — the difference between
+        O(interval) and O(history) driver work at millions of files.
+        Idempotent and race-safe: concurrent writers produce identical
+        content for the same version; ``os.replace`` is atomic."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        snap = _resolve(self.root, version)
+        rows = list(snap.files.values())
+        table = pa.table(
+            {
+                "path": [r["path"] for r in rows],
+                "partitionValues": [
+                    json.dumps(r.get("partitionValues") or {}) for r in rows
+                ],
+                "numRecords": [r.get("numRecords") for r in rows],
+                "stats": [json.dumps(r.get("stats") or {}) for r in rows],
+                "schema_json": [
+                    r.get("_schema_json") or snap.schema_json for r in rows
+                ],
+            },
+            schema=pa.schema([
+                ("path", pa.string()),
+                ("partitionValues", pa.string()),
+                ("numRecords", pa.int64()),
+                ("stats", pa.string()),
+                ("schema_json", pa.string()),
+            ]),
+        )
+        table = table.replace_schema_metadata({
+            "version": str(version),
+            "schema": snap.schema_json,
+            "properties": json.dumps(snap.properties),
+            "partition_by": json.dumps(snap.partition_by),
+        })
+        final = _checkpoint_path(self.root, version)
+        tmp = final + f".{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, final)
+        ptr = os.path.join(_log_dir(self.root), _LAST_CHECKPOINT)
+        ptr_tmp = ptr + f".{os.getpid()}.tmp"
+        with open(ptr_tmp, "w") as f:
+            json.dump({"version": version}, f)
+        os.replace(ptr_tmp, ptr)
+
+    def _commit(self, base_version: int, build_action, removes: list[str],
+                exclusive: bool = False, max_retries: int = 20) -> int:
+        """Publish with optimistic-concurrency retry (Delta's
+        WriteSerializable rules). ``build_action(version)`` produces the
+        action dict for a candidate version. On losing the put-if-absent
+        race, the intervening commits are examined:
+
+          * any of them removed a file WE remove (overlapping rewrite)
+            → :class:`ConcurrentWriteError`;
+          * any of them changed the schema (our frames were validated
+            against a schema that no longer governs) → error;
+          * ``exclusive`` commits (overwrite — replace-ALL semantics
+            can't merge with anything) → error;
+          * otherwise the commits are logically disjoint (append vs
+            append, rewrites of different files/partitions) and we
+            re-claim the next version.
+        """
+        version = base_version + 1
+        for _ in range(max_retries):
+            try:
+                _publish_commit(self.root, version, build_action(version))
+            except ConcurrentWriteError:
+                latest = _list_versions(self.root)[-1]
+                if exclusive:
+                    raise
+                ours = set(removes)
+                for v in range(version, latest + 1):
+                    c = _read_commit(self.root, v)
+                    theirs = set(c.get("remove", []))
+                    if ours & theirs:
+                        raise ConcurrentWriteError(
+                            f"version {v} concurrently rewrote "
+                            f"{sorted(ours & theirs)[:3]}..."
+                        ) from None
+                    if c.get("schema"):
+                        raise ConcurrentWriteError(
+                            f"version {v} concurrently changed the schema"
+                        ) from None
+                version = latest + 1
+                continue
+            self._maybe_checkpoint(version)
+            return version
+        raise ConcurrentWriteError(
+            f"gave up after {max_retries} optimistic retries on {self.root}"
+        )
 
     # -- writes ------------------------------------------------------------
 
     def write(self, df: DataFrame, mode: str = "append",
               operation: str | None = None,
               stats_cols: list[str] | None = None,
-              params: dict | None = None) -> int:
+              params: dict | None = None,
+              merge_schema: bool = False) -> int:
         """Append or overwrite; returns the new version.
 
         The frame is staged with Spark's parquet writer (hive partition
         layout when the table is partitioned), each staged file is moved
-        into the table root under a version-unique name, per-file
+        into the table root under a writer-unique name, per-file
         row counts + min/max stats are collected with ONE scan of the
         new files only (grouped by ``input_file_name`` — Delta collects
         stats at the same point), and the commit is published last.
+
+        ``merge_schema=True`` is Delta's ``mergeSchema``: the committed
+        schema becomes the union (new nullable columns appended,
+        int/float types widened); with ``mode="overwrite"`` it is
+        ``overwriteSchema`` (the incoming schema replaces the table's).
+        Without it, a frame whose columns/types differ from the table
+        schema is rejected.
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         snap = self.snapshot()
-        version = snap.version + 1
-        adds = self._stage_files(df, version, snap.partition_by, stats_cols)
-        action = {
-            "version": version,
-            "timestamp_ms": int(time.time() * 1000),
-            "operation": operation or mode.upper(),
-            "operationParameters": {"mode": mode, **(params or {})},
-            "schema": df.schema.json(),
-            "add": adds,
-            "remove": sorted(snap.files) if mode == "overwrite" else [],
-        }
-        _publish_commit(self.root, version, action)
-        return version
+        schema_json: str | None = None
+        if not snap.schema_json:
+            schema_json = df.schema.json()
+        elif merge_schema:
+            if mode == "overwrite":  # overwriteSchema: replace outright
+                if df.schema != snap.schema:
+                    schema_json = df.schema.json()
+            else:
+                merged = _merge_schemas(snap.schema, df.schema)
+                if merged != snap.schema:
+                    schema_json = merged.json()
+        else:
+            _require_compatible(snap.schema, df.schema)
+        adds = self._stage_files(df, snap.version + 1, snap.partition_by,
+                                 stats_cols)
+
+        def action(version: int) -> dict:
+            a = {
+                "version": version,
+                "timestamp_ms": int(time.time() * 1000),
+                "operation": operation or mode.upper(),
+                "operationParameters": {"mode": mode, **(params or {})},
+                "fileSchema": df.schema.json(),
+                "add": adds,
+                "remove": sorted(snap.files) if mode == "overwrite" else [],
+            }
+            if schema_json is not None:
+                a["schema"] = schema_json
+            return a
+
+        return self._commit(
+            snap.version, action,
+            removes=sorted(snap.files) if mode == "overwrite" else [],
+            exclusive=(mode == "overwrite" or schema_json is not None),
+        )
 
     def _stage_files(self, df: DataFrame, version: int,
                      partition_by: list[str],
@@ -345,8 +688,11 @@ class TxTable:
         # Sibling of the table root (never inside it, so snapshot reads
         # can't see it), WITHOUT a leading underscore: "_"-prefixed dirs
         # are invisible to Spark's own file listing, which would break
-        # the stats read-back of the staged files.
-        stage = self.root + f"__stage_v{version}"
+        # the stats read-back of the staged files. The token makes both
+        # the stage dir and the final file names writer-unique, so
+        # concurrent writers can never clobber each other's data files.
+        token = uuid.uuid4().hex[:8]
+        stage = self.root + f"__stage_v{version}_{token}"
         shutil.rmtree(stage, ignore_errors=True)
         writer = df.write.mode("overwrite")
         if partition_by:
@@ -355,7 +701,7 @@ class TxTable:
 
         staged = sorted(
             str(p.relative_to(stage))
-            for p in __import__("pathlib").Path(stage).rglob("*.parquet")
+            for p in pathlib.Path(stage).rglob("*.parquet")
         )
         per_file = self._collect_stats(stage, staged, df, stats_cols)
         # Tasks that received no rows still write a zero-row parquet
@@ -364,7 +710,9 @@ class TxTable:
         adds = []
         for i, rel in enumerate(staged):
             sub = os.path.dirname(rel)
-            final_rel = os.path.join(sub, f"part-{version:010d}-{i:05d}.parquet")
+            final_rel = os.path.join(
+                sub, f"part-{version:010d}-{token}-{i:05d}.parquet"
+            )
             os.makedirs(os.path.join(self.root, sub), exist_ok=True)
             os.rename(
                 os.path.join(stage, rel), os.path.join(self.root, final_rel)
@@ -427,6 +775,36 @@ class TxTable:
                 )
         return out
 
+    def _stage_cdc(self, cdc_df: DataFrame, version: int) -> list[str]:
+        """Write explicit change rows (table columns + ``_change_type``)
+        under ``_change_data/`` — Delta's CDC file layout. The files are
+        self-contained (no hive partitioning), invisible to snapshot
+        reads (which consume the log's file list), and collected by
+        VACUUM past retention like tombstoned data files."""
+        token = uuid.uuid4().hex[:8]
+        stage = self.root + f"__cdcstage_{token}"
+        shutil.rmtree(stage, ignore_errors=True)
+        cdc_df.write.mode("overwrite").parquet(stage)
+        os.makedirs(os.path.join(self.root, _CDC_DIR), exist_ok=True)
+        out = []
+        staged = sorted(
+            str(p.relative_to(stage))
+            for p in pathlib.Path(stage).rglob("*.parquet")
+        )
+        import pyarrow.parquet as pq
+
+        for i, rel in enumerate(staged):
+            src = os.path.join(stage, rel)
+            if pq.ParquetFile(src).metadata.num_rows == 0:
+                continue
+            final_rel = os.path.join(
+                _CDC_DIR, f"cdc-{version:010d}-{token}-{i:05d}.parquet"
+            )
+            os.rename(src, os.path.join(self.root, final_rel))
+            out.append(final_rel)
+        shutil.rmtree(stage, ignore_errors=True)
+        return out
+
     # -- history / time travel / restore ----------------------------------
 
     def history(self, limit: int = 20) -> DataFrame:
@@ -477,7 +855,10 @@ class TxTable:
         """RESTORE (D4; reference ``delta_setup.py:581-596``): commit a
         new version whose live set equals the target snapshot's — adds
         back its files, removes everything newer. History is preserved
-        (restore is itself a commit), exactly Delta's semantics."""
+        (restore is itself a commit), exactly Delta's semantics. The
+        re-added entries keep their original ``_schema_json``
+        generation, and the restore commit re-instates the target's
+        schema, so a restore across a schema evolution round-trips."""
         target = self.snapshot(version)
         current = self.snapshot()
         add = [f_ for p, f_ in target.files.items() if p not in current.files]
@@ -486,17 +867,21 @@ class TxTable:
                 raise VacuumedFileError(
                     f"cannot restore to {version}: {f_['path']} was vacuumed"
                 )
-        new_version = current.version + 1
-        _publish_commit(self.root, new_version, {
-            "version": new_version,
-            "timestamp_ms": int(time.time() * 1000),
-            "operation": "RESTORE",
-            "operationParameters": {"version": version},
-            "schema": target.schema_json,
-            "add": add,
-            "remove": sorted(p for p in current.files if p not in target.files),
-        })
-        return new_version
+        removes = sorted(p for p in current.files if p not in target.files)
+
+        def action(new_version: int) -> dict:
+            return {
+                "version": new_version,
+                "timestamp_ms": int(time.time() * 1000),
+                "operation": "RESTORE",
+                "operationParameters": {"version": version},
+                "schema": target.schema_json,
+                "add": add,
+                "remove": removes,
+            }
+
+        return self._commit(current.version, action, removes=removes,
+                            exclusive=True)
 
     # -- vacuum ------------------------------------------------------------
 
@@ -504,29 +889,35 @@ class TxTable:
                dry_run: bool = False) -> list[str]:
         """Delete data files no longer referenced by the CURRENT snapshot
         whose tombstoning commit is older than ``retention_hours`` (D3;
-        reference ``delta_setup.py:548-566``), plus untracked stray
-        files past retention (crash leftovers — possible because data
-        lands before the commit). Returns the deleted (or would-delete)
-        relative paths. Time travel to a snapshot needing a vacuumed
-        file raises :class:`VacuumedFileError` afterwards — the same
-        trade Delta makes."""
+        reference ``delta_setup.py:548-566``), CDC change files whose
+        commit is past retention (Delta vacuums ``_change_data`` the
+        same way), plus untracked stray files past retention (crash /
+        lost-race leftovers — possible because data lands before the
+        commit). Returns the deleted (or would-delete) relative paths.
+        Time travel or ``change_feed`` needing a vacuumed file raises
+        :class:`VacuumedFileError` afterwards — the same trade Delta
+        makes."""
         cutoff_ms = (time.time() - retention_hours * 3600) * 1000
         live = set(self.snapshot().files)
         removed_at: dict[str, int] = {}
+        cdc_at: dict[str, int] = {}
         for v in _list_versions(self.root):
             c = _read_commit(self.root, v)
             for rm in c.get("remove", []):
                 removed_at[rm] = c["timestamp_ms"]
             for ad in c.get("add", []):
                 removed_at.pop(ad["path"], None)  # re-added by RESTORE
-        tracked = set(removed_at) | live
+            for cd in c.get("cdc", []):
+                cdc_at[cd] = c["timestamp_ms"]
+        tracked = set(removed_at) | set(cdc_at) | live
         doomed = [
             p for p, ts in removed_at.items()
             if p not in live and ts <= cutoff_ms
         ]
+        doomed += [p for p, ts in cdc_at.items() if ts <= cutoff_ms]
         for p in sorted(
             str(q.relative_to(self.root))
-            for q in __import__("pathlib").Path(self.root).rglob("*.parquet")
+            for q in pathlib.Path(self.root).rglob("*.parquet")
         ):
             if p not in tracked and not p.startswith(_LOG_DIR):
                 mtime_ms = os.path.getmtime(os.path.join(self.root, p)) * 1000
@@ -546,50 +937,101 @@ class TxTable:
     def change_feed(self, from_version: int,
                     to_version: int | None = None) -> DataFrame:
         """Change Data Feed (D7; reference enables it at
-        ``delta_setup.py:111,464``): rows added/removed between versions,
-        tagged ``_change_type`` ∈ {insert, delete}, ``_commit_version``,
-        ``_commit_timestamp`` — reconstructed from add/remove actions,
-        which is precisely how Delta serves CDF for commits that didn't
-        write explicit change files (updates surface as delete+insert
-        pairs). Needs the removed files still on disk (pre-VACUUM)."""
-        versions = [
-            v for v in _list_versions(self.root)
-            if from_version <= v <= (to_version
-                                     if to_version is not None else 1 << 62)
-        ]
+        ``delta_setup.py:111,464``): row-level changes between versions,
+        tagged ``_change_type`` ∈ {insert, delete, update_preimage,
+        update_postimage}, ``_commit_version``, ``_commit_timestamp``.
+
+        Commits that wrote explicit change files (DELETE/UPDATE/MERGE —
+        Delta's ``_change_data`` mechanism) are served from those files,
+        so a copy-on-write rewrite surfaces ONLY its changed rows with
+        true update pre/post-images — never the rewritten file's
+        carried-over rows. Plain appends/overwrites are reconstructed
+        from add/remove actions (exactly how Delta serves CDF for
+        commits without change files), and ``dataChange=false`` commits
+        (OPTIMIZE) are invisible. Output columns follow the schema at
+        the range's end; older-generation rows are cast/null-filled.
+        Needs the underlying files still on disk (pre-VACUUM)."""
+        all_versions = _list_versions(self.root)
+        hi = to_version if to_version is not None else (
+            all_versions[-1] if all_versions else 0
+        )
+        versions = [v for v in all_versions if from_version <= v <= hi]
+
+        # one driver-side walk for schema generations: the effective
+        # schema at each commit, and each file's write-time generation.
+        schema_at: dict[int, str] = {}
+        gen_of: dict[str, str] = {}
+        sj = ""
+        for v in all_versions:
+            if v > hi:
+                break
+            c = _read_commit(self.root, v)
+            if c.get("schema"):
+                sj = c["schema"]
+            schema_at[v] = sj
+            fs = c.get("fileSchema") or sj
+            for ad in c.get("add", []):
+                gen_of[ad["path"]] = ad.get("_schema_json") or fs
+        final_schema = StructType.fromJson(json.loads(schema_at.get(hi, sj)))
+
         snap = self.snapshot()
+
+        def read_rels(rels: list[str]) -> DataFrame | None:
+            entries = []
+            for rel in rels:
+                p = os.path.join(self.root, rel)
+                if not os.path.exists(p):
+                    raise VacuumedFileError(
+                        f"change feed needs vacuumed file {rel}"
+                    )
+                entries.append(
+                    {"path": rel, "_schema_json": gen_of.get(rel)}
+                )
+            if not entries:
+                return None
+            return self._read_entries(entries, final_schema,
+                                      snap.partition_by)
+
         parts = []
         for v in versions:
             c = _read_commit(self.root, v)
-            # File contents for removes come from the log's add entries
-            # (a removed path was always added earlier).
-            for kind, rels in (("insert", [a["path"] for a in c.get("add", [])]),
-                               ("delete", c.get("remove", []))):
-                paths = []
-                for rel in rels:
+            if c.get("dataChange") is False:
+                continue  # OPTIMIZE etc: files moved, no rows changed
+            stamp = (
+                lambda df: df.withColumn(
+                    "_commit_version", F.lit(v).cast("long")
+                ).withColumn(
+                    "_commit_timestamp",
+                    F.lit(c["timestamp_ms"]).cast("long"),
+                )
+            )
+            if c.get("cdc"):
+                cdc_paths = []
+                for rel in c["cdc"]:
                     p = os.path.join(self.root, rel)
                     if not os.path.exists(p):
                         raise VacuumedFileError(
-                            f"change feed needs vacuumed file {rel}"
+                            f"change feed needs vacuumed change file {rel}"
                         )
-                    paths.append(p)
-                if not paths:
-                    continue
-                reader = self.spark.read
-                if snap.partition_by:
-                    reader = reader.option("basePath", self.root)
-                parts.append(
-                    reader.parquet(*paths)
-                    .withColumn("_change_type", F.lit(kind))
-                    .withColumn("_commit_version", F.lit(v).cast("long"))
-                    .withColumn(
-                        "_commit_timestamp",
-                        F.lit(c["timestamp_ms"]).cast("long"),
-                    )
+                    cdc_paths.append(p)
+                with_type = StructType(
+                    final_schema.fields
+                    + [StructField("_change_type", StringType())]
                 )
+                raw = self.spark.read.parquet(*cdc_paths)
+                parts.append(stamp(_align(raw, with_type)))
+                continue
+            for kind, rels in (
+                ("insert", [a["path"] for a in c.get("add", [])]),
+                ("delete", c.get("remove", [])),
+            ):
+                df = read_rels(rels)
+                if df is not None:
+                    parts.append(
+                        stamp(df.withColumn("_change_type", F.lit(kind)))
+                    )
         if not parts:
-            base = self.snapshot().schema
-            empty = self.spark.createDataFrame([], base)
+            empty = self.spark.createDataFrame([], snap.schema)
             return (
                 empty.withColumn("_change_type", F.lit("insert"))
                 .withColumn("_commit_version", F.lit(0).cast("long"))
@@ -625,87 +1067,153 @@ class TxTable:
         return sorted(touched), snap
 
     def _rewrite(self, touched: list[str], snap: Snapshot,
-                 transform, operation: str, params: dict,
-                 extra_df: DataFrame | None = None) -> int:
-        """Shared copy-on-write tail for DELETE/UPDATE/MERGE: read only
-        the touched files, apply ``transform``, append ``extra_df``
-        (merge inserts), stage + commit."""
+                 remaining: DataFrame, operation: str, params: dict,
+                 extra_df: DataFrame | None = None,
+                 cdc_df: DataFrame | None = None,
+                 schema_json: str | None = None,
+                 file_schema: StructType | None = None) -> int:
+        """Shared copy-on-write tail for DELETE/UPDATE/MERGE: stage the
+        survivors (+ merge inserts) of the touched files, stage the
+        explicit change rows, publish with disjoint-rewrite retry."""
         version = snap.version + 1
-        reader = self.spark.read
-        if snap.partition_by:
-            reader = reader.option("basePath", self.root)
-        if touched:
-            remaining = transform(
-                reader.parquet(*[os.path.join(self.root, p) for p in touched])
-            )
-        else:
-            remaining = self.spark.createDataFrame([], snap.schema)
         if extra_df is not None:
             remaining = remaining.unionByName(extra_df)
-        adds = self._stage_files(
-            remaining, version, snap.partition_by, None
+        adds = self._stage_files(remaining, version, snap.partition_by, None)
+        cdc = self._stage_cdc(cdc_df, version) if cdc_df is not None else []
+
+        def action(v: int) -> dict:
+            a = {
+                "version": v,
+                "timestamp_ms": int(time.time() * 1000),
+                "operation": operation,
+                "operationParameters": params,
+                "fileSchema": (file_schema or snap.schema).json(),
+                "add": adds,
+                "remove": touched,
+            }
+            if cdc:
+                a["cdc"] = cdc
+            if schema_json is not None:
+                a["schema"] = schema_json
+            return a
+
+        return self._commit(snap.version, action, removes=touched,
+                            exclusive=(schema_json is not None))
+
+    def _touched_df(self, snap: Snapshot, touched: list[str]) -> DataFrame:
+        return self._read_entries(
+            [snap.files[p] for p in touched], snap.schema, snap.partition_by
         )
-        _publish_commit(self.root, version, {
-            "version": version,
-            "timestamp_ms": int(time.time() * 1000),
-            "operation": operation,
-            "operationParameters": params,
-            "add": adds,
-            "remove": touched,
-        })
-        return version
 
     def delete(self, cond) -> int:
         """DELETE by predicate (D5; reference ``delta_setup.py:670-686``):
         rewrite only the files containing matching rows, keeping their
-        non-matching rows; untouched files are not rewritten."""
+        non-matching rows; untouched files are not rewritten. Writes the
+        deleted rows as explicit change files, so the feed shows only
+        true deletes, not the survivors' rewrite."""
         touched, snap = self._touched_files(cond)
         if not touched:
             return snap.version
+        tdf = self._touched_df(snap, touched)
+        cdc = tdf.filter(cond).withColumn("_change_type", F.lit("delete"))
         return self._rewrite(
-            touched, snap, lambda df: df.filter(~cond),
-            "DELETE", {"predicate": str(cond)},
+            touched, snap, tdf.filter(~cond),
+            "DELETE", {"predicate": str(cond)}, cdc_df=cdc,
         )
 
     def update(self, cond, assignments: dict) -> int:
         """UPDATE by predicate (D5; reference ``delta_setup.py:688-702``).
         ``assignments`` maps column -> Column expression applied where
-        ``cond`` holds."""
+        ``cond`` holds. Change files carry the matched rows as
+        ``update_preimage`` / ``update_postimage`` pairs — Delta's CDF
+        row types for UPDATE."""
         touched, snap = self._touched_files(cond)
         if not touched:
             return snap.version
+        tdf = self._touched_df(snap, touched)
 
         def apply(df: DataFrame) -> DataFrame:
             for col, expr in assignments.items():
                 df = df.withColumn(col, F.when(cond, expr).otherwise(F.col(col)))
             return df
 
+        pre = tdf.filter(cond)
+        cdc = (
+            pre.withColumn("_change_type", F.lit("update_preimage"))
+            .unionByName(
+                apply(pre).withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+            )
+        )
         return self._rewrite(
-            touched, snap, apply, "UPDATE", {"predicate": str(cond)},
+            touched, snap, apply(tdf), "UPDATE",
+            {"predicate": str(cond)}, cdc_df=cdc,
         )
 
     def merge(self, source: DataFrame, keys: list[str],
-              params: dict | None = None) -> int:
+              params: dict | None = None,
+              merge_schema: bool = False,
+              max_broadcast_keys: int = 500_000) -> int:
         """MERGE upsert (D6/J7; reference ``delta_setup.py:636-668``):
         whenMatchedUpdateAll + whenNotMatchedInsertAll on ``keys``.
         Only files holding matched keys are rewritten; unmatched source
         rows land as new files. The row-level semantics are the repo's
         tested :func:`..operators.merge.merge_upsert`, applied here at
-        file granularity."""
+        file granularity.
+
+        The touched-file probe joins the target against the source's
+        distinct keys. Key distribution is size-gated: at or below
+        ``max_broadcast_keys`` distinct keys (counted with an
+        early-exit ``limit(n+1)`` scan) the key set is broadcast — the
+        bounded-CDC-batch fast path; above it the joins fall back to
+        shuffle hash/sort-merge so an unbounded source can never OOM
+        the driver or executors with a forced broadcast.
+
+        ``merge_schema=True`` lets the source carry new columns
+        (appended nullable) or widened types, evolving the table schema
+        in the same commit — the reference's ``schema.autoMerge``
+        behavior for streaming MERGE.
+
+        Change files tag matched rows as ``update_preimage`` /
+        ``update_postimage`` and unmatched source rows as ``insert``.
+        """
         src = source.dropDuplicates(keys)
-        # Touched = files containing any source key: a left-semi probe
-        # grouped by file, so the target is scanned once. The broadcast
-        # assumes a bounded source batch (the CDC/upsert shape this
-        # mirrors from run_merge_stream); unbounded sources would use a
-        # shuffle join here.
         snap = self.snapshot()
+        schema_json: str | None = None
+        target_schema = snap.schema
+        if merge_schema:
+            merged = _merge_schemas(snap.schema, src.schema)
+            if merged != snap.schema:
+                schema_json = merged.json()
+                target_schema = merged
+        else:
+            _require_compatible(snap.schema, src.schema)
+        src = _align(src, target_schema)
         if not snap.files:
-            return self.write(src, mode="append", operation="MERGE",
-                              params=params)
-        tgt = self.read()
+            v = self.write(src, mode="append", operation="MERGE",
+                           params=params, merge_schema=merge_schema)
+            self._last_merge_used_broadcast = None
+            return v
+
+        # Materialize the distinct key set once — it feeds the probe,
+        # the anti-join, and both CDC branches.
+        keys_df = src.select(*keys).distinct().localCheckpoint(eager=False)
+        n_keys = keys_df.limit(max_broadcast_keys + 1).count()
+        use_broadcast = n_keys <= max_broadcast_keys
+        self._last_merge_used_broadcast = use_broadcast
+
+        def gate(df: DataFrame) -> DataFrame:
+            return F.broadcast(df) if use_broadcast else df
+
+        # Capture the source file BEFORE the join: input_file_name() is
+        # only defined in the scan stage — evaluated above a shuffle
+        # (the sort-merge path of the size gate) it returns "".
+        tgt = _align(self.read(), target_schema)
         hits = (
-            tgt.join(F.broadcast(src.select(*keys).distinct()), keys, "left_semi")
-            .groupBy(F.input_file_name().alias("_f"))
+            tgt.withColumn("_f", F.input_file_name())
+            .join(gate(keys_df), keys, "left_semi")
+            .groupBy("_f")
             .count()
             .collect()
         )
@@ -713,31 +1221,65 @@ class TxTable:
             os.path.relpath(r["_f"].removeprefix("file:"), self.root)
             for r in hits
         )
+        if not touched:
+            v = self._commit_insert_only(src, snap, params, schema_json,
+                                         target_schema)
+            return v
 
-        def apply(df: DataFrame) -> DataFrame:
-            # keep target rows whose key is NOT in source (matched rows
-            # are replaced wholesale by the source row = UpdateAll)
-            return df.join(
-                F.broadcast(src.select(*keys).distinct()), keys, "left_anti"
-            )
-
-        if touched:
-            matched_keys = (
-                tgt.join(
-                    F.broadcast(src.select(*keys).distinct()), keys, "left_semi"
-                ).select(*keys).distinct()
-            )
-            updates = src.join(matched_keys, keys, "left_semi")
-            inserts = src.join(matched_keys, keys, "left_anti")
-            extra = updates.unionByName(inserts).select(*tgt.columns)
-            return self._rewrite(
-                touched, snap, apply, "MERGE",
-                {"keys": keys, **(params or {})}, extra_df=extra
-            )
-        return self.write(
-            src.select(*tgt.columns), mode="append", operation="MERGE",
-            params=params,
+        matched_keys = (
+            tgt.join(gate(keys_df), keys, "left_semi")
+            .select(*keys).distinct().localCheckpoint(eager=False)
         )
+        updates = src.join(gate(matched_keys), keys, "left_semi")
+        inserts = src.join(gate(matched_keys), keys, "left_anti")
+        extra = updates.unionByName(inserts).select(*tgt.columns)
+
+        tdf = _align(self._touched_df(snap, touched), target_schema)
+        survivors = tdf.join(gate(keys_df), keys, "left_anti")
+        pre = tdf.join(gate(keys_df), keys, "left_semi")
+        cdc = (
+            pre.withColumn("_change_type", F.lit("update_preimage"))
+            .unionByName(
+                updates.select(*tgt.columns).withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+            )
+            .unionByName(
+                inserts.select(*tgt.columns).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            )
+        )
+        return self._rewrite(
+            touched, snap, survivors, "MERGE",
+            {"keys": keys, **(params or {})}, extra_df=extra, cdc_df=cdc,
+            schema_json=schema_json, file_schema=target_schema,
+        )
+
+    def _commit_insert_only(self, src: DataFrame, snap: Snapshot,
+                            params: dict | None, schema_json: str | None,
+                            target_schema: StructType) -> int:
+        """MERGE with zero matched keys: pure append of the source (plus
+        the schema evolution, if any) — no files rewritten."""
+        adds = self._stage_files(src, snap.version + 1, snap.partition_by,
+                                 None)
+
+        def action(v: int) -> dict:
+            a = {
+                "version": v,
+                "timestamp_ms": int(time.time() * 1000),
+                "operation": "MERGE",
+                "operationParameters": {"mode": "append", **(params or {})},
+                "fileSchema": target_schema.json(),
+                "add": adds,
+                "remove": [],
+            }
+            if schema_json is not None:
+                a["schema"] = schema_json
+            return a
+
+        return self._commit(snap.version, action, removes=[],
+                            exclusive=(schema_json is not None))
 
     # -- maintenance -------------------------------------------------------
 
@@ -748,9 +1290,10 @@ class TxTable:
         the live snapshot into ``target_files`` files — optionally
         Morton-clustered on ``zorder_cols`` via the same
         :func:`.maintenance._zvalue` curve the swap-based
-        :func:`.maintenance.zorder_by` uses — and commit add/remove, so
-        pre-compaction versions stay time-travelable (unlike the
-        directory-swap path, which destroys history)."""
+        :func:`.maintenance.zorder_by` uses — and commit add/remove with
+        ``dataChange=false``, so pre-compaction versions stay
+        time-travelable and the change feed correctly sees NO row
+        changes (Delta marks compaction commits the same way)."""
         snap = self.snapshot()
         if not snap.files:
             return snap.version
@@ -772,21 +1315,26 @@ class TxTable:
             )
         else:
             df = df.coalesce(n)
-        version = snap.version + 1
         adds = self._stage_files(
-            df, version, snap.partition_by, stats_cols or zorder_cols
+            df, snap.version + 1, snap.partition_by, stats_cols or zorder_cols
         )
-        _publish_commit(self.root, version, {
-            "version": version,
-            "timestamp_ms": int(time.time() * 1000),
-            "operation": "OPTIMIZE",
-            "operationParameters": {
-                "zorder_cols": zorder_cols or [], "target_files": n,
-            },
-            "add": adds,
-            "remove": sorted(snap.files),
-        })
-        return version
+        removes = sorted(snap.files)
+
+        def action(v: int) -> dict:
+            return {
+                "version": v,
+                "timestamp_ms": int(time.time() * 1000),
+                "operation": "OPTIMIZE",
+                "operationParameters": {
+                    "zorder_cols": zorder_cols or [], "target_files": n,
+                },
+                "dataChange": False,
+                "fileSchema": snap.schema_json,
+                "add": adds,
+                "remove": removes,
+            }
+
+        return self._commit(snap.version, action, removes=removes)
 
     # -- detail / metrics --------------------------------------------------
 

@@ -22,8 +22,9 @@ from ..operators.text import (
     add_text_features,
     fingerprint_col,
     ngram_jaccard_pairs,
-    predict_language,
+    predict_language_from_words,
     rolling_hash_col,
+    tokens,
 )
 from ..sources.readers import load_table
 from .catalog import QuerySpec
@@ -83,16 +84,26 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     language ID (operators/text.py::predict_language — formerly the
     separate ``lang_id_confusion`` query; the per-doc (lang,
     predicted_lang) columns carry strictly more information than the
-    confusion matrix they replace)."""
+    confusion matrix they replace).
+
+    ONE scan of ``documents``: the feature projection carries ``lang``
+    and the token array through the same pass and is lazily
+    checkpointed; the language-ID stages (profile training + per-doc
+    overlap) explode words from the checkpointed arrays instead of
+    re-reading and re-splitting the source (the round-3 fold scanned
+    documents three times and tokenized twice)."""
     d = _docs(spark, sf_dir)
-    pred = predict_language(d)
-    # LEFT joins: a doc with no profile overlap (or NULL/empty text)
+    feat = add_text_features(
+        d, extra=[F.col("lang"), tokens("text").alias("_w")]
+    ).localCheckpoint(eager=False)
+    words = feat.select("doc_id", "lang", F.explode("_w").alias("w"))
+    pred = predict_language_from_words(words)
+    # LEFT join: a doc with no profile overlap (or NULL/empty text)
     # gets predicted_lang NULL — the quality surface must still emit
     # EVERY doc, exactly like the pre-fold per-doc query did.
-    return (
-        add_text_features(d)
-        .join(d.select("doc_id", "lang"), "doc_id", "left_outer")
-        .join(pred, "doc_id", "left_outer")
+    return feat.drop("_w").join(pred, "doc_id", "left_outer").select(
+        "doc_id", "n_tokens", "n_chars_measured", "avg_token_len",
+        "vowel_ratio", "quality", "lang", "predicted_lang",
     )
 
 
@@ -366,22 +377,69 @@ def embedding_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle); every surviving pair's cosine is exactly verified, so
     clusters can only ever be a REFINEMENT of the exact pipeline's —
     no false merges — and recall of the candidate step is the sole
-    approximation. In LSH's designed operating regime (true near-dups,
-    cosine ≥ ~0.9) that recall is ≈1 and the composition reproduces
-    the exact clusters — proven by tests/test_graph.py on a corpus
-    with injected near-duplicates; at this demo threshold (0.4, chosen
-    to mirror the exact sibling on the weakly-similar synthetic
-    corpus) recall is partial, which the refinement test also pins.
-    Rows-only for the driver: the seeded hyperplanes are not
-    SQL-expressible."""
+    approximation.
+
+    Run at LSH's designed operating point — true near-duplicates,
+    cosine ≥ 0.9. The synthetic corpus has NO such pairs (max pairwise
+    cosine ≈ 0.60), so the query injects them deterministically: every
+    vector is unioned with a ×2-scaled copy (``vec_id + 1_000_000``).
+    Power-of-two scaling is exact in IEEE arithmetic, so a copy's
+    hyperplane sign pattern is IDENTICAL to its original's — all band
+    codes collide, candidate recall is 1 by construction (not by
+    tuning) — and the copy pair's cosine is exactly 1. The output is
+    therefore fully deterministic and oracle-checkable: the same
+    recursive-CTE closure as the exact sibling, over the same injected
+    corpus, at threshold 0.9. (Cross pairs original_i × copy_j keep
+    the originals' cosine < 0.9, so the expected clusters are exactly
+    the {i, i+1_000_000} pairs.) This is also how one evaluates an ANN
+    /dedup pipeline's recall in practice: plant known duplicates,
+    check they are found."""
     from ..operators.graph import connected_components
     from ..operators.similarity import lsh_cosine_pairs
 
     emb = _emb(spark, sf_dir)
-    pairs = lsh_cosine_pairs(emb, threshold=0.4, dim=64)
-    nodes = emb.select(F.col("vec_id").alias("id"))
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    corpus = (
+        emb.select(F.col("vec_id"), as_double.alias("embedding"))
+        .unionByName(
+            emb.select(
+                (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+                F.transform(
+                    as_double, lambda x: x * F.lit(2.0)
+                ).alias("embedding"),
+            )
+        )
+    )
+    pairs = lsh_cosine_pairs(corpus, threshold=0.9, dim=64)
+    nodes = corpus.select(F.col("vec_id").alias("id"))
     cc = connected_components(pairs.select("id_a", "id_b"), nodes, node_col="id")
     return cc.select(F.col("id").alias("vec_id"), "cluster_id")
+
+
+EMBEDDING_DEDUP_CLUSTERS_LSH_SQL = """
+WITH RECURSIVE corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, list_transform(embedding, x -> 2 * x::DOUBLE)
+  FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+        / (sqrt(list_sum(list_transform(range(1, 65), i -> a.e[i] * a.e[i])))
+           * sqrt(list_sum(list_transform(range(1, 65), i -> b.e[i] * b.e[i]))))
+        >= 0.9),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT vec_id AS src, vec_id AS dst FROM corpus
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
+SELECT src AS vec_id, MIN(dst) AS cluster_id
+FROM reach GROUP BY 1
+"""
 
 
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -440,9 +498,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "embedding_dedup_clusters_lsh": QuerySpec(
         embedding_dedup_clusters_lsh,
-        None,
-        "connected components over hyperplane-LSH candidate pairs — "
-        "the 100 TB dedup-clustering composition (rows-only)",
+        EMBEDDING_DEDUP_CLUSTERS_LSH_SQL,
+        "connected components over hyperplane-LSH candidate pairs at the "
+        "near-dup operating point (injected ×2-scaled duplicates, "
+        "recall 1 by construction) — the 100 TB dedup-clustering "
+        "composition, oracle-checked",
     ),
     "ann_ivf_topk": QuerySpec(
         ann_ivf_topk_query,

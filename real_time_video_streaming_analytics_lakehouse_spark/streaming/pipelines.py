@@ -297,10 +297,20 @@ def run_merge_stream(
     (e.g. a date derived from the keyed entity's creation time), or an
     updated row's old version survives in its former partition.
 
-    Without ``partition_col`` the whole target is rewritten per batch
-    (only acceptable for bounded gold tables); either way the swap is
-    crash-safe (rename-aside, see ``operators.util.atomic_swap_dir``).
+    Without ``partition_col`` the sink DELEGATES to
+    :func:`run_merge_stream_versioned`: the target becomes a native
+    transaction-log table whose MERGE rewrites only the files holding
+    matched keys (read it back with ``TxTable(spark, path).read()``).
+    The former whole-target-rewrite fallback was removed in round 4 —
+    it was bounded-gold-only and the versioned sink strictly supersedes
+    it (file-granular, exactly-once via txnAppId/txnVersion, versioned
+    history).
     """
+    if partition_col is None:
+        return run_merge_stream_versioned(
+            result, target_path, checkpoint_path, keys, precedence_col
+        )
+
     from ..operators.dedup import dedup_keep_latest
     from ..operators.merge import merge_upsert
     from ..operators.util import atomic_swap_dir, require_local_dir
@@ -318,17 +328,6 @@ def run_merge_stream(
 
         batch = dedup_keep_latest(batch_df, keys, precedence_col)
         tmp = target_path.rstrip("/") + f"__b{batch_id}"
-        if partition_col is None:
-            if os.path.exists(target_path):
-                merged = merge_upsert(
-                    spark.read.parquet(target_path), batch, keys
-                )
-            else:  # first batch: nothing to merge into
-                merged = batch
-            merged.write.mode("overwrite").parquet(tmp)
-            atomic_swap_dir(target_path, tmp)
-            return
-
         if not os.path.exists(target_path):
             batch.write.mode("overwrite").partitionBy(partition_col).parquet(
                 target_path

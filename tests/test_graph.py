@@ -30,18 +30,37 @@ def test_connected_components_chain_cycle_singleton(spark):
 
 
 def test_lsh_composed_clusters_refine_exact(spark):
-    """CC over LSH candidate pairs (catalog ``embedding_dedup_clusters_lsh``)
-    can only MERGE what the exact pipeline merges — cosines are exactly
-    verified, so any two vectors the LSH path puts in one cluster must
-    share an exact cluster too (no false merges, at any threshold)."""
+    """CC over LSH candidate pairs can only MERGE what the exact
+    pipeline merges — cosines are exactly verified, so any two vectors
+    the LSH path puts in one cluster must share an exact cluster too
+    (no false merges, at any threshold — here the raw corpus at the
+    exact sibling's weak 0.4 threshold, where recall is partial but
+    refinement must still hold; the catalog query
+    ``embedding_dedup_clusters_lsh`` runs the same composition at the
+    0.9 operating point with injected duplicates and is oracle-checked
+    by the driver)."""
+    from pyspark.sql import functions as F
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.graph import (
+        connected_components,
+    )
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.similarity import (
+        lsh_cosine_pairs,
+    )
     from real_time_video_streaming_analytics_lakehouse_spark.plans import CATALOG
+    from real_time_video_streaming_analytics_lakehouse_spark.sources.readers import (
+        load_table,
+    )
 
     from .conftest import SF_DIR
 
+    emb = load_table(spark, SF_DIR, "embeddings")
+    pairs = lsh_cosine_pairs(emb, threshold=0.4, dim=64)
+    nodes = emb.select(F.col("vec_id").alias("id"))
     lsh = {
-        r["vec_id"]: r["cluster_id"]
-        for r in CATALOG["embedding_dedup_clusters_lsh"].fn(
-            spark, SF_DIR
+        r["id"]: r["cluster_id"]
+        for r in connected_components(
+            pairs.select("id_a", "id_b"), nodes, node_col="id"
         ).collect()
     }
     exact = {

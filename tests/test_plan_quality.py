@@ -111,6 +111,19 @@ def test_folded_queries_avoid_nested_loop_joins(spark):
         assert "BroadcastNestedLoopJoin" not in _plan(spark, name), name
 
 
+def test_text_quality_single_documents_scan(spark):
+    """The round-3 fold scanned documents three times (features, lang
+    join, language-ID) and tokenized twice. Round 4 shares ONE scan: the
+    feature projection carries lang + the token array and is lazily
+    checkpointed, so every consumer reads the checkpoint (ExistingRDD in
+    the plan) and the parquet source appears in no other branch."""
+    plan = _plan(spark, "text_quality")
+    assert "ExistingRDD" in plan
+    assert plan.count("documents.parquet") == 0, (
+        "a consumer bypassed the shared checkpoint and re-scans documents"
+    )
+
+
 def test_star_schema_broadcasts_generated_dim(spark):
     """The 366-row generated calendar dim must broadcast; the events
     fact side must never be the built side of anything."""

@@ -118,7 +118,9 @@ def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
 def test_run_merge_stream_upserts_per_batch(spark, tmp_path):
     """foreachBatch MERGE sink: later micro-batches update matching keys
     and insert new ones; final target holds exactly the latest row per
-    key (the reference's streaming run + MERGE load path)."""
+    key (the reference's streaming run + MERGE load path). Unpartitioned
+    targets route to the versioned transaction-log sink (round 4), so
+    the result reads back through TxTable."""
     src_dir = str(tmp_path / "merge_src")
     t = dt.datetime(2024, 1, 1, 12, 0, 0)
     batches = [
@@ -141,8 +143,10 @@ def test_run_merge_stream_upserts_per_batch(spark, tmp_path):
     q = run_merge_stream(src, target, f"{tmp_path}/merge_ckpt",
                          keys=["event_id"], precedence_col="ts")
     q.awaitTermination(120)
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.txlog import TxTable
+
     out = {r["event_id"]: (r["event_type"], r["value"])
-           for r in spark.read.parquet(target).collect()}
+           for r in TxTable(spark, target).read().collect()}
     assert out == {1: ("click", 10.0), 2: ("view", 2.0), 3: ("view", 3.0)}
 
 
@@ -170,7 +174,9 @@ def test_run_merge_stream_accepts_file_uri_target(spark, tmp_path):
         keys=["event_id"], precedence_col="ts",
     )
     q.awaitTermination(120)
-    rows = spark.read.parquet(f"{tmp_path}/uri_target").collect()
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.txlog import TxTable
+
+    rows = TxTable(spark, f"{tmp_path}/uri_target").read().collect()
     # both batches' keys survive — batch 2 merged, not overwrote
     assert sorted(r["event_id"] for r in rows) == [1, 2]
 
