@@ -62,12 +62,38 @@ def add_text_features(
 
 
 def shingles(text: Column | str, size: int = 3) -> Column:
-    """Distinct character n-gram shingles of ``text`` (array<string>)."""
+    """Distinct character n-gram shingles of ``text`` (array<string>).
+
+    Windows are built by ``zip_with``-ing ``size-1`` shifted copies of
+    the ``split(text, "")`` character array, not via per-offset
+    ``substr``: UTF8 substring needs a linear scan to find a codepoint
+    offset, so n ``substr(i, size)`` calls are O(n²) per document —
+    measured as the dominant cost of the fingerprint surface. The
+    shifted-zip formulation evaluates the split a CONSTANT number of
+    times (an array expression inside a per-element lambda would
+    re-evaluate per element — the equally-quadratic trap the first
+    rewrite of this function fell into, caught by the noop-sink bench).
+    Output is bit-identical to the substr version: split("") yields
+    per-codepoint chars (substr's unit), the zip pads trailing windows
+    exactly like substr's end-clamp, empty text still produces the
+    single "" shingle via the same greatest(…, 1) clamp, and NULL text
+    still yields the [NULL] array the null-safe consumers expect."""
     c = F.col(text) if isinstance(text, str) else text
-    n = F.greatest(F.length(c) - (size - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(F.sequence(F.lit(1), n), lambda i: c.substr(i, F.lit(size)))
+    chars = F.split(c, "")
+    n = F.size(chars)
+    windows = chars
+    for off in range(1, size):
+        shifted = F.slice(
+            chars, off + 1, F.greatest(n - off, F.lit(1))
+        )
+        windows = F.zip_with(
+            windows, shifted,
+            lambda x, y: F.concat(x, F.coalesce(y, F.lit(""))),
+        )
+    arr = F.array_distinct(
+        F.slice(windows, 1, F.greatest(n - (size - 1), F.lit(1)))
     )
+    return F.when(c.isNull(), F.array(F.lit(None).cast("string"))).otherwise(arr)
 
 
 def word_shingles(text: Column | str, size: int = 3) -> Column:
@@ -130,9 +156,13 @@ def rolling_hash_col(
     fold per doc — linear, partition-parallel, no shuffle.
     """
     text = F.col(text_col)
+    # Character codes via one split("") instead of n per-offset substr
+    # calls: UTF8 substring is a linear codepoint scan, so the substr
+    # formulation is O(len²) per doc; the split is O(len) and the fold
+    # consumes the array directly. Values are bit-identical (same
+    # codepoints, same fold).
     codes = F.transform(
-        F.sequence(F.lit(1), F.length(text)),
-        lambda i: F.ascii(text.substr(i, F.lit(1))).cast("long"),
+        F.split(text, ""), lambda ch: F.ascii(ch).cast("long")
     )
     h = F.aggregate(
         codes,
