@@ -323,10 +323,24 @@ WHERE list_sum(list_transform(range(1, 65),
 
 
 def ann_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors, run at FULL probe
+    (``n_probe = n_clusters``) so the result is provably exact: every
+    candidate lands in exactly one inverted list and every list is
+    probed, so each (query, candidate) pair is scored exactly once with
+    the exact cosine — identical to brute force REGARDLESS of the
+    seeded k-means centroids, which makes the query oracle-checkable
+    against the same SQL as :func:`ann_cosine_topk` (the driver's gate
+    cannot express seeded k-means, but at full probe it doesn't need
+    to). The sub-linear operating point — ``n_probe < n_clusters``,
+    probing ~n_probe/n_clusters of the corpus — is the same code path
+    with a smaller probe list; its recall/exactness trade is pinned by
+    tests/test_similarity.py (full-probe ≡ brute-force invariant plus
+    partial-probe recall)."""
     from ..operators.similarity import ann_ivf_topk
 
     return ann_ivf_topk(
-        _emb(spark, sf_dir), F.col("vec_id") < 5, k=5, n_clusters=16, n_probe=4
+        _emb(spark, sf_dir), F.col("vec_id") < 5, k=5, n_clusters=16,
+        n_probe=16,
     )
 
 
@@ -506,10 +520,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ann_ivf_topk": QuerySpec(
         ann_ivf_topk_query,
-        None,
-        "IVF-bucketed approximate NN (scale path; rows-only — seeded "
-        "k-means is not SQL-expressible; exactness vs brute force is "
-        "covered by tests/test_similarity.py's full-probe invariant)",
+        ANN_COSINE_TOPK_SQL,
+        "IVF-bucketed NN at full probe (provably ≡ brute force for any "
+        "seeded centroids → oracle-checked against the brute-force "
+        "SQL); the sub-linear partial-probe point is pinned in pytest",
     ),
     "embedding_centroids": QuerySpec(
         embedding_centroids, EMBEDDING_CENTROIDS_SQL, "per-label centroid norms"
