@@ -373,6 +373,7 @@ def run_merge_stream_versioned(
     keys: list[str],
     precedence_col: str,
     app_id: str | None = None,
+    merge_schema: bool = False,
 ) -> StreamingQuery:
     """Stream → versioned MERGE sink: each micro-batch is upserted into
     a native transaction-log table (:class:`~..operators.txlog.TxTable`)
@@ -393,8 +394,14 @@ def run_merge_stream_versioned(
     optimistic concurrency in the log serializes their commits.
 
     Scale: only files holding matched keys rewrite per batch
-    (``TxTable.merge`` does a broadcast semi-join against per-file
-    min/max stats), so commit cost tracks batch size, not table size.
+    (``TxTable.merge`` does a size-gated semi-join probe against the
+    log's file list), so commit cost tracks batch size, not table size.
+
+    ``merge_schema=True`` is the reference's ``schema.autoMerge`` for
+    streaming MERGE (``delta-lake/delta_setup.py:87``): a micro-batch
+    whose frame carries new nullable columns (or widened int/float
+    types) evolves the table schema in its commit instead of failing
+    the stream.
     """
     from ..operators.dedup import dedup_keep_latest
     from ..operators.txlog import TxTable
@@ -409,13 +416,13 @@ def run_merge_stream_versioned(
         params = {"txnAppId": app, "txnVersion": batch_id}
         if not TxTable.exists(spark, table_path):
             tx = TxTable.create(spark, table_path, batch.schema)
-            tx.merge(batch, keys, params=params)
+            tx.merge(batch, keys, params=params, merge_schema=merge_schema)
             return
         tx = TxTable(spark, table_path)
         last = tx.txn_version(app)
         if last is not None and batch_id <= last:
             return  # checkpoint replay of an already-committed batch
-        tx.merge(batch, keys, params=params)
+        tx.merge(batch, keys, params=params, merge_schema=merge_schema)
 
     return (
         result.writeStream.foreachBatch(upsert_batch)

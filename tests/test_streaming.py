@@ -506,3 +506,46 @@ def test_user_activity_sliding_windows_stream(spark, tmp_path):
     starts = sorted(r["window_start"] for r in rows)
     assert starts[0] == dt.datetime(2024, 1, 1, 11, 58)
     assert starts[-1] == dt.datetime(2024, 1, 1, 12, 2)
+
+
+def test_run_merge_stream_versioned_evolves_schema(spark, tmp_path):
+    """schema.autoMerge parity for the streaming MERGE sink: a restarted
+    stream whose frames carry a new column evolves the versioned table
+    (old rows null-filled) instead of failing the micro-batch."""
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.txlog import TxTable
+    from real_time_video_streaming_analytics_lakehouse_spark.streaming.pipelines import (
+        run_merge_stream_versioned,
+    )
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    table = f"{tmp_path}/evo_table"
+
+    # phase 1: original schema
+    src1 = str(tmp_path / "evo_src1")
+    spark.createDataFrame(
+        [Row(event_id=1, ts=t, value=1.0)]
+    ).coalesce(1).write.mode("append").parquet(src1)
+    q = run_merge_stream_versioned(
+        stream_events_from_files(spark, src1, spark.read.parquet(src1).schema),
+        table, f"{tmp_path}/evo_ckpt1", keys=["event_id"],
+        precedence_col="ts", app_id="phase1",
+    )
+    q.awaitTermination(120)
+
+    # phase 2 (restarted pipeline, evolved producer): adds a column
+    src2 = str(tmp_path / "evo_src2")
+    spark.createDataFrame(
+        [Row(event_id=1, ts=t + dt.timedelta(minutes=1), value=10.0,
+             src="mobile"),
+         Row(event_id=2, ts=t, value=2.0, src="web")]
+    ).coalesce(1).write.mode("append").parquet(src2)
+    q = run_merge_stream_versioned(
+        stream_events_from_files(spark, src2, spark.read.parquet(src2).schema),
+        table, f"{tmp_path}/evo_ckpt2", keys=["event_id"],
+        precedence_col="ts", app_id="phase2", merge_schema=True,
+    )
+    q.awaitTermination(120)
+
+    out = {r["event_id"]: (r["value"], r["src"])
+           for r in TxTable(spark, table).read().collect()}
+    assert out == {1: (10.0, "mobile"), 2: (2.0, "web")}
