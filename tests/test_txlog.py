@@ -624,3 +624,68 @@ def test_checkpoint_written_and_resolves_without_old_commits(
     # ...but a version below the oldest covering checkpoint now raises
     with pytest.raises(ValueError, match="missing|does not exist"):
         t.read(version=3)
+
+
+def test_change_feed_merge_with_schema_evolution(spark, table):
+    # one commit that BOTH evolves the schema and rewrites a file: the
+    # change rows must carry the evolved column and correct row types
+    table.write(_df(spark, [(1, "a", 1)]).coalesce(1))
+    evolved = StructType(SCHEMA.fields + [StructField("score", DoubleType())])
+    src = spark.createDataFrame([(1, "a", 100, 0.5), (2, "b", 2, 0.9)],
+                                evolved)
+    v = table.merge(src, keys=["id"], merge_schema=True)
+    cdf = table.change_feed(from_version=v, to_version=v)
+    rows = sorted((r.id, r._change_type, r.v, r.score) for r in cdf.collect())
+    assert rows == [
+        (1, "update_postimage", 100, 0.5),
+        (1, "update_preimage", 1, None),
+        (2, "insert", 2, 0.9),
+    ]
+
+
+def test_restore_across_schema_evolution(spark, table):
+    table.write(_df(spark, [(1, "a", 1)]))
+    evolved = StructType(SCHEMA.fields + [StructField("score", DoubleType())])
+    table.write(
+        spark.createDataFrame([(2, "b", 2, 0.5)], evolved), merge_schema=True
+    )
+    assert "score" in table.read().columns
+    rv = table.restore_to_version(1)
+    restored = table.read()
+    assert "score" not in restored.columns
+    assert [r.id for r in restored.collect()] == [1]
+    # the evolved version is still reachable, with its evolved schema
+    assert "score" in table.read(version=rv - 1).columns
+
+
+def test_vacuum_collects_cdc_files_then_feed_raises(spark, table):
+    table.write(_df(spark, [(1, "a", 1)]).coalesce(1))
+    v = table.update(F.col("id") == 1, {"v": F.lit(9)})
+    assert table.change_feed(from_version=v, to_version=v).count() == 2
+    doomed = table.vacuum(retention_hours=0)
+    assert any(p.startswith("_change_data") for p in doomed)
+    with pytest.raises(VacuumedFileError, match="change file"):
+        table.change_feed(from_version=v, to_version=v).count()
+
+
+def test_checkpoint_preserves_schema_generations(spark, tmp_path):
+    # evolve, then cross a checkpoint boundary: the manifest must keep
+    # each file's write-time schema so old-generation files still read
+    t = TxTable.create(spark, str(tmp_path / "cpg"), SCHEMA)
+    t.checkpoint_interval = 3
+    t.write(_df(spark, [(1, "a", 1)]))
+    evolved = StructType(SCHEMA.fields + [StructField("score", DoubleType())])
+    t.write(
+        spark.createDataFrame([(2, "b", 2, 0.5)], evolved), merge_schema=True
+    )
+    t.write(
+        spark.createDataFrame([(3, "c", 3, 0.7)], evolved)
+    )  # commit 3 -> checkpoint written
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.txlog import (
+        _list_checkpoints,
+    )
+
+    assert 3 in _list_checkpoints(t.root)
+    t.write(spark.createDataFrame([(4, "d", 4, 0.9)], evolved))
+    got = {r.id: r.score for r in t.read().collect()}
+    assert got == {1: None, 2: 0.5, 3: 0.7, 4: 0.9}
