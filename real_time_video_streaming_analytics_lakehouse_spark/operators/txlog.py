@@ -728,14 +728,27 @@ class TxTable:
         shutil.rmtree(stage, ignore_errors=True)
         return adds
 
+    #: like Delta's dataSkippingNumIndexedCols: auto-collect min/max
+    #: stats for at most this many leading eligible columns when the
+    #: caller doesn't name stats columns explicitly.
+    auto_stats_cols: int = 32
+
     def _collect_stats(self, stage: str, staged: list[str], df: DataFrame,
                        stats_cols: list[str] | None) -> dict:
-        """One aggregate over the staged files: per-file numRecords and,
-        for the requested columns, min/max for log-side data skipping."""
+        """One aggregate over the staged files: per-file numRecords and
+        column min/max for log-side data skipping. ``stats_cols=None``
+        auto-indexes the first ``auto_stats_cols`` eligible columns
+        (Delta's default behavior — stats are what make `_prune`'s file
+        skipping work without the writer having to opt in); pass an
+        explicit list to control it, or ``[]`` to collect none."""
         if not staged:
             return {}
+        if stats_cols is None:
+            stats_cols = [
+                c for c, t in df.dtypes if t.startswith(_STATS_TYPES)
+            ][: self.auto_stats_cols]
         cols = [
-            c for c in (stats_cols or [])
+            c for c in stats_cols
             if dict(df.dtypes).get(c, "").startswith(_STATS_TYPES)
         ]
         aggs = [F.count(F.lit(1)).alias("_n")]

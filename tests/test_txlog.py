@@ -689,3 +689,25 @@ def test_checkpoint_preserves_schema_generations(spark, tmp_path):
     t.write(spark.createDataFrame([(4, "d", 4, 0.9)], evolved))
     got = {r.id: r.score for r in t.read().collect()}
     assert got == {1: None, 2: 0.5, 3: 0.7, 4: 0.9}
+
+
+def test_stats_collected_by_default(spark, tmp_path):
+    # Delta parity: min/max stats index the leading columns without the
+    # writer opting in, so log-side file skipping works out of the box.
+    t = TxTable.create(spark, str(tmp_path / "as"), SCHEMA)
+    t.write(_df(spark, [(i, "a", i) for i in range(0, 10)]).coalesce(1))
+    t.write(_df(spark, [(i, "a", i) for i in range(100, 110)]).coalesce(1))
+    snap = t.snapshot()
+    assert all(
+        f.get("stats", {}).get("id", {}).get("min") is not None
+        for f in snap.files.values()
+    )
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.txlog import _prune
+
+    assert len(_prune(snap, [("id", ">=", 100)])) == 1
+    # explicit empty list disables collection
+    t2 = TxTable.create(spark, str(tmp_path / "ns"), SCHEMA)
+    t2.write(_df(spark, [(1, "a", 1)]), stats_cols=[])
+    assert all(
+        not f.get("stats") for f in t2.snapshot().files.values()
+    )
