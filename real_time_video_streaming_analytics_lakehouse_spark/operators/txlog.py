@@ -506,8 +506,10 @@ class TxTable:
 
         ``predicates`` — ``[(col, op, literal)]`` — prunes the FILE LIST
         driver-side from partition values + stats before Spark opens
-        anything; pass the same predicate to ``.filter`` for row-level
-        exactness (pruning is file-granular).
+        anything, AND applies as a row-level filter on the surviving
+        files, so the result is exact (file skipping is purely an
+        optimization; a file kept for lack of stats still has its
+        non-matching rows filtered).
 
         A snapshot whose files span schema generations (after
         ``merge_schema`` writes) is served under the snapshot's schema:
@@ -516,7 +518,17 @@ class TxTable:
         """
         snap = self.snapshot(version, timestamp_ms)
         files = _prune(snap, predicates)
-        return self._read_entries(files, snap.schema, snap.partition_by)
+        df = self._read_entries(files, snap.schema, snap.partition_by)
+        _OPS = {
+            "=": lambda c, v: c == v,
+            "<": lambda c, v: c < v,
+            "<=": lambda c, v: c <= v,
+            ">": lambda c, v: c > v,
+            ">=": lambda c, v: c >= v,
+        }
+        for col, op, lit in predicates or []:
+            df = df.filter(_OPS[op](F.col(col), F.lit(lit)))
+        return df
 
     # -- commit machinery --------------------------------------------------
 

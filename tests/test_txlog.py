@@ -711,3 +711,12 @@ def test_stats_collected_by_default(spark, tmp_path):
     assert all(
         not f.get("stats") for f in t2.snapshot().files.values()
     )
+
+
+def test_read_predicates_row_exact_without_stats(spark, tmp_path):
+    # a file kept for lack of stats must still have non-matching rows
+    # filtered: predicates are exact, pruning is only an optimization
+    t = TxTable.create(spark, str(tmp_path / "rp"), SCHEMA)
+    t.write(_df(spark, [(i, "a", i) for i in range(10)]), stats_cols=[])
+    got = sorted(r.id for r in t.read(predicates=[("id", ">=", 7)]).collect())
+    assert got == [7, 8, 9]
