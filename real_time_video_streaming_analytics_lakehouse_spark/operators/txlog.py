@@ -1070,15 +1070,19 @@ class TxTable:
 
     # -- copy-on-write DML -------------------------------------------------
 
-    def _touched_files(self, cond) -> tuple[list[str], Snapshot]:
+    def _touched_files(self, cond,
+                       predicates=None) -> tuple[list[str], Snapshot]:
         """Relative paths of live files containing >=1 row matching
         ``cond`` — ONE filtered aggregate over the snapshot, grouped by
-        ``input_file_name``; partition/stats pruning has already
-        shrunk what Spark reads via the caller's predicates."""
+        ``input_file_name``. ``predicates`` (the caller's log-prunable
+        ``[(col, op, lit)]`` hints) shrink the probed FILE LIST via
+        partition values + min/max stats before Spark opens anything —
+        at scale this is what keeps a partition-scoped DELETE from
+        scanning the whole table."""
         snap = self.snapshot()
         if not snap.files:
             return [], snap
-        df = self.read()
+        df = self.read(predicates=predicates)
         hits = (
             df.filter(cond)
             .groupBy(F.input_file_name().alias("_f"))
@@ -1130,13 +1134,17 @@ class TxTable:
             [snap.files[p] for p in touched], snap.schema, snap.partition_by
         )
 
-    def delete(self, cond) -> int:
+    def delete(self, cond, predicates=None) -> int:
         """DELETE by predicate (D5; reference ``delta_setup.py:670-686``):
         rewrite only the files containing matching rows, keeping their
         non-matching rows; untouched files are not rewritten. Writes the
         deleted rows as explicit change files, so the feed shows only
-        true deletes, not the survivors' rewrite."""
-        touched, snap = self._touched_files(cond)
+        true deletes, not the survivors' rewrite. ``predicates`` —
+        log-prunable ``[(col, op, lit)]`` hints implied by ``cond`` —
+        skip files from the touched-file probe via partition values +
+        stats (they must be IMPLIED by cond: a file they skip must hold
+        no matching row)."""
+        touched, snap = self._touched_files(cond, predicates)
         if not touched:
             return snap.version
         tdf = self._touched_df(snap, touched)
@@ -1146,13 +1154,15 @@ class TxTable:
             "DELETE", {"predicate": str(cond)}, cdc_df=cdc,
         )
 
-    def update(self, cond, assignments: dict) -> int:
+    def update(self, cond, assignments: dict, predicates=None) -> int:
         """UPDATE by predicate (D5; reference ``delta_setup.py:688-702``).
         ``assignments`` maps column -> Column expression applied where
         ``cond`` holds. Change files carry the matched rows as
         ``update_preimage`` / ``update_postimage`` pairs — Delta's CDF
-        row types for UPDATE."""
-        touched, snap = self._touched_files(cond)
+        row types for UPDATE. ``predicates`` — log-prunable hints
+        implied by ``cond`` — skip files from the touched-file probe
+        (see :meth:`delete`)."""
+        touched, snap = self._touched_files(cond, predicates)
         if not touched:
             return snap.version
         tdf = self._touched_df(snap, touched)

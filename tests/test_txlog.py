@@ -720,3 +720,19 @@ def test_read_predicates_row_exact_without_stats(spark, tmp_path):
     t.write(_df(spark, [(i, "a", i) for i in range(10)]), stats_cols=[])
     got = sorted(r.id for r in t.read(predicates=[("id", ">=", 7)]).collect())
     assert got == [7, 8, 9]
+
+
+def test_dml_predicates_prune_probe_and_stay_correct(spark, table):
+    # partition-scoped DELETE with a pruning hint: result identical,
+    # untouched partitions physically survive, and the hint must be
+    # implied by cond (here day='a' both prunes and filters)
+    table.write(_df(spark, [(1, "a", 1), (2, "b", 2), (3, "c", 3)]))
+    before_b = {p for p in table.snapshot().files if p.startswith("day=b")}
+    table.delete(F.col("day") == "a", predicates=[("day", "=", "a")])
+    assert sorted(r.id for r in table.read().collect()) == [2, 3]
+    assert before_b <= set(table.snapshot().files)
+    table.update(
+        F.col("day") == "b", {"v": F.lit(99)}, predicates=[("day", "=", "b")]
+    )
+    got = {r.id: r.v for r in table.read().collect()}
+    assert got == {2: 99, 3: 3}
