@@ -736,3 +736,34 @@ def test_dml_predicates_prune_probe_and_stay_correct(spark, table):
     )
     got = {r.id: r.v for r in table.read().collect()}
     assert got == {2: 99, 3: 3}
+
+
+def test_concurrent_disjoint_rewrite_auto_retries(spark, table, monkeypatch):
+    # rewrite vs rewrite of DIFFERENT files: the loser must re-resolve
+    # and commit on the next version, not raise (WriteSerializable)
+    from real_time_video_streaming_analytics_lakehouse_spark.operators import txlog
+
+    table.write(_df(spark, [(1, "a", 1), (2, "b", 2)]))
+    other = sorted(
+        p for p in table.snapshot().files if p.startswith("day=b")
+    )[0]
+    orig = txlog._publish_commit
+    state = {"raced": False}
+
+    def racing(root, version, action):
+        if not state["raced"] and action.get("operation") == "DELETE":
+            state["raced"] = True
+            orig(root, version, {
+                "version": version, "timestamp_ms": 0,
+                "operation": "DELETE", "operationParameters": {},
+                "add": [], "remove": [other],  # disjoint: day=b file
+            })
+        orig(root, version, action)
+
+    monkeypatch.setattr(txlog, "_publish_commit", racing)
+    v = table.delete(F.col("day") == "a", predicates=[("day", "=", "a")])
+    assert state["raced"]
+    # competing commit claimed version 2; our delete landed on 3
+    assert v == 3
+    assert table.snapshot().version == 3
+    assert [r.id for r in table.read().collect()] == []  # both deletes applied
