@@ -208,6 +208,67 @@ def doc_fingerprint(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 128,
+    stride: int = 64,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the canonical
+    LLM training-data preparation step (context-length chunking with
+    ``window - stride`` tokens of overlap between neighbors).
+
+    Returns ``(id, chunk_idx, chunk_tokens, chunk_text)``: chunk ``i``
+    covers tokens ``[i*stride, i*stride + window)``; the last chunk may
+    be shorter; every non-NULL document yields at least one chunk (an
+    empty text yields one empty chunk — dropping rows silently would
+    desync downstream joins); NULL text yields no chunks.
+
+    Scale shape: pure per-row array expressions — tokenization is
+    materialized once per document behind a projection boundary (the
+    multiply-referenced-alias trick of :func:`exploded_word_shingles`;
+    a bare ``tokens()`` reference inside the per-chunk lambda would
+    re-split the text once per chunk), then ``posexplode`` of
+    ``n_chunks`` array slices. No shuffle, no UDF; at 100 TB this is a
+    map-only stage whose output is safely re-partitioned by whatever
+    consumes it.
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    if stride > window:
+        raise ValueError(
+            f"stride {stride} > window {window} would drop tokens"
+        )
+    w_df = (
+        df.filter(F.col(text_col).isNotNull())  # NULL text → no chunks
+        .select(F.col(id_col), tokens(text_col).alias("_w"))
+    )
+    w = F.col("_w")
+    n = F.size(w)
+    # ceil(max(n - window, 0) / stride) + 1 chunks, floor-division form
+    n_chunks = (
+        F.floor(
+            (F.greatest(n - window, F.lit(0)) + F.lit(stride - 1))
+            / F.lit(stride)
+        ).cast("int")
+        + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(w, (i * stride + 1).cast("int"), window),
+    )
+    return w_df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "_c"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.size("_c").alias("chunk_tokens"),
+        F.concat_ws(" ", "_c").alias("chunk_text"),
+    )
+
+
 def predict_language(
     df: DataFrame,
     id_col: str = "doc_id",

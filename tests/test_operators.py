@@ -241,3 +241,64 @@ def test_media_embeddings_feed_similarity_ops(spark):
         media_embeddings(attach_fake_media(docs), fake=False).collect()
     with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
         sample_frames(attach_fake_media(docs), fake=False).collect()
+
+
+def test_chunk_documents_matches_reference_impl(spark):
+    """Chunking over real docs equals a plain-Python reference: chunk i
+    covers tokens [i*stride, i*stride+window), last chunk short, >=1
+    chunk per non-null doc."""
+    import re
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.text import chunk_documents
+    from real_time_video_streaming_analytics_lakehouse_spark.sources.readers import load_table
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    window, stride = 10, 7
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_tokens"], r["chunk_text"])
+        for r in chunk_documents(
+            docs, window=window, stride=stride
+        ).collect()
+    }
+    expected = {}
+    for r in docs.collect():
+        if r["text"] is None:
+            continue
+        toks = re.split(r"\s+", r["text"].strip())
+        n_chunks = max(0, (len(toks) - window + stride - 1) // stride) + 1
+        for i in range(n_chunks):
+            part = toks[i * stride: i * stride + window]
+            expected[(r["doc_id"], i)] = (len(part), " ".join(part))
+    assert got == expected
+    # coverage: with stride < window every token index is in some chunk
+    # (implied by the reference construction, asserted for clarity)
+    some_doc = next(iter(expected))[0]
+    idxs = [k[1] for k in expected if k[0] == some_doc]
+    assert idxs == list(range(len(idxs)))
+
+
+def test_chunk_documents_edges(spark):
+    from pyspark.sql import Row
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c"), Row(doc_id=2, text=""),
+         Row(doc_id=3, text=None)],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): r["chunk_text"]
+        for r in chunk_documents(df, window=2, stride=2).collect()
+    }
+    # doc 1: non-overlapping windows reconstruct the token stream
+    assert rows[(1, 0)] == "a b" and rows[(1, 1)] == "c"
+    # empty text -> one empty chunk; NULL text -> no chunks
+    assert rows[(2, 0)] == ""
+    assert not any(k[0] == 3 for k in rows)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, window=2, stride=3)
