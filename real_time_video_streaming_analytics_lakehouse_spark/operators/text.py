@@ -269,6 +269,88 @@ def chunk_documents(
     )
 
 
+def pack_chunks(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    tokens_col: str = "chunk_tokens",
+    num_shards: int = 256,
+) -> DataFrame:
+    """Pack :func:`chunk_documents` output into training sequences of
+    at most ``max_tokens`` tokens — greedy first-fit-decreasing bin
+    packing, the standard sequence-packing step that turns chunked
+    documents into dense fixed-budget training rows.
+
+    Global bin packing is inherently sequential, so the distributed
+    formulation packs WITHIN deterministic shards: chunks are assigned
+    to ``hash(id) % num_shards`` shards (stable across runs and
+    partitionings), and each shard packs its own chunks with
+    first-fit-decreasing in one ``applyInPandas`` group. This is the
+    accepted trade at scale — packing quality is per-shard (FFD is
+    within 11/9·OPT+1 per shard), while the work is embarrassingly
+    parallel and each task holds one shard, not the corpus. Chunks
+    larger than ``max_tokens`` are emitted as singleton sequences
+    (truncation is the tokenizer's job, not the packer's).
+
+    Returns ``(shard, seq_idx, seq_tokens, n_chunks, members)`` where
+    ``members`` is a sorted ``"id:idx"`` list joined by commas —
+    deterministic, and every input chunk appears in exactly one
+    sequence.
+    """
+    import pandas as pd
+
+    spark_df = df.select(
+        F.col(id_col).alias("cid"),
+        F.col(idx_col).alias("cidx"),
+        F.col(tokens_col).cast("long").alias("ctok"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(num_shards)).alias("shard"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame({
+                "shard": [], "seq_idx": [], "seq_tokens": [],
+                "n_chunks": [], "members": [],
+            })
+        shard = int(pdf["shard"].iloc[0])
+        # deterministic order: by size desc, then (id, idx) asc
+        rows = sorted(
+            pdf.itertuples(index=False),
+            key=lambda r: (-r.ctok, r.cid, r.cidx),
+        )
+        bins: list[list] = []  # [remaining, members, total]
+        for r in rows:
+            placed = False
+            if r.ctok <= max_tokens:
+                for b in bins:
+                    if r.ctok <= b[0]:
+                        b[0] -= r.ctok
+                        b[1].append((r.cid, r.cidx))
+                        b[2] += r.ctok
+                        placed = True
+                        break
+            if not placed:  # new bin (oversize chunks sit alone)
+                bins.append(
+                    [max(max_tokens - r.ctok, 0), [(r.cid, r.cidx)], r.ctok]
+                )
+        return pd.DataFrame({
+            "shard": [shard] * len(bins),
+            "seq_idx": list(range(len(bins))),
+            "seq_tokens": [b[2] for b in bins],
+            "n_chunks": [len(b[1]) for b in bins],
+            "members": [
+                ",".join(f"{i}:{x}" for i, x in sorted(b[1])) for b in bins
+            ],
+        })
+
+    return spark_df.groupBy("shard").applyInPandas(
+        pack,
+        "shard INT, seq_idx INT, seq_tokens BIGINT, n_chunks INT, "
+        "members STRING",
+    )
+
+
 def predict_language(
     df: DataFrame,
     id_col: str = "doc_id",

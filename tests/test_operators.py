@@ -302,3 +302,44 @@ def test_chunk_documents_edges(spark):
 
     with _pytest.raises(ValueError, match="stride"):
         chunk_documents(df, window=2, stride=3)
+
+
+def test_pack_chunks_exact_partition_and_budget(spark):
+    """Sequence packing: every chunk lands in exactly one sequence, no
+    sequence exceeds the budget (oversize chunks sit alone), output is
+    deterministic across repartitionings."""
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.text import (
+        chunk_documents,
+        pack_chunks,
+    )
+    from real_time_video_streaming_analytics_lakehouse_spark.sources.readers import load_table
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").limit(80)
+    chunks = chunk_documents(docs, window=12, stride=12)
+    max_tokens = 40
+    packed = pack_chunks(chunks, max_tokens=max_tokens, num_shards=8)
+    rows = packed.collect()
+    members = [
+        m for r in rows for m in r["members"].split(",") if r["members"]
+    ]
+    expected = {
+        f"{r['doc_id']}:{r['chunk_idx']}" for r in chunks.collect()
+    }
+    assert sorted(members) == sorted(expected)  # exactly-once cover
+    for r in rows:
+        total = r["seq_tokens"]
+        assert total <= max_tokens or r["n_chunks"] == 1  # oversize alone
+    # determinism under different input partitioning
+    again = {
+        (r["shard"], r["seq_idx"]): (r["seq_tokens"], r["members"])
+        for r in pack_chunks(
+            chunks.repartition(13), max_tokens=max_tokens, num_shards=8
+        ).collect()
+    }
+    first = {
+        (r["shard"], r["seq_idx"]): (r["seq_tokens"], r["members"])
+        for r in rows
+    }
+    assert first == again
