@@ -138,3 +138,13 @@ def test_daily_user_metrics_single_scan_single_shuffle(spark):
     executed = plan.split("\n\n")[-1]
     assert executed.count("Exchange") <= 2  # agg shuffle (+AQE read)
     assert "props" not in plan.split("ReadSchema")[-1]  # column pruning
+
+
+def test_reanchored_vector_queries_avoid_nested_loop_joins(spark):
+    """The round-4 re-anchors (LSH clustering at 0.9 with injected
+    duplicates; IVF at full probe) must keep every join an equi-join:
+    banding joins on (band, code), vector re-attach on id, bucket join
+    on bucket — a nested-loop join over the corpus would be quadratic
+    at scale."""
+    for name in ("embedding_dedup_clusters_lsh", "ann_ivf_topk"):
+        assert "BroadcastNestedLoopJoin" not in _plan(spark, name), name
