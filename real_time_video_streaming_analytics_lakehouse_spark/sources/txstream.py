@@ -1,0 +1,203 @@
+"""Streaming source over the native transaction log — Delta
+streaming-source parity (S3; the reference reads
+``spark.readStream.format("delta")`` in its silver/gold hops) via
+Spark 4's Python Data Source API::
+
+    spark.dataSource.register(TxTableDataSource)
+    df = (spark.readStream.format("txtable")
+          .option("path", "/data/events_tx").load())
+
+Semantics (matching Delta's streaming source for append-style tables):
+
+* Offsets are LOG VERSIONS: offset ``{"version": N}`` means "commits
+  ``<= N`` have been emitted". Each micro-batch emits exactly the rows
+  of files ADDED by commits in ``(start, end]`` — incremental tailing
+  of the table, not a directory listing.
+* ``dataChange=false`` commits (OPTIMIZE) are skipped entirely: their
+  adds are rewrites of already-emitted rows.
+* A data-changing commit that REMOVES files (overwrite / DELETE /
+  UPDATE / MERGE rewrite) makes the stream raise, because an
+  append-only reader cannot represent row removal — exactly Delta's
+  error contract. ``.option("ignoreChanges", "true")`` downgrades this
+  to Delta's documented behavior: the commit's added files ARE
+  emitted, so updated rows are re-delivered (consumers must be
+  idempotent / keyed).
+* ``.option("startingVersion", N)`` starts tailing after commit N
+  (default 0 = emit the whole table history from the first commit).
+
+Scale shape: ``partitions(start, end)`` is driver-side log metadata
+only (one ``InputPartition`` per added file); the actual parquet
+reading happens in executor Python workers as Arrow record batches —
+no row ever passes through the driver. Schema is pinned at stream
+start (the snapshot schema); older-generation files are served
+null-filled for appended columns, like the batch reader.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from ..operators.txlog import (
+    _list_versions,
+    _read_commit,
+    _resolve,
+)
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+class _AddedFile(InputPartition):
+    """One added data file of one commit: everything an executor needs
+    to serve its rows without any driver or Spark-session state."""
+
+    def __init__(self, abs_path: str, partition_values: dict,
+                 gen_schema_json: str):
+        self.abs_path = abs_path
+        self.partition_values = partition_values
+        self.gen_schema_json = gen_schema_json
+
+
+def _coerce_partition_value(raw: str, simple_type: str):
+    """Hive-style partition dir value → typed Python value."""
+    if raw is None or raw == _HIVE_NULL:
+        return None
+    if simple_type in ("tinyint", "smallint", "int", "bigint"):
+        return int(raw)
+    if simple_type in ("float", "double"):
+        return float(raw)
+    if simple_type == "date":
+        return dt.date.fromisoformat(raw)
+    if simple_type == "boolean":
+        return raw.lower() == "true"
+    return raw
+
+
+class TxTableStreamReader(DataSourceStreamReader):
+    def __init__(self, path: str, schema: StructType, options: dict):
+        self.path = path.rstrip("/")
+        self.schema = schema
+        # Spark hands options through a case-insensitive map that
+        # LOWERCASES keys — look them up lowercased.
+        opts = {k.lower(): v for k, v in options.items()}
+        self.starting_version = int(opts.get("startingversion", 0))
+        self.ignore_changes = (
+            str(opts.get("ignorechanges", "false")).lower() == "true"
+        )
+
+    # -- offsets -----------------------------------------------------------
+
+    def initialOffset(self) -> dict:
+        return {"version": self.starting_version}
+
+    def latestOffset(self) -> dict:
+        versions = _list_versions(self.path)
+        return {"version": versions[-1] if versions else self.starting_version}
+
+    # -- planning (driver-side, metadata only) -----------------------------
+
+    def partitions(self, start: dict, end: dict):
+        out = []
+        lo, hi = int(start["version"]), int(end["version"])
+        for v in _list_versions(self.path):
+            if not (lo < v <= hi):
+                continue
+            c = _read_commit(self.path, v)
+            if c.get("dataChange") is False:
+                continue  # OPTIMIZE: files moved, no rows changed
+            if c.get("remove") and not self.ignore_changes:
+                raise RuntimeError(
+                    f"txtable stream at {self.path}: commit {v} "
+                    f"({c.get('operation')}) removed data files; an "
+                    f"append-only stream cannot represent removals. Set "
+                    f".option('ignoreChanges','true') to re-deliver "
+                    f"rewritten rows instead (consumers must be keyed)."
+                )
+            gen = c.get("fileSchema") or ""
+            for ad in c.get("add", []):
+                out.append(_AddedFile(
+                    os.path.join(self.path, ad["path"]),
+                    ad.get("partitionValues") or {},
+                    ad.get("_schema_json") or gen,
+                ))
+        return out
+
+    # -- execution (executor-side Python workers) --------------------------
+
+    @staticmethod
+    def _pa_type(simple: str):
+        """Spark simpleString → pyarrow type for flat columns; None for
+        types we leave to the file's own arrow representation."""
+        import pyarrow as pa
+
+        return {
+            "tinyint": pa.int8(), "smallint": pa.int16(),
+            "int": pa.int32(), "bigint": pa.int64(),
+            "float": pa.float32(), "double": pa.float64(),
+            "string": pa.string(), "boolean": pa.bool_(),
+            "date": pa.date32(),
+        }.get(simple)
+
+    def read(self, partition: _AddedFile):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(partition.abs_path)
+        n = table.num_rows
+        by_name = {name: table.column(name) for name in table.column_names}
+        arrays, names = [], []
+        for f in self.schema.fields:
+            names.append(f.name)
+            pa_type = self._pa_type(f.dataType.simpleString())
+            if f.name in by_name:
+                col = by_name[f.name]
+                if pa_type is not None and col.type != pa_type:
+                    # older generation under a widened schema (int file
+                    # column served as bigint, float as double)
+                    col = col.cast(pa_type)
+                arrays.append(col)
+            elif f.name in partition.partition_values:
+                val = _coerce_partition_value(
+                    partition.partition_values[f.name],
+                    f.dataType.simpleString(),
+                )
+                arrays.append(pa.array([val] * n, type=pa_type))
+            else:
+                # column appended by schema evolution after this file's
+                # generation: null-fill (same as the batch reader)
+                arrays.append(pa.nulls(n, type=pa_type))
+        yield from pa.Table.from_arrays(
+            arrays, names=names
+        ).to_batches(max_chunksize=1 << 16)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable in the query checkpoint
+
+
+class TxTableDataSource(DataSource):
+    """``spark.readStream.format("txtable")`` — register with
+    ``spark.dataSource.register(TxTableDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "txtable"
+
+    def _path(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("txtable source requires .option('path', ...)")
+        return path
+
+    def schema(self) -> StructType:
+        return _resolve(self._path().rstrip("/")).schema
+
+    def streamReader(self, schema: StructType) -> TxTableStreamReader:
+        return TxTableStreamReader(self._path(), schema, dict(self.options))

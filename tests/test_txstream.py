@@ -1,0 +1,132 @@
+"""Streaming source over the native transaction log (S3 Delta-parity):
+offset = log version, micro-batch = files added by commits in range,
+OPTIMIZE invisible, removals raise unless ignoreChanges."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from real_time_video_streaming_analytics_lakehouse_spark.operators.txlog import TxTable
+from real_time_video_streaming_analytics_lakehouse_spark.sources.txstream import (
+    TxTableDataSource,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("day", StringType()),
+        StructField("v", IntegerType()),
+    ]
+)
+
+
+@pytest.fixture()
+def registered(spark):
+    spark.dataSource.register(TxTableDataSource)
+    return spark
+
+
+def _drain(spark, table_path, out, ckpt, **options):
+    reader = spark.readStream.format("txtable").option("path", table_path)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return sorted(
+        (r.id, r.day, r.v) for r in spark.read.parquet(out).collect()
+    )
+
+
+def test_stream_tails_commits_incrementally(registered, tmp_path):
+    spark = registered
+    t = TxTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                       partition_by=["day"])
+    t.write(spark.createDataFrame([(1, "a", 10), (2, "b", 20)], SCHEMA))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    assert _drain(spark, t.root, out, ckpt) == [
+        (1, "a", 10), (2, "b", 20),
+    ]
+    # append-only tailing: a new commit yields ONLY its rows on re-drain
+    t.write(spark.createDataFrame([(3, "a", 30)], SCHEMA))
+    assert _drain(spark, t.root, out, ckpt) == [
+        (1, "a", 10), (2, "b", 20), (3, "a", 30),
+    ]
+    # no new commits -> drain adds nothing
+    assert _drain(spark, t.root, out, ckpt) == [
+        (1, "a", 10), (2, "b", 20), (3, "a", 30),
+    ]
+
+
+def test_stream_skips_optimize_and_raises_on_delete(registered, tmp_path):
+    spark = registered
+    t = TxTable.create(spark, str(tmp_path / "o"), SCHEMA)
+    t.write(spark.createDataFrame([(1, "a", 1)], SCHEMA))
+    t.write(spark.createDataFrame([(2, "a", 2)], SCHEMA))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    assert len(_drain(spark, t.root, out, ckpt)) == 2
+    # OPTIMIZE rewrites files with dataChange=false: invisible
+    t.optimize(target_files=1)
+    assert len(_drain(spark, t.root, out, ckpt)) == 2
+    # a data-changing removal cannot stream append-only: loud error
+    from pyspark.sql import functions as F
+
+    t.delete(F.col("id") == 1)
+    with pytest.raises(Exception, match="ignoreChanges"):
+        _drain(spark, t.root, out, ckpt)
+    # ignoreChanges (fresh stream): the rewrite's added file is
+    # re-delivered — its surviving row appears alongside the original
+    # appends (consumers must be keyed, as documented)
+    got = _drain(spark, t.root, str(tmp_path / "out2"),
+                 str(tmp_path / "ckpt2"), ignoreChanges="true")
+    assert got.count((2, "a", 2)) == 2  # original append + re-delivery
+    assert (1, "a", 1) in got
+
+
+def test_stream_serves_evolved_schema_with_nullfill(registered, tmp_path):
+    spark = registered
+    t = TxTable.create(spark, str(tmp_path / "e"), SCHEMA)
+    t.write(spark.createDataFrame([(1, "a", 1)], SCHEMA))
+    evolved = StructType(SCHEMA.fields + [StructField("score", DoubleType())])
+    t.write(spark.createDataFrame([(2, "b", 2, 0.5)], evolved),
+            merge_schema=True)
+    # stream started AFTER the evolution pins the union schema; the
+    # old-generation file is null-filled, the widened file served as-is
+    df = (
+        spark.readStream.format("txtable")
+        .option("path", t.root).load()
+    )
+    assert "score" in df.columns
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r.id: r.score for r in spark.read.parquet(out).collect()}
+    assert got == {1: None, 2: 0.5}
+
+
+def test_stream_starting_version(registered, tmp_path):
+    spark = registered
+    t = TxTable.create(spark, str(tmp_path / "s"), SCHEMA)
+    t.write(spark.createDataFrame([(1, "a", 1)], SCHEMA))  # v1
+    t.write(spark.createDataFrame([(2, "a", 2)], SCHEMA))  # v2
+    got = _drain(spark, t.root, str(tmp_path / "out"),
+                 str(tmp_path / "ckpt"), startingVersion="1")
+    assert got == [(2, "a", 2)]  # commits <= 1 skipped
