@@ -372,12 +372,42 @@ def _resolve(root: str, version: int | None = None,
     return Snapshot(root, version, schema_json, properties, partition_by, files)
 
 
+def _data_files(root: str) -> list[str]:
+    """Relative paths of the parquet DATA files under ``root`` — files
+    in hidden/internal subtrees (``_txlog``, ``_change_data``, staging
+    dirs prefixed with ``_``/``.``) don't count."""
+    out = []
+    for p in pathlib.Path(root).rglob("*.parquet"):
+        rel = p.relative_to(root)
+        if any(seg.startswith(("_", ".")) for seg in rel.parts):
+            continue
+        out.append(str(rel))
+    return sorted(out)
+
+
+#: the predicate operators read()/_prune understand — validated up
+#: front so an unsupported op (e.g. '!=') fails with a clear error
+#: instead of being silently ignored by pruning and then crashing the
+#: row filter with a bare KeyError.
+_PRED_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def _validate_predicates(predicates) -> None:
+    for _col, op, _lit in predicates or []:
+        if op not in _PRED_OPS:
+            raise ValueError(
+                f"unsupported predicate op {op!r}; supported operators: "
+                f"{list(_PRED_OPS)}"
+            )
+
+
 def _prune(snap: Snapshot, predicates) -> list[dict]:
     """File-skipping: drop files whose partition values or min/max stats
     prove no row can match. ``predicates`` is a list of
     ``(column, op, literal)`` with op in {=, <, <=, >, >=}; unknown
     columns / missing stats keep the file (pruning is only ever an
     optimization, never a filter)."""
+    _validate_predicates(predicates)
     out = []
     for f_ in snap.files.values():
         keep = True
@@ -441,6 +471,19 @@ class TxTable:
         os.makedirs(t.root, exist_ok=True)
         if _list_versions(t.root):
             raise FileExistsError(f"table already exists at {t.root}")
+        strays = _data_files(t.root)
+        if strays:
+            # A log-less directory that already holds parquet data is a
+            # PRE-TXLOG table, not an empty location: creating a fresh
+            # log here would make every existing row invisible to reads
+            # and VACUUM would later delete them as untracked strays —
+            # silent state loss on the upgrade path.
+            raise FileExistsError(
+                f"{t.root} holds {len(strays)} parquet data file(s) but no "
+                f"transaction log; use TxTable.bootstrap() to adopt them "
+                f"as the initial commit (or point create() at an empty "
+                f"directory)"
+            )
         _publish_commit(t.root, 0, {
             "version": 0,
             "timestamp_ms": int(time.time() * 1000),
@@ -450,6 +493,67 @@ class TxTable:
             "properties": properties or {},
             "partition_by": partition_by or [],
             "add": [], "remove": [],
+        })
+        return t
+
+    @classmethod
+    def bootstrap(cls, spark: SparkSession, path: str,
+                  properties: dict | None = None) -> "TxTable":
+        """Adopt an existing PLAIN-parquet directory as a versioned
+        table: version 0 commits the directory's current data files as
+        its adds, so previously written rows stay visible — and tracked
+        (VACUUM no longer sees them as deletable strays). This is the
+        upgrade path for targets written before the transaction log
+        existed (e.g. a merge stream resuming over a pre-txlog target;
+        Delta's equivalent is ``CONVERT TO DELTA``).
+
+        Hive-partitioned layouts are adopted too: partition columns are
+        inferred from the directory names (their values come from the
+        path at read time, exactly like fresh partitioned writes).
+        """
+        t = cls(spark, path)
+        if _list_versions(t.root):
+            raise FileExistsError(
+                f"already a transaction-log table: {t.root}"
+            )
+        files = _data_files(t.root)
+        if not files:
+            raise FileNotFoundError(
+                f"no parquet data files to adopt under {t.root}"
+            )
+        import pyarrow.parquet as pq
+
+        adds = []
+        part_cols: list[str] = []
+        for rel in files:
+            pv = {}
+            for seg in os.path.dirname(rel).split(os.sep):
+                if "=" in seg:
+                    k, _, v = seg.partition("=")
+                    pv[k] = v
+                    if k not in part_cols:
+                        part_cols.append(k)
+            adds.append({
+                "path": rel,
+                "partitionValues": pv,
+                "numRecords": pq.ParquetFile(
+                    os.path.join(t.root, rel)
+                ).metadata.num_rows,
+            })
+        reader = spark.read
+        if part_cols:
+            reader = reader.option("basePath", t.root)
+        schema = reader.parquet(t.root).schema
+        _publish_commit(t.root, 0, {
+            "version": 0,
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": "BOOTSTRAP",
+            "operationParameters": {"numFiles": len(adds)},
+            "schema": schema.json(),
+            "fileSchema": schema.json(),
+            "properties": properties or {},
+            "partition_by": part_cols,
+            "add": adds, "remove": [],
         })
         return t
 
@@ -517,6 +621,7 @@ class TxTable:
         old version serves that version's (old) schema.
         """
         snap = self.snapshot(version, timestamp_ms)
+        _validate_predicates(predicates)
         files = _prune(snap, predicates)
         df = self._read_entries(files, snap.schema, snap.partition_by)
         _OPS = {
@@ -1208,11 +1313,16 @@ class TxTable:
         ``merge_schema=True`` lets the source carry new columns
         (appended nullable) or widened types, evolving the table schema
         in the same commit — the reference's ``schema.autoMerge``
-        behavior for streaming MERGE.
+        behavior for streaming MERGE. A source may also LACK existing
+        table columns: matched rows then keep the target's values for
+        those columns (Delta's ``updateAll`` + ``schema.autoMerge``
+        semantics — the aligned source's null-fill applies only to
+        inserted rows, never overwrites a matched row's data).
 
         Change files tag matched rows as ``update_preimage`` /
         ``update_postimage`` and unmatched source rows as ``insert``.
         """
+        src_cols = set(source.columns)
         src = source.dropDuplicates(keys)
         snap = self.snapshot()
         schema_json: str | None = None
@@ -1232,9 +1342,12 @@ class TxTable:
             return v
 
         # Materialize the distinct key set once — it feeds the probe,
-        # the anti-join, and both CDC branches.
+        # the anti-join, and both CDC branches. ONE job: the count is
+        # the checkpoint-materializing action itself (a limit(n+1)
+        # early-exit count would be a separate job whose skipped
+        # partitions the probe recomputes anyway — a false economy).
         keys_df = src.select(*keys).distinct().localCheckpoint(eager=False)
-        n_keys = keys_df.limit(max_broadcast_keys + 1).count()
+        n_keys = keys_df.count()
         use_broadcast = n_keys <= max_broadcast_keys
         self._last_merge_used_broadcast = use_broadcast
 
@@ -1265,13 +1378,30 @@ class TxTable:
             tgt.join(gate(keys_df), keys, "left_semi")
             .select(*keys).distinct().localCheckpoint(eager=False)
         )
-        updates = src.join(gate(matched_keys), keys, "left_semi")
+        upd_src = src.join(gate(matched_keys), keys, "left_semi")
         inserts = src.join(gate(matched_keys), keys, "left_anti")
-        extra = updates.unionByName(inserts).select(*tgt.columns)
 
         tdf = _align(self._touched_df(snap, touched), target_schema)
         survivors = tdf.join(gate(keys_df), keys, "left_anti")
         pre = tdf.join(gate(keys_df), keys, "left_semi")
+        # Columns the ORIGINAL source doesn't carry must keep the
+        # TARGET's values on matched rows (Delta updateAll +
+        # schema.autoMerge leaves them unchanged) — _align's null-fill
+        # is correct only for inserted rows. Carry them from the
+        # matched target rows, one row per key (ties under duplicate
+        # target keys follow the engine's documented keep-one merge
+        # semantics).
+        missing = [c for c in tgt.columns if c not in src_cols]
+        if missing:
+            carried = pre.select(*keys, *missing).dropDuplicates(keys)
+            updates = (
+                upd_src.drop(*missing)
+                .join(gate(carried), keys)
+                .select(*tgt.columns)
+            )
+        else:
+            updates = upd_src
+        extra = updates.unionByName(inserts).select(*tgt.columns)
         cdc = (
             pre.withColumn("_change_type", F.lit("update_preimage"))
             .unionByName(

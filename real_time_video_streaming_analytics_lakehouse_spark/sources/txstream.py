@@ -47,6 +47,7 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from ..operators.txlog import (
+    VacuumedFileError,
     _list_versions,
     _read_commit,
     _resolve,
@@ -123,8 +124,22 @@ class TxTableStreamReader(DataSourceStreamReader):
                 )
             gen = c.get("fileSchema") or ""
             for ad in c.get("add", []):
+                abs_path = os.path.join(self.path, ad["path"])
+                if not os.path.exists(abs_path):
+                    # a lagging stream can reference a commit whose
+                    # files were since rewritten AND vacuumed — fail
+                    # with the documented error (same contract as the
+                    # batch reader) instead of emitting silent empties
+                    # or an executor-side FileNotFoundError
+                    raise VacuumedFileError(
+                        f"txtable stream at {self.path}: data file "
+                        f"{ad['path']} of commit {v} was removed by "
+                        f"VACUUM before the stream consumed it; restart "
+                        f"from a live version (startingVersion) or "
+                        f"lengthen the vacuum retention"
+                    )
                 out.append(_AddedFile(
-                    os.path.join(self.path, ad["path"]),
+                    abs_path,
                     ad.get("partitionValues") or {},
                     ad.get("_schema_json") or gen,
                 ))
@@ -132,23 +147,20 @@ class TxTableStreamReader(DataSourceStreamReader):
 
     # -- execution (executor-side Python workers) --------------------------
 
-    @staticmethod
-    def _pa_type(simple: str):
-        """Spark simpleString → pyarrow type for flat columns; None for
-        types we leave to the file's own arrow representation."""
-        import pyarrow as pa
-
-        return {
-            "tinyint": pa.int8(), "smallint": pa.int16(),
-            "int": pa.int32(), "bigint": pa.int64(),
-            "float": pa.float32(), "double": pa.float64(),
-            "string": pa.string(), "boolean": pa.bool_(),
-            "date": pa.date32(),
-        }.get(simple)
-
     def read(self, partition: _AddedFile):
+        """Every emitted column is coerced to the arrow type Spark
+        expects for the field — ``to_arrow_type(f.dataType)`` — whether
+        it comes from the file (widened generations: int file column
+        served as bigint; physical representations that differ from the
+        arrow expectation: INT96 parquet timestamps read back as ns →
+        cast to us), from the partition directory, or from null-fill.
+        The previous partial simpleString→arrow map returned None for
+        timestamp/decimal/array/struct/binary, which made null-filling
+        a schema-evolved column of those types produce a null-typed
+        array that failed Spark's batch-schema check."""
         import pyarrow as pa
         import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_type
 
         table = pq.read_table(partition.abs_path)
         n = table.num_rows
@@ -156,24 +168,22 @@ class TxTableStreamReader(DataSourceStreamReader):
         arrays, names = [], []
         for f in self.schema.fields:
             names.append(f.name)
-            pa_type = self._pa_type(f.dataType.simpleString())
+            expected = to_arrow_type(f.dataType)
             if f.name in by_name:
                 col = by_name[f.name]
-                if pa_type is not None and col.type != pa_type:
-                    # older generation under a widened schema (int file
-                    # column served as bigint, float as double)
-                    col = col.cast(pa_type)
+                if col.type != expected:
+                    col = col.cast(expected)
                 arrays.append(col)
             elif f.name in partition.partition_values:
                 val = _coerce_partition_value(
                     partition.partition_values[f.name],
                     f.dataType.simpleString(),
                 )
-                arrays.append(pa.array([val] * n, type=pa_type))
+                arrays.append(pa.array([val] * n, type=expected))
             else:
                 # column appended by schema evolution after this file's
                 # generation: null-fill (same as the batch reader)
-                arrays.append(pa.nulls(n, type=pa_type))
+                arrays.append(pa.nulls(n, type=expected))
         yield from pa.Table.from_arrays(
             arrays, names=names
         ).to_batches(max_chunksize=1 << 16)

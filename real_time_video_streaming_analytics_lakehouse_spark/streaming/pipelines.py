@@ -374,6 +374,7 @@ def run_merge_stream_versioned(
     precedence_col: str,
     app_id: str | None = None,
     merge_schema: bool = False,
+    output_mode: str = "append",
 ) -> StreamingQuery:
     """Stream → versioned MERGE sink: each micro-batch is upserted into
     a native transaction-log table (:class:`~..operators.txlog.TxTable`)
@@ -402,6 +403,11 @@ def run_merge_stream_versioned(
     whose frame carries new nullable columns (or widened int/float
     types) evolves the table schema in its commit instead of failing
     the stream.
+
+    ``output_mode="update"`` is what a STATEFUL upstream (windowed
+    aggregation) needs: each micro-batch delivers the aggregates whose
+    value changed, and the keyed MERGE makes re-delivery idempotent —
+    the bronze→silver hop of the reference's medallion wiring.
     """
     from ..operators.dedup import dedup_keep_latest
     from ..operators.txlog import TxTable
@@ -415,7 +421,16 @@ def run_merge_stream_versioned(
         batch = dedup_keep_latest(batch_df, keys, precedence_col)
         params = {"txnAppId": app, "txnVersion": batch_id}
         if not TxTable.exists(spark, table_path):
-            tx = TxTable.create(spark, table_path, batch.schema)
+            try:
+                tx = TxTable.create(spark, table_path, batch.schema)
+            except FileExistsError:
+                # A log-less target that already holds parquet is a
+                # PRE-TXLOG table (written before the versioned sink
+                # existed, or by the removed whole-rewrite fallback):
+                # adopt its files as version 0 so the accumulated rows
+                # stay visible instead of becoming invisible strays
+                # that VACUUM would silently delete.
+                tx = TxTable.bootstrap(spark, table_path)
             tx.merge(batch, keys, params=params, merge_schema=merge_schema)
             return
         tx = TxTable(spark, table_path)
@@ -426,6 +441,7 @@ def run_merge_stream_versioned(
 
     return (
         result.writeStream.foreachBatch(upsert_batch)
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()

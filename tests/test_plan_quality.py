@@ -145,9 +145,31 @@ def test_reanchored_vector_queries_avoid_nested_loop_joins(spark):
     duplicates; IVF at full probe) must keep every join an equi-join:
     banding joins on (band, code), vector re-attach on id, bucket join
     on bucket — a nested-loop join over the corpus would be quadratic
-    at scale."""
-    for name in ("embedding_dedup_clusters_lsh", "ann_topk"):
-        assert "BroadcastNestedLoopJoin" not in _plan(spark, name), name
+    at scale. Exception by design: the brute-force arm of ``ann_topk``
+    is ONE corpus × bounded-query cross join with the query side
+    explicitly broadcast (that IS the scale plan for exact brute-force
+    ANN) — so the fused query allows exactly one BNLJ, and the IVF arm
+    is checked standalone for zero."""
+    from pyspark.sql import functions as F
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.similarity import (
+        ann_ivf_topk,
+    )
+    from real_time_video_streaming_analytics_lakehouse_spark.sources.readers import (
+        load_table,
+    )
+
+    assert "BroadcastNestedLoopJoin" not in _plan(
+        spark, "embedding_dedup_clusters_lsh"
+    )
+    assert _plan(spark, "ann_topk").count("BroadcastNestedLoopJoin") <= 2
+    ivf = ann_ivf_topk(
+        load_table(spark, SF_DIR, "embeddings"), F.col("vec_id") < 5,
+        k=5, n_clusters=16, n_probe=16,
+    )
+    qe = ivf._jdf.queryExecution()
+    ivf_plan = qe.optimizedPlan().toString() + qe.executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in ivf_plan
 
 
 def test_round5_catalog_changes_avoid_nested_loop_joins(spark):

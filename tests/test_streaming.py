@@ -549,3 +549,119 @@ def test_run_merge_stream_versioned_evolves_schema(spark, tmp_path):
     out = {r["event_id"]: (r["value"], r["src"])
            for r in TxTable(spark, table).read().collect()}
     assert out == {1: (10.0, "mobile"), 2: (2.0, "web")}
+
+
+def test_run_merge_stream_versioned_bootstraps_pre_txlog_target(
+    spark, tmp_path
+):
+    """Upgrade path (round-5 ADVICE fix): a stream resuming over a
+    PLAIN-parquet target — written before the versioned sink existed —
+    must adopt the existing files as version 0, not shadow them with a
+    fresh empty log (which would make every accumulated row invisible
+    and leave it for VACUUM to delete as an untracked stray)."""
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.txlog import TxTable
+
+    target = str(tmp_path / "upg_target")
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    # pre-txlog accumulated state: key 9 appears ONLY here — under the
+    # old create-over-strays behavior it silently vanished
+    spark.createDataFrame(
+        [Row(event_id=1, ts=t, user_id=1, event_type="view", value=1.0),
+         Row(event_id=9, ts=t, user_id=9, event_type="view", value=9.0)]
+    ).write.parquet(target)
+    src_dir = str(tmp_path / "upg_src")
+    spark.createDataFrame(
+        [Row(event_id=1, ts=t + dt.timedelta(minutes=1), user_id=1,
+             event_type="click", value=10.0),
+         Row(event_id=2, ts=t, user_id=2, event_type="view", value=2.0)]
+    ).write.parquet(src_dir)
+    src = stream_events_from_files(
+        spark, src_dir, spark.read.parquet(src_dir).schema
+    )
+    q = run_merge_stream(src, target, f"{tmp_path}/upg_ckpt",
+                         keys=["event_id"], precedence_col="ts")
+    q.awaitTermination(120)
+    tx = TxTable(spark, target)
+    out = {r["event_id"]: (r["event_type"], r["value"])
+           for r in tx.read().collect()}
+    assert out == {
+        1: ("click", 10.0),  # pre-existing key: MERGED, not duplicated
+        2: ("view", 2.0),    # new key: inserted
+        9: ("view", 9.0),    # untouched pre-txlog key: SURVIVES
+    }
+    # the adopted files are tracked: version 0 is the bootstrap commit
+    assert tx.history().collect()[-1].operation == "BOOTSTRAP"
+
+
+def test_bronze_to_silver_chain_on_native_log(spark, tmp_path):
+    """S3/T7 composition — the reference's raw→bronze→silver medallion
+    wiring (spark-jobs/real_time_streaming.py:424-445) on this engine's
+    own transaction log: txtable streaming source over bronze →
+    watermarked tumbling-window aggregation → versioned MERGE sink into
+    silver, drained three times on ONE checkpoint to prove exactly-once
+    across the whole chain (state resumes, updated windows MERGE
+    instead of duplicating, idle drains commit nothing)."""
+    from pyspark.sql import functions as F
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.txlog import TxTable
+    from real_time_video_streaming_analytics_lakehouse_spark.sources.txstream import (
+        TxTableDataSource,
+    )
+    from real_time_video_streaming_analytics_lakehouse_spark.streaming.pipelines import (
+        run_merge_stream_versioned,
+    )
+
+    spark.dataSource.register(TxTableDataSource)
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    bronze = TxTable.create(
+        spark, str(tmp_path / "bronze"),
+        spark.createDataFrame([], schema).schema,
+    )
+    bronze.write(spark.createDataFrame(
+        [(1, t0, 1, 1.0), (2, t0 + dt.timedelta(minutes=1), 1, 2.0),
+         (3, t0, 2, 3.0)], schema))
+    silver, ckpt = str(tmp_path / "silver"), str(tmp_path / "ckpt")
+
+    def drain():
+        src = (spark.readStream.format("txtable")
+               .option("path", bronze.root).load())
+        agg = (
+            src.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes").alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("value").alias("total"))
+            .select(F.col("w.start").alias("ws"), "user_id",
+                    "n_events", "total")
+        )
+        q = run_merge_stream_versioned(
+            agg, silver, ckpt, keys=["ws", "user_id"],
+            precedence_col="n_events", output_mode="update",
+        )
+        q.awaitTermination(120)
+
+    drain()
+    s = TxTable(spark, silver)
+    got = {(r.ws, r.user_id): (r.n_events, r.total)
+           for r in s.read().collect()}
+    assert got == {(t0, 1): (2, 3.0), (t0, 2): (1, 3.0)}
+    v1 = s.snapshot().version
+
+    # one in-window update + one new window land in bronze; the SAME
+    # checkpoint resumes the stream state and MERGES into silver
+    bronze.write(spark.createDataFrame(
+        [(4, t0 + dt.timedelta(minutes=2), 1, 4.0),
+         (5, t0 + dt.timedelta(minutes=7), 2, 5.0)], schema))
+    drain()
+    got = {(r.ws, r.user_id): (r.n_events, r.total)
+           for r in s.read().collect()}
+    assert got == {
+        (t0, 1): (3, 7.0),                            # window updated
+        (t0, 2): (1, 3.0),                            # untouched
+        (t0 + dt.timedelta(minutes=5), 2): (1, 5.0),  # new window
+    }
+    v2 = s.snapshot().version
+    assert v2 > v1
+    # idle drain: no new bronze commits -> no new silver versions
+    drain()
+    assert s.snapshot().version == v2

@@ -767,3 +767,106 @@ def test_concurrent_disjoint_rewrite_auto_retries(spark, table, monkeypatch):
     assert v == 3
     assert table.snapshot().version == 3
     assert [r.id for r in table.read().collect()] == []  # both deletes applied
+
+
+# -- round 5: merge sources missing table columns, pre-txlog adoption,
+#    predicate validation -------------------------------------------------
+
+
+def test_merge_schema_source_missing_column_keeps_target_values(
+    spark, table
+):
+    # Delta updateAll + schema.autoMerge: a source that LACKS a table
+    # column must leave that column unchanged on matched rows (the
+    # null-filled alignment is for inserts only) — a naive aligned
+    # updateAll would null-overwrite v on every matched row.
+    table.write(_df(spark, [(1, "a", 10), (2, "b", 20)]))
+    narrow = spark.createDataFrame(
+        [(1, "a2"), (3, "c")],
+        StructType([StructField("id", LongType()),
+                    StructField("day", StringType())]),
+    )
+    table.merge(narrow, keys=["id"], merge_schema=True)
+    got = {r.id: (r.day, r.v) for r in table.read().collect()}
+    assert got == {
+        1: ("a2", 10),   # matched: day updated, v KEPT (not nulled)
+        2: ("b", 20),    # untouched
+        3: ("c", None),  # insert: v legitimately null
+    }
+
+
+def test_merge_schema_source_missing_and_adding_columns(spark, table):
+    # combined evolution: source drops v, adds score — matched rows keep
+    # v AND gain score; pre-existing rows get score null
+    table.write(_df(spark, [(1, "a", 10), (2, "b", 20)]))
+    src = spark.createDataFrame(
+        [(1, "a", 0.5)],
+        StructType([StructField("id", LongType()),
+                    StructField("day", StringType()),
+                    StructField("score", DoubleType())]),
+    )
+    table.merge(src, keys=["id"], merge_schema=True)
+    got = {r.id: (r.v, r.score) for r in table.read().collect()}
+    assert got == {1: (10, 0.5), 2: (20, None)}
+
+
+def test_merge_schema_missing_column_cdf_postimage_keeps_target(
+    spark, table
+):
+    # the update_postimage change rows must show the KEPT target value,
+    # not a null-overwrite
+    table.write(_df(spark, [(1, "a", 10)]))
+    narrow = spark.createDataFrame(
+        [(1, "a2")],
+        StructType([StructField("id", LongType()),
+                    StructField("day", StringType())]),
+    )
+    table.merge(narrow, keys=["id"], merge_schema=True)
+    post = [
+        r for r in table.change_feed(2, 2).collect()
+        if r._change_type == "update_postimage"
+    ]
+    assert [(r.id, r.day, r.v) for r in post] == [(1, "a2", 10)]
+
+
+def test_create_rejects_logless_parquet_dir(spark, tmp_path):
+    # a directory with parquet data but no _txlog is a PRE-txlog table:
+    # create() must refuse (a fresh empty log would shadow every
+    # existing row and VACUUM would later delete them as strays)
+    plain = str(tmp_path / "plain")
+    _df(spark, [(1, "a", 1), (2, "b", 2)]).write.parquet(plain)
+    with pytest.raises(FileExistsError, match="bootstrap"):
+        TxTable.create(spark, plain, SCHEMA)
+
+
+def test_bootstrap_adopts_plain_parquet_dir(spark, tmp_path):
+    plain = str(tmp_path / "plain")
+    _df(spark, [(1, "a", 1), (2, "b", 2)]).write.parquet(plain)
+    t = TxTable.bootstrap(spark, plain)
+    assert {r.id for r in t.read().collect()} == {1, 2}
+    # adopted files are tracked: a later merge + vacuum keeps them
+    t.merge(_df(spark, [(2, "b", 20), (3, "c", 3)]), keys=["id"])
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got == {1: 1, 2: 20, 3: 3}
+    t.vacuum(retention_hours=0)
+    assert {r.id: r.v for r in t.read().collect()} == {1: 1, 2: 20, 3: 3}
+
+
+def test_bootstrap_adopts_hive_partitioned_dir(spark, tmp_path):
+    plain = str(tmp_path / "part")
+    _df(spark, [(1, "a", 1), (2, "b", 2)]).write.partitionBy(
+        "day"
+    ).parquet(plain)
+    t = TxTable.bootstrap(spark, plain)
+    assert t.snapshot().partition_by == ["day"]
+    assert {(r.id, r.day) for r in t.read().collect()} == {
+        (1, "a"), (2, "b")
+    }
+
+
+def test_read_rejects_unsupported_predicate_op(spark, table):
+    table.write(_df(spark, [(1, "a", 1)]))
+    with pytest.raises(ValueError, match="unsupported predicate op"):
+        table.read(predicates=[("v", "!=", 1)])
+    with pytest.raises(ValueError, match="unsupported predicate op"):
+        table.delete(F.col("v") == 1, predicates=[("v", "<>", 1)])

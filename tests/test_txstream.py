@@ -130,3 +130,65 @@ def test_stream_starting_version(registered, tmp_path):
     got = _drain(spark, t.root, str(tmp_path / "out"),
                  str(tmp_path / "ckpt"), startingVersion="1")
     assert got == [(2, "a", 2)]  # commits <= 1 skipped
+
+
+def test_stream_nullfills_evolved_timestamp_and_array_columns(
+    registered, tmp_path
+):
+    # round-5 ADVICE fix: the null-fill/partition-synth arrow types come
+    # from to_arrow_type(field.dataType), not a partial simpleString
+    # map that returned None for timestamp/decimal/array/binary — a
+    # stream over a schema evolved with those types must serve the old
+    # generation null-filled, not crash the batch-schema check
+    import datetime as dt
+
+    from pyspark.sql.types import ArrayType, FloatType, TimestampType
+
+    spark = registered
+    t = TxTable.create(spark, str(tmp_path / "ts"), SCHEMA)
+    t.write(spark.createDataFrame([(1, "a", 1)], SCHEMA))
+    evolved = StructType(SCHEMA.fields + [
+        StructField("seen", TimestampType()),
+        StructField("emb", ArrayType(FloatType())),
+    ])
+    t.write(
+        spark.createDataFrame(
+            [(2, "b", 2, dt.datetime(2024, 1, 2, 3, 4, 5), [0.5, 1.5])],
+            evolved,
+        ),
+        merge_schema=True,
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("txtable").option("path", t.root).load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r.id: (r.seen, r.emb) for r in spark.read.parquet(out).collect()}
+    assert got[1] == (None, None)
+    assert got[2][0] == dt.datetime(2024, 1, 2, 3, 4, 5)
+    assert got[2][1] == [0.5, 1.5]
+
+
+def test_stream_raises_documented_error_on_vacuumed_commit(
+    registered, tmp_path
+):
+    # a lagging stream whose unconsumed commit's files were rewritten
+    # and VACUUMed must surface VacuumedFileError (same contract as the
+    # batch reader), not silent empty batches or a raw executor
+    # FileNotFoundError
+    spark = registered
+    t = TxTable.create(spark, str(tmp_path / "v"), SCHEMA)
+    t.write(spark.createDataFrame([(1, "a", 1)], SCHEMA))      # v1
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    # consume v1 so the checkpointed offset is version 1
+    assert _drain(spark, t.root, out, ckpt) == [(1, "a", 1)]
+    t.write(spark.createDataFrame([(2, "a", 2)], SCHEMA))      # v2
+    # v2's file is rewritten by OPTIMIZE, then vacuumed away before the
+    # stream ever consumed it
+    t.optimize(target_files=1)                                  # v3
+    t.vacuum(retention_hours=0)
+    with pytest.raises(Exception, match="VACUUM"):
+        _drain(spark, t.root, out, ckpt)
