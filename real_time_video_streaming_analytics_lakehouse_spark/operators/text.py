@@ -21,14 +21,26 @@ def tokens(text: Column | str) -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
+#: fixed stopword list for the stopword-ratio quality signal — a small
+#: deterministic function-word set (the signal is the RATIO shape, not
+#: linguistic completeness; swap per-language lists in at deployment)
+_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on",
+)
+
+
 def add_text_features(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     extra=(),
 ) -> DataFrame:
-    """Per-document quality features + quality bucket.
+    """Per-document quality features + quality bucket — the north-star
+    quality-scoring surface (length / punctuation / stopword ratios).
 
     Columns: n_tokens, n_chars_measured, avg_token_len, vowel_ratio,
-    quality. The bucket thresholds use the *rounded* ratio so the DuckDB
+    punct_ratio (non-alphanumeric-non-space chars over chars),
+    stopword_ratio (tokens in a fixed function-word list over tokens),
+    quality. The bucket thresholds use the raw ratio so the DuckDB
     oracle lands on identical CASE branches. ``extra`` columns (names or
     Column expressions) are appended to the projection — so a caller
     can carry e.g. the label column or a token array through the SAME
@@ -45,6 +57,12 @@ def add_text_features(
         n_chars - F.length(F.regexp_replace(text, "[aeiou]", ""))
     ) / n_chars.cast("double")
     avg_token_len = F.length(F.regexp_replace(text, r"\s+", "")) / n_tokens
+    punct_ratio = F.length(
+        F.regexp_replace(text, r"[a-zA-Z0-9\s]", "")
+    ) / n_chars.cast("double")
+    stopword_ratio = F.size(
+        F.filter(t, lambda x: F.lower(x).isin(*_STOPWORDS))
+    ) / n_tokens.cast("double")
     quality = (
         F.when((n_tokens >= 60) & (vowel_ratio > 0.25), "high")
         .when(n_tokens >= 30, "medium")
@@ -56,6 +74,8 @@ def add_text_features(
         n_chars.alias("n_chars_measured"),
         avg_token_len.alias("avg_token_len"),
         vowel_ratio.alias("vowel_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        stopword_ratio.alias("stopword_ratio"),
         quality.alias("quality"),
         *[F.col(c) if isinstance(c, str) else c for c in extra],
     )

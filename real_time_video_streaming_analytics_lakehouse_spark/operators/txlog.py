@@ -521,11 +521,18 @@ class TxTable:
             raise FileNotFoundError(
                 f"no parquet data files to adopt under {t.root}"
             )
-        import pyarrow.parquet as pq
-
+        df = spark.read.option("basePath", t.root).parquet(t.root)
+        schema = df.schema
+        # One scan collects numRecords + min/max column stats for every
+        # adopted file (same auto-indexing as fresh writes), so log-side
+        # file skipping works immediately — not only after a rewrite.
+        # Zero-row files are not adopted (Delta doesn't commit them).
+        per_file = t._collect_stats(t.root, files, df, None)
         adds = []
         part_cols: list[str] = []
         for rel in files:
+            if rel not in per_file:
+                continue
             pv = {}
             for seg in os.path.dirname(rel).split(os.sep):
                 if "=" in seg:
@@ -533,17 +540,9 @@ class TxTable:
                     pv[k] = v
                     if k not in part_cols:
                         part_cols.append(k)
-            adds.append({
-                "path": rel,
-                "partitionValues": pv,
-                "numRecords": pq.ParquetFile(
-                    os.path.join(t.root, rel)
-                ).metadata.num_rows,
-            })
-        reader = spark.read
-        if part_cols:
-            reader = reader.option("basePath", t.root)
-        schema = reader.parquet(t.root).schema
+            entry = {"path": rel, "partitionValues": pv}
+            entry.update(per_file[rel])
+            adds.append(entry)
         _publish_commit(t.root, 0, {
             "version": 0,
             "timestamp_ms": int(time.time() * 1000),

@@ -107,7 +107,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # EVERY doc, exactly like the pre-fold per-doc query did.
     return feat.drop("_w").join(pred, "doc_id", "left_outer").select(
         "doc_id", "n_tokens", "n_chars_measured", "avg_token_len",
-        "vowel_ratio", "quality", "lang", "predicted_lang",
+        "vowel_ratio", "punct_ratio", "stopword_ratio", "quality",
+        "lang", "predicted_lang",
     )
 
 
@@ -138,6 +139,13 @@ SELECT d.doc_id,
              / len(string_split_regex(trim(d.text), '\s+')) AS avg_token_len,
        (length(d.text) - length(regexp_replace(d.text, '[aeiou]', '', 'g')))
              / CAST(length(d.text) AS DOUBLE) AS vowel_ratio,
+       length(regexp_replace(d.text, '[a-zA-Z0-9\s]', '', 'g'))
+             / CAST(length(d.text) AS DOUBLE) AS punct_ratio,
+       len(list_filter(string_split_regex(trim(d.text), '\s+'),
+           t -> list_contains(['the','a','an','and','or','of','to','in',
+                               'is','it','for','on'], lower(t))))
+             / CAST(len(string_split_regex(trim(d.text), '\s+')) AS DOUBLE)
+             AS stopword_ratio,
        CASE WHEN len(string_split_regex(trim(d.text), '\s+')) >= 60
                  AND (length(d.text) - length(regexp_replace(d.text, '[aeiou]', '', 'g')))
                            / CAST(length(d.text) AS DOUBLE) > 0.25 THEN 'high'

@@ -844,6 +844,12 @@ def test_bootstrap_adopts_plain_parquet_dir(spark, tmp_path):
     _df(spark, [(1, "a", 1), (2, "b", 2)]).write.parquet(plain)
     t = TxTable.bootstrap(spark, plain)
     assert {r.id for r in t.read().collect()} == {1, 2}
+    # adopted files carry numRecords + min/max stats (one scan), so
+    # log-side pruning works immediately
+    assert all(
+        f.get("numRecords") and f.get("stats", {}).get("id")
+        for f in t.snapshot().files.values()
+    )
     # adopted files are tracked: a later merge + vacuum keeps them
     t.merge(_df(spark, [(2, "b", 20), (3, "c", 3)]), keys=["id"])
     got = {r.id: r.v for r in t.read().collect()}
