@@ -75,10 +75,19 @@ def minhash_lsh_candidates(
       1. word shingles per doc (``split`` + ``transform`` over a
          ``sequence`` of offsets), explode → (doc, distinct shingle),
       2. ONE codegen'd hash aggregate per doc computing the 64-slot
-         signature as ``min(xxhash64(seed_i, shingle))`` per slot
-         (measured ~20x faster than the "clever" shuffle-free nested
+         signature — the classic affine construction: each shingle is
+         hashed ONCE behind a projection boundary (no CSE across
+         aggregate buffers — the same per-bit lesson as the SimHash
+         aggregate), and slot i takes ``min((a_i·h + b_i) mod p)`` over
+         a fixed seeded universal family. The previous formulation
+         called ``xxhash64(seed_i, shingle)`` 64× per row — string
+         hashing per slot was the aggregate's dominant cost (measured
+         ~2× slower end-to-end at sf0.1); multiply-add on the 31-bit
+         reduced base hash keeps every product < 2^62 (ANSI-safe) with
+         the same estimator quality. (This aggregate shape itself was
+         already ~20x faster than the "clever" shuffle-free nested
          higher-order-function formulation, which falls out of
-         whole-stage codegen and is re-inlined by CollapseProject),
+         whole-stage codegen and is re-inlined by CollapseProject.)
       3. slice the signature into ``bands`` bands, hash each band,
          explode → (band, band_hash, id) candidate buckets — the bucket
          self-join ships ONLY these 3 small columns, not the 64-slot
@@ -90,16 +99,29 @@ def minhash_lsh_candidates(
 
     Returns ``(id_a, id_b, est_jaccard)`` with ``id_a < id_b``.
     """
+    import random as _random
+
     from .text import exploded_word_shingles
 
     rows_per_band = num_perm // bands
     exploded = exploded_word_shingles(
         ensure_parallelism(df), id_col, text_col, shingle_size
     ).withColumnRenamed("sh", "shingle")
-    sig = exploded.groupBy(id_col).agg(
+    rnd = _random.Random(0xC0FFEE)  # fixed seed: signatures reproducible
+    perms = [
+        (rnd.randrange(1, 1 << 31) | 1, rnd.randrange(0, 1 << 31))
+        for _ in range(num_perm)
+    ]
+    mersenne = (1 << 61) - 1
+    hashed = exploded.select(
+        F.col(id_col),
+        F.xxhash64("shingle").bitwiseAND(F.lit((1 << 31) - 1)).alias("_h"),
+    )
+    h = F.col("_h")
+    sig = hashed.groupBy(id_col).agg(
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-            for i in range(num_perm)
+            F.min((h * F.lit(a) + F.lit(b)) % F.lit(mersenne)).alias(f"h{i}")
+            for i, (a, b) in enumerate(perms)
         ]
     )
     sig = sig.select(
