@@ -924,6 +924,46 @@ def session_rollup_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_rollup(gap_sessionize(e, gap_sec=1800))
 
 
+def sessionize_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both sessionization paths stacked by ``method`` (round-5 fold of
+    the former separate ``session_rollup_30min`` and
+    ``session_window_rollup`` catalog entries, freeing a slot for
+    ``training_mix_sample`` within the driver's 50-query window):
+
+    * ``gap_lag``: the LAG + running-sum rewrite
+      (:func:`..operators.sessionize.gap_sessionize`, splits when
+      gap > timeout),
+    * ``native_window``: ``F.session_window`` (splits when gap >=
+      timeout — each event holds the window open for [ts, ts+gap)).
+
+    Both arms run end-to-end and project to the common session schema;
+    the boundary-semantics difference (> vs >=) is visible in the
+    per-arm rows and mirrored in the oracle. The arm-specific columns
+    (``session_num``/``duration_sec``) remain on the un-stacked
+    builders, which tests cover directly."""
+    gap = session_rollup_30min(spark, sf_dir).select(
+        F.lit("gap_lag").alias("method"),
+        "user_id",
+        F.col("start_us").alias("session_start_us"),
+        F.col("end_us").alias("session_end_us"),
+        "events",
+        "distinct_event_types",
+        "total_value",
+        "purchases",
+    )
+    native = session_window_rollup(spark, sf_dir).select(
+        F.lit("native_window").alias("method"),
+        "user_id",
+        "session_start_us",
+        "session_end_us",
+        "events",
+        "distinct_event_types",
+        "total_value",
+        "purchases",
+    )
+    return gap.unionByName(native)
+
+
 def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native ``F.session_window`` sessionization — the Spark-first
     expression of what :func:`..operators.sessionize.gap_sessionize`
@@ -1003,6 +1043,22 @@ SELECT user_id, session_num,
        CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value,
        COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases
 FROM sess GROUP BY 1, 2
+"""
+
+
+# the stacked oracle projects both arm SQLs to the common session schema
+SESSIONIZE_ROLLUP_SQL = f"""
+WITH gap_arm AS ({SESSION_ROLLUP_30MIN_SQL}),
+native_arm AS ({SESSION_WINDOW_ROLLUP_SQL})
+SELECT 'gap_lag' AS method, user_id,
+       start_us AS session_start_us, end_us AS session_end_us,
+       events, distinct_event_types, total_value, purchases
+FROM gap_arm
+UNION ALL
+SELECT 'native_window' AS method, user_id,
+       session_start_us, session_end_us,
+       events, distinct_event_types, total_value, purchases
+FROM native_arm
 """
 
 
@@ -1134,10 +1190,12 @@ QUERIES: dict[str, QuerySpec] = {
         "interval-join view→purchase attribution (stream-stream batch "
         "analog, LEFT SEMI dedup)",
     ),
-    "session_window_rollup": QuerySpec(
-        session_window_rollup,
-        SESSION_WINDOW_ROLLUP_SQL,
-        "native F.session_window sessionization (gap >= timeout splits)",
+    "sessionize_rollup": QuerySpec(
+        sessionize_rollup,
+        SESSIONIZE_ROLLUP_SQL,
+        "sessionize + rollup (A1), LAG-rewrite and native "
+        "F.session_window arms stacked by method (round-5 fold of the "
+        "former session_rollup_30min / session_window_rollup entries)",
     ),
     "user_activity_5min": QuerySpec(
         user_activity_5min,
@@ -1158,9 +1216,6 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "user_event_enrichment": QuerySpec(
         user_event_enrichment, USER_EVENT_ENRICHMENT_SQL, "partition windows (W2)"
-    ),
-    "session_rollup_30min": QuerySpec(
-        session_rollup_30min, SESSION_ROLLUP_30MIN_SQL, "sessionize + rollup (A1)"
     ),
     "merge_upsert_events": QuerySpec(
         merge_upsert_events,

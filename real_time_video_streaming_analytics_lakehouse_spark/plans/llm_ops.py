@@ -643,6 +643,91 @@ FROM chunks GROUP BY 1
 """
 
 
+# --- deterministic sampling / training mixture ----------------------------
+
+def training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible corpus sampling & mixing (operators/sampling.py),
+    all three surfaces stacked by ``method`` — the rebalance step every
+    training-data pipeline runs before chunk/pack:
+
+    * ``quota``: exactly 40 docs per language — a deterministic
+      distributed reservoir (``row_number`` over the md5 draw),
+    * ``stratified``: per-language Bernoulli rebalance of the en-heavy
+      corpus (en 25%, others 50%) — map-only filter, no shuffle,
+    * ``mix_en`` / ``mix_rest``: a two-source weighted training mixture
+      (en halved, the rest kept) with provenance tags.
+
+    Fully SQL-expressible BECAUSE membership is a content hash — the
+    first 8 hex chars of ``md5(seed | doc_id)`` compared against the
+    fraction's hex threshold — not Spark's partition-RNG ``sample``
+    (whose membership changes with partitioning and exists in no other
+    engine). The same md5 expressions reproduce bit-identically in
+    DuckDB, so the ENTIRE sample membership, not just its size, is
+    oracle-checked."""
+    from ..operators.sampling import (
+        mix_corpora,
+        quota_sample,
+        stratified_sample,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    quota = quota_sample(d, "lang", 40, key_cols=["doc_id"], seed="mixq").select(
+        F.lit("quota").alias("method"), "doc_id", "lang", "source"
+    )
+    strat = stratified_sample(
+        d,
+        "lang",
+        {"en": 0.25, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.5},
+        key_cols=["doc_id"],
+        seed="mixs",
+    ).select(F.lit("stratified").alias("method"), "doc_id", "lang", "source")
+    mixed = mix_corpora(
+        {
+            "en": (d.filter(F.col("lang") == "en"), 0.5),
+            "rest": (d.filter(F.col("lang") != "en"), 1.0),
+        },
+        key_cols=["doc_id"],
+        seed="mixm",
+    ).select(
+        F.concat(F.lit("mix_"), F.col("mix_source")).alias("method"),
+        "doc_id",
+        "lang",
+        "source",
+    )
+    return quota.unionByName(strat).unionByName(mixed)
+
+
+# thresholds: 0.25 → 0x40000000, 0.5 → 0x80000000 (fraction · 2³² in
+# hex); seeds/separators mirror operators/sampling.py::sample_key
+TRAINING_MIX_SAMPLE_SQL = """
+SELECT 'quota' AS method, doc_id, lang, source FROM (
+  SELECT doc_id, lang, source, ROW_NUMBER() OVER (
+      PARTITION BY lang
+      ORDER BY substr(md5('mixq|' || CAST(doc_id AS VARCHAR)), 1, 8),
+               doc_id) AS rk
+  FROM documents) WHERE rk <= 40
+UNION ALL
+SELECT 'stratified' AS method, doc_id, lang, source
+FROM documents
+WHERE substr(md5('mixs|' || CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE lang WHEN 'en' THEN '40000000'
+                WHEN 'de' THEN '80000000'
+                WHEN 'es' THEN '80000000'
+                WHEN 'fr' THEN '80000000'
+                WHEN 'zh' THEN '80000000'
+                ELSE '00000000' END
+UNION ALL
+SELECT 'mix_en' AS method, doc_id, lang, source
+FROM documents
+WHERE lang = 'en'
+  AND substr(md5('mixm|en|' || CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+UNION ALL
+SELECT 'mix_rest' AS method, doc_id, lang, source
+FROM documents
+WHERE lang <> 'en'
+"""
+
+
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroid_norms(_emb(spark, sf_dir))
 
@@ -716,6 +801,14 @@ QUERIES: dict[str, QuerySpec] = {
         "overlapping-token-window chunking → FFD sequence packing, "
         "rolled up per shard (exactly-once cover + bin-bound + "
         "first-fit invariants oracle-checked)",
+    ),
+    "training_mix_sample": QuerySpec(
+        training_mix_sample,
+        TRAINING_MIX_SAMPLE_SQL,
+        "deterministic corpus sampling/mixing: exact per-language "
+        "quotas, stratified Bernoulli rebalance, and a weighted "
+        "two-source training mixture, stacked by method — membership "
+        "is a content hash, so the full sample is oracle-checked",
     ),
     "embedding_centroids": QuerySpec(
         embedding_centroids, EMBEDDING_CENTROIDS_SQL, "per-label centroid norms"
