@@ -3,6 +3,7 @@ from .pipelines import (
     anomaly_stream,
     content_popularity_stream,
     dedup_stream,
+    dedup_stream_within_watermark,
     kafka_stream,
     parse_kafka_events,
     run_available_now,
@@ -17,6 +18,7 @@ __all__ = [
     "anomaly_stream",
     "content_popularity_stream",
     "dedup_stream",
+    "dedup_stream_within_watermark",
     "kafka_stream",
     "parse_kafka_events",
     "run_available_now",

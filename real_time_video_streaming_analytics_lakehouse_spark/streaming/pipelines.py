@@ -273,6 +273,28 @@ def dedup_stream(
     )
 
 
+def dedup_stream_within_watermark(
+    events: DataFrame,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming dedup on the BUSINESS KEY alone via
+    ``dropDuplicatesWithinWatermark`` (Spark 4): unlike
+    :func:`dedup_stream` (``dropDuplicates([id, ts])``), a redelivered
+    event whose retry carries a *different* event timestamp — the normal
+    at-least-once case: producers restamp on retry — is still
+    suppressed, because equality is on ``id_col`` only. State stays
+    bounded: an id is remembered until the watermark passes its first
+    arrival, then evicted. Guarantee: duplicates within the watermark
+    delay of each other are dropped; duplicates farther apart may
+    survive (same bounded-state trade-off as :func:`dedup_stream`,
+    but keyed correctly for redelivery)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [id_col]
+    )
+
+
 def run_merge_stream(
     result: DataFrame,
     target_path: str,

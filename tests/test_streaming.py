@@ -115,6 +115,40 @@ def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
     assert sorted(r["event_id"] for r in rows) == [1, 2]
 
 
+def test_dedup_within_watermark_catches_restamped_redelivery(spark, tmp_path):
+    """``dropDuplicatesWithinWatermark`` dedups on the business key
+    alone: a redelivered event whose retry was RESTAMPED with a newer
+    event time (the normal at-least-once producer behavior, which
+    ``dropDuplicates([id, ts])`` cannot catch) is still suppressed,
+    as long as the two arrivals are within the watermark delay."""
+    from real_time_video_streaming_analytics_lakehouse_spark.streaming import (
+        dedup_stream_within_watermark,
+    )
+
+    src_dir = str(tmp_path / "restamp_src")
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    e1 = Row(event_id=1, ts=t, user_id=1, event_type="view", value=1.0)
+    # redelivery of id=1, restamped 2 minutes later (< 30 min watermark)
+    e1b = Row(event_id=1, ts=t + dt.timedelta(minutes=2), user_id=1,
+              event_type="view", value=1.0)
+    e2 = Row(event_id=2, ts=t + dt.timedelta(minutes=1), user_id=1,
+             event_type="view", value=2.0)
+    batches = [[e1], [e1b, e2]]
+    for i, rows in enumerate(batches):
+        before = set(glob.glob(f"{src_dir}/*.parquet"))
+        spark.createDataFrame(rows).coalesce(1).write.mode("append").parquet(src_dir)
+        for f in set(glob.glob(f"{src_dir}/*.parquet")) - before:
+            os.utime(f, (1700000000 + i * 100, 1700000000 + i * 100))
+    src = stream_events_from_files(
+        spark, src_dir, spark.read.parquet(src_dir).schema, max_files_per_trigger=1
+    )
+    out, _ = _drain(dedup_stream_within_watermark(src), tmp_path, "dedup_wm")
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r["event_id"] for r in rows) == [1, 2]
+    # the SURVIVING id=1 row is the first arrival, not the restamp
+    assert [r["ts"] for r in rows if r["event_id"] == 1] == [t]
+
+
 def test_run_merge_stream_upserts_per_batch(spark, tmp_path):
     """foreachBatch MERGE sink: later micro-batches update matching keys
     and insert new ones; final target holds exactly the latest row per
