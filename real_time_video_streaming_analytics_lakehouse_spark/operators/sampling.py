@@ -24,6 +24,9 @@ row's fate from a **content hash of its key**:
   the quota-k rows are the k smallest hashes, so membership is stable
   under any partitioning and monotone under corpus growth only at the
   hash boundary).
+* :func:`split_corpus` — disjoint, exhaustive train/val/test splits
+  (consecutive hash intervals), leak-free by construction and stable
+  across reruns.
 * :func:`mix_corpora` — weighted multi-source mixture: per-source
   Bernoulli retention + provenance column + union, the standard
   training-mixture construction.
@@ -145,6 +148,38 @@ def quota_sample(
             )
     kept = ranked.filter(F.col(rn) <= limit)
     return kept.drop(rn) if rank_col is None else kept
+
+
+def split_corpus(
+    df: DataFrame,
+    key_cols: list[str],
+    weights: dict[str, float],
+    seed: str = "",
+) -> dict[str, DataFrame]:
+    """Disjoint, exhaustive train/val/test splits: ``weights`` maps
+    split name → fraction (must sum to 1 within float tolerance). Each
+    row lands in exactly one split — the hash space is carved into
+    consecutive half-open intervals, one per split in sorted-name
+    order — so no row leaks across splits, reruns reproduce the same
+    assignment, and (because the draw is keyed) rows sharing a key
+    (e.g. all of a user's events) land in the same split. Map-only:
+    each returned frame is a filter over ``df``, no shuffle."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    key = sample_key(key_cols, seed)
+    out: dict[str, DataFrame] = {}
+    lo = 0.0
+    names = sorted(weights)
+    for i, name in enumerate(names):
+        hi = lo + weights[name]
+        lower = F.lit(_hex_threshold(lo))
+        # the last interval is closed above via the 1.0 sentinel so
+        # float rounding can't orphan the top of the hash space
+        upper = F.lit(_hex_threshold(1.0 if i == len(names) - 1 else hi))
+        out[name] = df.filter((key >= lower) & (key < upper))
+        lo = hi
+    return out
 
 
 def mix_corpora(

@@ -149,6 +149,32 @@ def test_mix_corpora_provenance_and_weights(spark, docs):
     assert mixed != bare
 
 
+def test_split_corpus_disjoint_exhaustive(spark, docs):
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.sampling import (
+        split_corpus,
+    )
+
+    splits = split_corpus(
+        docs, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}, seed="sp"
+    )
+    ids = {name: set(_ids(df)) for name, df in splits.items()}
+    # exhaustive and pairwise disjoint — no row lost, none leaked
+    assert sum(len(v) for v in ids.values()) == docs.count()
+    assert ids["train"] | ids["val"] | ids["test"] == set(_ids(docs))
+    assert not (ids["train"] & ids["val"])
+    assert not (ids["val"] & ids["test"])
+    assert not (ids["train"] & ids["test"])
+    # reproducible
+    again = split_corpus(
+        docs, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}, seed="sp"
+    )
+    assert set(_ids(again["val"])) == ids["val"]
+    n = docs.count()
+    assert abs(len(ids["train"]) - 0.8 * n) <= 5 * math.sqrt(n * 0.16)
+    with pytest.raises(ValueError):
+        split_corpus(docs, ["doc_id"], {"a": 0.5, "b": 0.4})
+
+
 def test_sample_key_is_fixed_width_hex(spark, docs):
     bad = docs.select(sample_key(["doc_id"], "x").alias("k")).filter(
         ~F.col("k").rlike("^[0-9a-f]{8}$")
