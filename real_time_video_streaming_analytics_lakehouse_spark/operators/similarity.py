@@ -404,6 +404,189 @@ def ann_ivf_topk(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+def pq_topk(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    refine: int = 32,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra_cols: tuple[str, ...] = ("label",),
+    sample_size: int = 4096,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance (ADC) scoring
+    and exact re-ranking — the memory-compression scale path next to
+    :func:`cosine_topk` (compute) and :func:`ann_ivf_topk` (pruning).
+
+    Why PQ at 100 TB: a 64-dim float32 corpus is 256 B/vector; its PQ
+    codes at 8 subspaces are 8 small ints — ~32× smaller, so the
+    *entire* corpus's codes stay in memory/page cache where the raw
+    vectors cannot, and the scan-and-score pass reads codes only.
+
+    1. Train per-subspace codebooks: split each (L2-normalized) vector
+       into ``n_subspaces`` contiguous subvectors; seeded Lloyd k-means
+       per subspace on a deterministic bounded sample (driver-side
+       numpy, like any broadcast build side).
+    2. Encode candidates once: nearest codebook entry per subspace →
+       ``codes`` (``array<int>`` of length ``n_subspaces``) — a
+       map-only Arrow-batched pass.
+    3. ADC scoring: each query precomputes a lookup table
+       ``lut[m][c] = q̂_m · cent[m][c]`` (flattened to one
+       ``array<double>``); a candidate's approximate cosine is
+       ``Σ_m lut[m·n_codes + codes[m]]`` — ``n_subspaces`` array reads
+       per pair instead of ``dim`` multiplies, all JVM-side
+       higher-order functions on the broadcast query row.
+    4. Exact re-rank: the top ``refine`` ADC candidates per query
+       re-join their raw vectors (by id — at scale this touches only
+       ``refine`` rows of the vector store per query) and exact cosine
+       produces the final top-k. Recall is tuned by ``refine``.
+
+    Provable oracle hook (the IVF-at-full-probe trick): with ``refine``
+    ≥ the candidate count, EVERY candidate reaches the exact re-rank,
+    so the result is identical to brute force for ANY codebooks — the
+    PQ pipeline (train → encode → LUT → ADC → refine) still executes
+    end-to-end, which makes the code path checkable against the
+    brute-force SQL; the sub-linear operating point is the same path
+    with a smaller ``refine``, recall-pinned in tests.
+    """
+    import numpy as np
+
+    sample = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.array([list(r[1]) for r in sample], dtype=np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    dim = x.shape[1]
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {n_subspaces} subspaces")
+    dsub = dim // n_subspaces
+    rng = np.random.RandomState(seed)
+    books = []  # n_subspaces × (n_codes, dsub)
+    for m in range(n_subspaces):
+        sub = x[:, m * dsub : (m + 1) * dsub]
+        cent = sub[rng.choice(len(sub), min(n_codes, len(sub)), replace=False)]
+        for _ in range(10):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(cent.shape[0]):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books.append(cent)
+    bc_books = embeddings.sparkSession.sparkContext.broadcast(books)
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.stack([np.asarray(e, dtype=np.float64) for e in pdf[vec_col]])
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            codes = np.empty((len(pdf), n_subspaces), dtype=np.int32)
+            for m, cent in enumerate(bc_books.value):
+                sub = v[:, m * dsub : (m + 1) * dsub]
+                d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = np.argmin(d2, axis=1)
+            out = pdf[[id_col, *extra_cols]].copy()
+            out["codes"] = list(codes)
+            yield out
+
+    base = embeddings.filter(~query_pred)
+    extra_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in base.select(*extra_cols).schema.fields
+    )
+    encoded = base.select(id_col, *extra_cols, vec_col).mapInPandas(
+        encode, f"{id_col} BIGINT{extra_schema}, codes ARRAY<INT>"
+    ).localCheckpoint(eager=False)
+    # ^ encode once: the ADC pass below is the only consumer here, but
+    # without materialization a re-used plan re-runs the Python stage.
+
+    def query_luts(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.stack([np.asarray(e, dtype=np.float64) for e in pdf[vec_col]])
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            luts = []
+            for row in v:
+                lut = np.concatenate(
+                    [
+                        row[m * dsub : (m + 1) * dsub] @ cent.T
+                        for m, cent in enumerate(bc_books.value)
+                    ]
+                )
+                luts.append(lut)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf[id_col].to_numpy(dtype="int64"),
+                    "qe": pdf[vec_col],
+                    "lut": luts,
+                }
+            )
+
+    queries = (
+        embeddings.filter(query_pred)
+        .select(id_col, vec_col)
+        .mapInPandas(
+            query_luts, "query_id BIGINT, qe ARRAY<FLOAT>, lut ARRAY<DOUBLE>"
+        )
+        .localCheckpoint(eager=False)
+    )
+    # ^ the query frame is read twice (ADC broadcast + refine re-join);
+    # materialize so the Python LUT stage runs once.
+
+    # ADC: n_subspaces flattened-LUT reads per (query, candidate) pair
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(n_subspaces - 1)),
+            lambda code, m: F.try_element_at(
+                F.col("lut"), (m * n_codes + code + 1).cast("int")
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("_adc").desc(), F.col(id_col).asc()
+    )
+    shortlist = (
+        encoded.crossJoin(F.broadcast(queries.drop("qe")))
+        .withColumn("_adc", adc)
+        .withColumn("_ark", F.row_number().over(w_adc))
+        .filter(F.col("_ark") <= refine)
+        .select("query_id", id_col, *extra_cols)
+    )
+    # exact re-rank: only the shortlist re-joins the raw vector store
+    vecs = embeddings.select(id_col, F.col(vec_col).alias("_cv"))
+    cosine = F.round(
+        _dot(_as_double(F.col("qe")), _as_double(F.col("_cv")))
+        / (_norm(_as_double(F.col("qe"))) * _norm(_as_double(F.col("_cv")))),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        shortlist.join(vecs, id_col)
+        .join(F.broadcast(queries.select("query_id", "qe")), "query_id")
+        .withColumn("cosine", cosine)
+        .select("query_id", id_col, *extra_cols, "cosine")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
 def label_centroid_norms(
     embeddings: DataFrame,
     label_col: str = "label",

@@ -340,15 +340,27 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       sub-linear ``n_probe < n_clusters`` operating point (probing
       ~n_probe/n_clusters of the corpus) is the same code path with a
       shorter probe list, recall-pinned in tests/test_similarity.py.
+    * ``pq_full_refine`` (round 5): product-quantization ADC scoring
+      run at FULL refine depth — every candidate survives the ADC
+      shortlist and reaches the exact cosine re-rank, so the result is
+      provably ≡ brute force for ANY codebooks while the whole PQ
+      pipeline (codebook training → encoding → LUT → ADC → refine)
+      executes end-to-end. The memory-compression operating point
+      (small ``refine``, codes-only scan) is the same code path,
+      recall-pinned in tests/test_similarity.py.
     """
-    from ..operators.similarity import ann_ivf_topk
+    from ..operators.similarity import ann_ivf_topk, pq_topk
 
     emb = _emb(spark, sf_dir)
     brute = cosine_topk(emb, F.col("vec_id") < 5, k=5)
     ivf = ann_ivf_topk(emb, F.col("vec_id") < 5, k=5, n_clusters=16,
                        n_probe=16)
-    return brute.select(F.lit("brute").alias("method"), "*").unionByName(
-        ivf.select(F.lit("ivf_full_probe").alias("method"), "*")
+    pq = pq_topk(emb, F.col("vec_id") < 5, k=5, n_subspaces=8,
+                 n_codes=16, refine=1 << 30)
+    return (
+        brute.select(F.lit("brute").alias("method"), "*")
+        .unionByName(ivf.select(F.lit("ivf_full_probe").alias("method"), "*"))
+        .unionByName(pq.select(F.lit("pq_full_refine").alias("method"), "*"))
     )
 
 
@@ -374,13 +386,16 @@ SELECT query_id, vec_id, label, cosine, CAST(rk AS INTEGER) AS rk FROM (
 WHERE rk <= 5
 """
 
-# both methods are exact (IVF at full probe ≡ brute force), so the
-# stacked oracle is the brute-force top-k emitted once per method tag
+# all three methods are exact (IVF at full probe and PQ at full refine
+# are provably ≡ brute force), so the stacked oracle is the brute-force
+# top-k emitted once per method tag
 ANN_TOPK_SQL = f"""
 WITH topk AS ({ANN_COSINE_TOPK_SQL})
 SELECT 'brute' AS method, * FROM topk
 UNION ALL
 SELECT 'ivf_full_probe' AS method, * FROM topk
+UNION ALL
+SELECT 'pq_full_refine' AS method, * FROM topk
 """
 
 
@@ -778,9 +793,10 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_topk": QuerySpec(
         ann_topk,
         ANN_TOPK_SQL,
-        "brute-force + IVF-full-probe cosine top-k stacked by method "
-        "(IVF at full probe is provably ≡ brute force, so both paths "
-        "share the brute-force oracle)",
+        "brute-force + IVF-full-probe + PQ-full-refine cosine top-k "
+        "stacked by method (full probe and full refine are provably "
+        "≡ brute force, so all three paths share the brute-force "
+        "oracle)",
     ),
     "embedding_cosine_pairs": QuerySpec(
         embedding_cosine_pairs,

@@ -64,6 +64,66 @@ def test_ivf_full_probe_matches_brute_force(spark):
     assert full == exact
 
 
+def test_pq_full_refine_matches_brute_force(spark):
+    """With refine >= candidate count every candidate reaches the exact
+    re-rank, so PQ must reproduce brute force for ANY codebooks — the
+    provable-equivalence hook the catalog oracle leans on."""
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    pred = F.col("vec_id") < 5
+    exact = {
+        (r["query_id"], r["vec_id"], r["cosine"], r["rk"])
+        for r in cosine_topk(emb, pred, k=3).collect()
+    }
+    full = {
+        (r["query_id"], r["vec_id"], r["cosine"], r["rk"])
+        for r in pq_topk(emb, pred, k=3, refine=1 << 30).collect()
+    }
+    assert full == exact
+
+
+def test_pq_partial_refine_recall_and_determinism(spark):
+    """The memory-compressed operating point: an ADC shortlist a few
+    times k still recovers most of the exact top-k (codes are 8 ints
+    standing in for 64 floats), and seeded codebooks make the whole
+    pipeline deterministic."""
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    pred = F.col("vec_id") < 10
+    exact_sets: dict[int, set[int]] = {}
+    for r in cosine_topk(emb, pred, k=5).collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx = pq_topk(emb, pred, k=5, refine=20)
+    approx_sets: dict[int, set[int]] = {}
+    for r in approx.collect():
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert set(approx_sets) == set(exact_sets)
+    recalls = [
+        len(exact_sets[q] & approx_sets[q]) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5
+    again = {
+        (r["query_id"], r["vec_id"], r["rk"])
+        for r in pq_topk(emb, pred, k=5, refine=20).collect()
+    }
+    assert again == {
+        (r["query_id"], r["vec_id"], r["rk"]) for r in approx.collect()
+    }
+
+
+def test_pq_rejects_indivisible_subspaces(spark):
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    import pytest
+
+    with pytest.raises(ValueError):
+        pq_topk(emb, F.col("vec_id") < 5, n_subspaces=7)
+
+
 def test_cosine_pairs_blocked_matches_bruteforce(spark):
     """The distributed block-pair matmul must find EXACTLY the pairs a
     driver-side brute force finds — including cross-block pairs where
