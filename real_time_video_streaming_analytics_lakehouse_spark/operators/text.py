@@ -228,6 +228,62 @@ def doc_fingerprint(
     )
 
 
+def contaminated_ids(
+    train: DataFrame,
+    holdout: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    holdout_text_col: str = "text",
+    ngram: int = 13,
+) -> DataFrame:
+    """Training docs that share at least one word ``ngram``-gram with
+    the holdout/eval corpus — the standard benchmark-decontamination
+    collision rule (13-gram overlap). Returns ``(id, hits)`` where
+    ``hits`` counts the doc's distinct colliding n-grams.
+
+    Scale shape: both sides explode to (id, 64-bit shingle HASH) — the
+    13-gram strings themselves never shuffle — and the holdout side
+    (distinct hashes of a benchmark suite: small by definition)
+    broadcasts into a map-side equi-join, so the train side is one
+    linear scan + explode with no wide stage. A 64-bit hash collision
+    (~2⁻⁶⁴ per pair) can only over-remove, never leak contamination.
+
+    Docs shorter than ``ngram`` words produce one partial shingle
+    (their whole text) and match only an equally-short identical
+    holdout doc — by design: a 5-word doc cannot contain a 13-gram.
+    """
+    t = exploded_word_shingles(train, id_col, text_col, ngram).select(
+        F.col(id_col), F.xxhash64("sh").alias("_h")
+    )
+    h = (
+        exploded_word_shingles(holdout, id_col, holdout_text_col, ngram)
+        .select(F.xxhash64("sh").alias("_h"))
+        .distinct()
+    )
+    return (
+        t.join(F.broadcast(h), "_h")
+        .groupBy(id_col)
+        .agg(F.count_distinct("_h").alias("hits"))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    holdout: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    holdout_text_col: str = "text",
+    ngram: int = 13,
+) -> DataFrame:
+    """Drop every training doc flagged by :func:`contaminated_ids` —
+    one broadcast equi-join + one anti join, keeping the train scan
+    linear. The clean frame keeps the input schema unchanged."""
+    bad = contaminated_ids(
+        train, holdout, id_col, text_col, holdout_text_col, ngram
+    ).select(id_col)
+    return train.join(bad, id_col, "left_anti")
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -343,3 +343,58 @@ def test_pack_chunks_exact_partition_and_budget(spark):
         for r in rows
     }
     assert first == again
+
+
+def test_decontamination_flags_planted_13gram_overlap(spark):
+    """A train doc that embeds a 13-token run copied from the holdout
+    set is flagged and removed; clean docs survive untouched; docs
+    shorter than the n-gram only match an identical short holdout doc."""
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.text import (
+        contaminated_ids,
+        decontaminate,
+    )
+
+    leak = " ".join(f"w{i}" for i in range(13))  # the 13-gram that leaks
+    train = spark.createDataFrame(
+        [
+            (1, f"intro words {leak} trailing text here"),  # contaminated
+            (2, "a completely unrelated training document body"),
+            (3, "short doc"),            # < 13 words, equals holdout row 30
+            (4, "another short doc"),    # < 13 words, no holdout twin
+            (5, None),                   # NULL text: never flagged
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    holdout = spark.createDataFrame(
+        [
+            (10, f"benchmark question {leak} benchmark answer"),
+            (30, "short doc"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    bad = {r["doc_id"]: r["hits"] for r in contaminated_ids(train, holdout).collect()}
+    assert set(bad) == {1, 3}
+    assert bad[1] == 1  # exactly the planted 13-gram collides
+    clean = decontaminate(train, holdout)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [2, 4, 5]
+    # schema preserved: decontaminate is a pure row filter
+    assert clean.schema == train.schema
+
+
+def test_decontamination_real_corpus_self_overlap(spark):
+    """Holdout = every 37th doc of the corpus: each flagged survivor
+    shares a real 13-gram; removing the holdout from itself empties it
+    (every doc collides with its own shingles)."""
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.text import decontaminate
+    from real_time_video_streaming_analytics_lakehouse_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    holdout = docs.filter(F.col("doc_id") % 37 == 0)
+    assert decontaminate(holdout, holdout).count() == 0
+    clean = decontaminate(docs, holdout)
+    # at minimum the holdout docs themselves are removed
+    assert clean.filter(F.col("doc_id") % 37 == 0).count() == 0
+    assert clean.count() <= docs.count() - holdout.count()
