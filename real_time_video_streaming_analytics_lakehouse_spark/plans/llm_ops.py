@@ -168,9 +168,26 @@ def doc_dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     the order-insensitive shingle-set md5, and the order-sensitive
     Rabin–Karp rolling hash — all three per-row expressions computed in
     ONE scan; the group stats join is AQE-broadcast (group table ≤ one
-    row per distinct content)."""
+    row per distinct content).
+
+    Round 5 adds ``holdout_hits``: benchmark decontamination
+    (:func:`..operators.text.contaminated_ids`, the 13-gram-collision
+    rule) run against a deterministic in-corpus holdout (every 37th
+    doc) — each doc's count of distinct 13-grams shared with the
+    holdout, 0 for clean docs. The operator joins on 64-bit shingle
+    hashes (strings never shuffle); the oracle recomputes the same
+    counts over the shingle strings themselves — identical strings
+    hash identically, so the counts agree exactly (a cross-string
+    xxhash64 collision is the only divergence, and this fixed corpus
+    has none)."""
+    from ..operators.text import contaminated_ids
+
     d = _docs(spark, sf_dir)
     groups = exact_dedup_groups(d, "text", "doc_id")
+    holdout = d.filter(F.col("doc_id") % 37 == 0)
+    hits = contaminated_ids(d, holdout).withColumnRenamed(
+        "hits", "holdout_hits"
+    )
     per_doc = d.select(
         "doc_id",
         F.md5("text").alias("text_hash"),
@@ -183,18 +200,33 @@ def doc_dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # silently drop every NULL-text doc.
     joined = per_doc.join(
         groups, per_doc.text_hash.eqNullSafe(groups.text_hash)
-    )
+    ).join(hits, "doc_id", "left_outer")
     return joined.select(
         per_doc.doc_id, per_doc.text_hash, "dup_count", "canonical_doc_id",
         "fingerprint", "rhash",
+        F.coalesce(F.col("holdout_hits"), F.lit(0).cast("long")).alias(
+            "holdout_hits"
+        ),
     )
 
 
-DOC_DEDUP_FINGERPRINTS_SQL = """
+DOC_DEDUP_FINGERPRINTS_SQL = r"""
 WITH groups AS (
   SELECT md5(text) AS text_hash, COUNT(*) AS dup_count,
          MIN(doc_id) AS canonical_doc_id
-  FROM documents GROUP BY 1)
+  FROM documents GROUP BY 1),
+words13 AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents WHERE text IS NOT NULL),
+sh13 AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(w, i + 1, i + 13), ' ') AS sh
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(0, greatest(len(w) - 12, 1) - 1)) AS i
+        FROM words13)),
+hold AS (SELECT DISTINCT sh FROM sh13 WHERE doc_id % 37 = 0),
+hits AS (
+  SELECT s.doc_id, CAST(COUNT(DISTINCT s.sh) AS BIGINT) AS holdout_hits
+  FROM sh13 s JOIN hold h ON s.sh = h.sh GROUP BY 1)
 SELECT d.doc_id, md5(d.text) AS text_hash, g.dup_count, g.canonical_doc_id,
        md5(array_to_string(list_sort(list_distinct(
          list_transform(generate_series(1, greatest(length(d.text) - 2, 1)),
@@ -206,8 +238,11 @@ SELECT d.doc_id, md5(d.text) AS text_hash, g.dup_count, g.canonical_doc_id,
              list_transform(generate_series(1, length(d.text)),
                i -> CAST(ascii(substr(d.text, CAST(i AS INTEGER), 1)) AS BIGINT))),
            (a, x) -> (a * 131 + x) % 1000000000000000)
-       ELSE 0 END AS rhash
-FROM documents d JOIN groups g ON md5(d.text) IS NOT DISTINCT FROM g.text_hash
+       ELSE 0 END AS rhash,
+       COALESCE(hits.holdout_hits, CAST(0 AS BIGINT)) AS holdout_hits
+FROM documents d
+JOIN groups g ON md5(d.text) IS NOT DISTINCT FROM g.text_hash
+LEFT JOIN hits ON d.doc_id = hits.doc_id
 """
 
 
