@@ -13,7 +13,8 @@ and scanning years of history on every refresh. Only decomposable
 aggregates qualify (sum/count/min/max and anything derived from them at
 read time, e.g. avg = sum/count); exact count_distinct does not — route
 those through :func:`..skew.salted_count_distinct` over the raw table
-or accept an HLL sketch merge.
+or persist mergeable HLL sketch columns (:mod:`.sketches` — build per
+delta, union with the stored sketches; estimate-identical to a rebuild).
 
 The gold table carries a ``_watermark_us`` column (same value on every
 row — the max event time folded into the table so no side-channel state

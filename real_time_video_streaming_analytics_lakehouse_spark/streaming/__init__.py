@@ -9,6 +9,7 @@ from .pipelines import (
     run_available_now,
     run_merge_stream,
     run_merge_stream_versioned,
+    run_sketch_stream,
     stream_events_from_files,
     user_activity_stream,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "run_available_now",
     "run_merge_stream",
     "run_merge_stream_versioned",
+    "run_sketch_stream",
     "stream_events_from_files",
     "user_activity_stream",
 ]

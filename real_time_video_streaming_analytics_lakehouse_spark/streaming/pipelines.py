@@ -470,6 +470,68 @@ def run_merge_stream_versioned(
     )
 
 
+def run_sketch_stream(
+    result: DataFrame,
+    table_path: str,
+    checkpoint_path: str,
+    keys: list[str],
+    value_col: str,
+    lg_k: int = 12,
+    app_id: str | None = None,
+) -> StreamingQuery:
+    """Streaming distinct-count maintenance: each micro-batch builds
+    per-key HLL sketches of JUST the batch
+    (:func:`..operators.sketches.sketch_distinct`), unions them into
+    the stored per-key sketch table
+    (:func:`..operators.sketches.combine_sketch_tables`), and MERGEs
+    the touched keys into a native transaction-log table — so "distinct
+    users per day" style gold metrics stay current without ever
+    rescanning raw history (exact streaming count_distinct is
+    impossible under bounded state; the persisted sketch is the
+    standard answer).
+
+    Exactly-once twice over: the sink skips replayed ``batch_id``s via
+    the log's txnAppId/txnVersion (like
+    :func:`run_merge_stream_versioned`), AND the HLL union itself is
+    idempotent (register-wise max) — even a replay that slipped past
+    the version gate could not inflate an estimate.
+
+    Scale: per batch the work is one map-side-combinable sketch
+    aggregate over the batch plus a MERGE touching only the keys the
+    batch contains (the stored table is read semi-joined to the
+    batch's keys; untouched key groups' files never rewrite).
+    """
+    from ..operators.sketches import combine_sketch_tables, sketch_distinct
+    from ..operators.txlog import TxTable
+    from ..operators.util import require_local_dir
+
+    table_path = require_local_dir(table_path)
+    app = app_id or f"sketch_stream:{checkpoint_path}"
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = sketch_distinct(batch_df, keys, value_col, lg_k=lg_k)
+        params = {"txnAppId": app, "txnVersion": batch_id}
+        if not TxTable.exists(spark, table_path):
+            TxTable.create(spark, table_path, delta.schema)
+        tx = TxTable(spark, table_path)
+        last = tx.txn_version(app)
+        if last is not None and batch_id <= last:
+            return  # replayed micro-batch: already committed
+        touched = tx.read().join(
+            delta.select(*keys).distinct(), keys, "left_semi"
+        )
+        combined = combine_sketch_tables(touched, delta, keys)
+        tx.merge(combined, keys, params=params)
+
+    return (
+        result.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(
     result: DataFrame,
     out_path: str,

@@ -85,6 +85,70 @@ def test_incremental_combine_matches_rebuild(spark, events):
     assert m == b
 
 
+def test_streaming_sketch_maintenance_matches_batch(spark, tmp_path):
+    """Streaming + sketches + native log integration: daily distinct
+    users maintained by run_sketch_stream across micro-batches equal a
+    batch rebuild over all events; a second drain commits nothing."""
+    import datetime as dt
+    import glob
+    import os
+
+    from pyspark.sql import Row
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.txlog import TxTable
+    from real_time_video_streaming_analytics_lakehouse_spark.streaming import (
+        run_sketch_stream,
+        stream_events_from_files,
+    )
+
+    src_dir = str(tmp_path / "sketch_src")
+    d1, d2 = dt.datetime(2024, 1, 1, 10, 0), dt.datetime(2024, 1, 2, 10, 0)
+    batches = [
+        # day 1: users 1,2 — day 2: user 1
+        [Row(event_id=1, ts=d1, user_id=1), Row(event_id=2, ts=d1, user_id=2),
+         Row(event_id=3, ts=d2, user_id=1)],
+        # later batch touches day 1 again: user 2 repeats, user 3 is new
+        [Row(event_id=4, ts=d1, user_id=2), Row(event_id=5, ts=d1, user_id=3)],
+    ]
+    for i, rows in enumerate(batches):
+        before = set(glob.glob(f"{src_dir}/*.parquet"))
+        spark.createDataFrame(rows).coalesce(1).write.mode("append").parquet(src_dir)
+        for f in set(glob.glob(f"{src_dir}/*.parquet")) - before:
+            os.utime(f, (1700000000 + i * 100,) * 2)
+
+    table = str(tmp_path / "sketch_table")
+    ckpt = str(tmp_path / "sketch_ckpt")
+
+    def drain():
+        src = stream_events_from_files(
+            spark, src_dir, spark.read.parquet(src_dir).schema,
+            max_files_per_trigger=1,
+        ).withColumn("day", F.to_date("ts"))
+        q = run_sketch_stream(src, table, ckpt, ["day"], "user_id")
+        q.awaitTermination(120)
+
+    drain()
+    tx = TxTable(spark, table)
+    got = {
+        str(r["day"]): r["e"]
+        for r in tx.read()
+        .select("day", F.hll_sketch_estimate("sketch").alias("e"))
+        .collect()
+    }
+    all_events = spark.read.parquet(src_dir).withColumn("day", F.to_date("ts"))
+    want = {
+        str(r["day"]): r["e"]
+        for r in sketch_distinct(all_events, ["day"], "user_id")
+        .select("day", F.hll_sketch_estimate("sketch").alias("e"))
+        .collect()
+    }
+    assert got == want == {"2024-01-01": 3, "2024-01-02": 1}
+
+    v = tx.snapshot().version
+    drain()  # no new files: the checkpoint replays nothing
+    assert TxTable(spark, table).snapshot().version == v
+
+
 def test_redelivery_is_idempotent(spark, events):
     """Unioning the same delta twice changes nothing — sketch columns
     are safe under at-least-once delivery."""
