@@ -9,6 +9,7 @@ from .pipelines import (
     run_available_now,
     run_merge_stream,
     run_merge_stream_versioned,
+    run_quarantine_stream,
     run_sketch_stream,
     stream_events_from_files,
     user_activity_stream,
@@ -25,6 +26,7 @@ __all__ = [
     "run_available_now",
     "run_merge_stream",
     "run_merge_stream_versioned",
+    "run_quarantine_stream",
     "run_sketch_stream",
     "stream_events_from_files",
     "user_activity_stream",

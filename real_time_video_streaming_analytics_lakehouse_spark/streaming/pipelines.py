@@ -532,6 +532,63 @@ def run_sketch_stream(
     )
 
 
+def run_quarantine_stream(
+    result: DataFrame,
+    rules,
+    good_path: str,
+    quarantine_path: str,
+    checkpoint_path: str,
+    app_id: str | None = None,
+) -> StreamingQuery:
+    """Streaming DQ gate with a dead-letter table: each micro-batch is
+    annotated by the compiled rule set
+    (:class:`..operators.quality.DQRuleSet` — one projection, no extra
+    scan), valid rows append to the good table and violating rows —
+    WITH their ``_dq_errors`` rule names — to a quarantine table, both
+    native-log tables in the same batch. The reference drops or
+    routes invalid rows inside its batch validator
+    (``etl_framework.py:111-137``); this is that gate for streams,
+    with the quarantine retained for replay/repair instead of lost.
+
+    Exactly-once per TABLE: each target skips a replayed ``batch_id``
+    via its own txnAppId/txnVersion, so a crash between the two
+    appends resumes exactly the missing half (the good table skips,
+    the quarantine commits) rather than duplicating either.
+    """
+    from ..operators.txlog import TxTable
+    from ..operators.util import require_local_dir
+
+    good_path = require_local_dir(good_path)
+    quarantine_path = require_local_dir(quarantine_path)
+    app = app_id or f"quarantine_stream:{checkpoint_path}"
+
+    def split_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        annotated = rules.annotate(batch_df).localCheckpoint(eager=False)
+        # ^ both halves filter this frame; materialize so the batch's
+        # source (and the annotation projection) evaluates once.
+        params = {"txnAppId": app, "txnVersion": batch_id}
+        good = annotated.filter(F.col("_dq_valid")).drop(
+            "_dq_valid", "_dq_errors"
+        )
+        bad = annotated.filter(~F.col("_dq_valid")).drop("_dq_valid")
+        for path, frame in ((good_path, good), (quarantine_path, bad)):
+            if not TxTable.exists(spark, path):
+                TxTable.create(spark, path, frame.schema)
+            tx = TxTable(spark, path)
+            last = tx.txn_version(app)
+            if last is not None and batch_id <= last:
+                continue  # this half already committed before a crash
+            tx.write(frame, mode="append", params=params)
+
+    return (
+        result.writeStream.foreachBatch(split_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(
     result: DataFrame,
     out_path: str,

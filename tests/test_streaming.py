@@ -149,6 +149,66 @@ def test_dedup_within_watermark_catches_restamped_redelivery(spark, tmp_path):
     assert [r["ts"] for r in rows if r["event_id"] == 1] == [t]
 
 
+def test_quarantine_stream_splits_good_and_bad(spark, tmp_path):
+    """Streaming DQ gate: valid rows land in the good table, violating
+    rows land in quarantine WITH their rule names; a second drain
+    commits nothing to either table."""
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.quality import DQRuleSet
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.txlog import TxTable
+    from real_time_video_streaming_analytics_lakehouse_spark.streaming import (
+        run_quarantine_stream,
+    )
+    from pyspark.sql import functions as F
+
+    src_dir = str(tmp_path / "dq_src")
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    batches = [
+        [Row(event_id=1, ts=t, user_id=1, event_type="view", value=1.0),
+         Row(event_id=2, ts=t, user_id=None, event_type="view", value=2.0)],
+        [Row(event_id=3, ts=t, user_id=3, event_type="view", value=-5.0),
+         Row(event_id=4, ts=t, user_id=4, event_type="view", value=4.0)],
+    ]
+    for i, rows in enumerate(batches):
+        before = set(glob.glob(f"{src_dir}/*.parquet"))
+        spark.createDataFrame(
+            rows,
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+            "event_type STRING, value DOUBLE",
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+        for f in set(glob.glob(f"{src_dir}/*.parquet")) - before:
+            os.utime(f, (1700000000 + i * 100,) * 2)
+
+    rules = (
+        DQRuleSet()
+        .not_null("user_id")
+        .add_rule("value", "non_negative", F.col("value") < 0)
+    )
+    good_p, quar_p = str(tmp_path / "good"), str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "dq_ckpt")
+
+    def drain():
+        src = stream_events_from_files(
+            spark, src_dir, spark.read.parquet(src_dir).schema,
+            max_files_per_trigger=1,
+        )
+        q = run_quarantine_stream(src, rules, good_p, quar_p, ckpt)
+        q.awaitTermination(120)
+
+    drain()
+    good = TxTable(spark, good_p).read()
+    quar = TxTable(spark, quar_p).read()
+    assert sorted(r["event_id"] for r in good.collect()) == [1, 4]
+    bad = {r["event_id"]: r["_dq_errors"] for r in quar.collect()}
+    assert bad == {2: "user_id.not_null", 3: "value.non_negative"}
+    assert "_dq_errors" not in good.columns  # good table stays clean
+
+    vg = TxTable(spark, good_p).snapshot().version
+    vq = TxTable(spark, quar_p).snapshot().version
+    drain()  # no new files
+    assert TxTable(spark, good_p).snapshot().version == vg
+    assert TxTable(spark, quar_p).snapshot().version == vq
+
+
 def test_run_merge_stream_upserts_per_batch(spark, tmp_path):
     """foreachBatch MERGE sink: later micro-batches update matching keys
     and insert new ones; final target holds exactly the latest row per
