@@ -587,6 +587,117 @@ def pq_topk(
     )
 
 
+def ann_ivfpq_topk(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    refine: int = 32,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra_cols: tuple[str, ...] = ("label",),
+    sample_size: int = 4096,
+) -> DataFrame:
+    """IVF-PQ — the composed production ANN architecture: coarse IVF
+    lists prune WHICH candidates are scored (~``n_probe/n_clusters`` of
+    the corpus), PQ codes compress WHAT is scored (~32× smaller than
+    raw vectors), and an exact top-``refine`` re-rank restores
+    precision. This is the composition of :func:`ann_ivf_topk` and
+    :func:`pq_topk` (the standard inverted-file product-quantization
+    index): at 100 TB neither trick suffices alone — full-corpus ADC
+    still reads every code, and IVF over raw vectors still ships
+    vectors into the probed lists; together the scan is
+    ``n_probe/n_clusters`` of a 32×-compressed corpus.
+
+    Implementation is deliberately a THIN composition: the probed-list
+    membership filter (an IVF bucket semi-join) runs first, then
+    :func:`pq_topk` scores within the surviving candidates. Codebooks
+    and coarse centroids both train on the same bounded deterministic
+    sample; everything downstream is the two operators' existing
+    Arrow-batched / JVM-HOF machinery.
+
+    Provable hook, composed: at ``n_probe = n_clusters`` AND ``refine``
+    ≥ candidate count the result is ≡ brute force (every candidate is
+    probed AND exactly re-ranked) for any centroids/codebooks — pinned
+    in tests; the sub-linear operating point is recall-pinned.
+    """
+    import numpy as np
+
+    # --- coarse quantizer (same bounded sample protocol as IVF) ---
+    sample = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.array([list(r[1]) for r in sample], dtype=np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    for _ in range(10):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(cent.shape[0]):
+            members = x[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cent[c] = v / np.linalg.norm(v)
+    bc_cent = embeddings.sparkSession.sparkContext.broadcast(cent)
+
+    def assign_buckets(n_top: int, col: str):
+        def fn(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                v = np.stack([np.asarray(e, dtype=np.float64) for e in pdf[col]])
+                v /= np.linalg.norm(v, axis=1, keepdims=True)
+                s = v @ bc_cent.value.T
+                top = np.argsort(-s, axis=1)[:, :n_top]
+                out = pdf.loc[pdf.index.repeat(n_top)].copy()
+                out["bucket"] = top.reshape(-1).astype("int32")
+                yield out
+
+        return fn
+
+    base = embeddings.filter(~query_pred)
+    cand_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in base.schema.fields]
+        + ["bucket INT"]
+    )
+    cand_buckets = base.mapInPandas(assign_buckets(1, vec_col), cand_schema)
+    qdf = embeddings.filter(query_pred)
+    q_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in qdf.schema.fields]
+        + ["bucket INT"]
+    )
+    q_buckets = qdf.mapInPandas(assign_buckets(n_probe, vec_col), q_schema)
+
+    # probed-list pruning: a candidate survives iff its list is probed
+    # by SOME query — at scale this is the bucket semi-join that keeps
+    # (n_probe/n_clusters)·corpus flowing into the PQ stage. (Per-query
+    # pair pruning happens again inside pq_topk's ADC ranking.)
+    probed = cand_buckets.join(
+        F.broadcast(q_buckets.select("bucket").distinct()), "bucket"
+    ).drop("bucket")
+    pruned_corpus = probed.unionByName(qdf)
+    return pq_topk(
+        pruned_corpus,
+        query_pred,
+        k=k,
+        n_subspaces=n_subspaces,
+        n_codes=n_codes,
+        refine=refine,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+        extra_cols=extra_cols,
+        sample_size=sample_size,
+    )
+
+
 def label_centroid_norms(
     embeddings: DataFrame,
     label_col: str = "label",

@@ -114,6 +114,59 @@ def test_pq_partial_refine_recall_and_determinism(spark):
     }
 
 
+def test_ivfpq_full_settings_match_brute_force(spark):
+    """The composed index at n_probe=n_clusters AND refine>=corpus is
+    provably brute force: every candidate's list is probed and every
+    survivor is exactly re-ranked."""
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.similarity import ann_ivfpq_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    pred = F.col("vec_id") < 5
+    exact = {
+        (r["query_id"], r["vec_id"], r["cosine"], r["rk"])
+        for r in cosine_topk(emb, pred, k=3).collect()
+    }
+    full = {
+        (r["query_id"], r["vec_id"], r["cosine"], r["rk"])
+        for r in ann_ivfpq_topk(
+            emb, pred, k=3, n_clusters=8, n_probe=8, refine=1 << 30
+        ).collect()
+    }
+    assert full == exact
+
+
+def test_ivfpq_sublinear_point_recall_and_determinism(spark):
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.similarity import ann_ivfpq_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    pred = F.col("vec_id") < 10
+    exact_sets: dict[int, set[int]] = {}
+    for r in cosine_topk(emb, pred, k=5).collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx = ann_ivfpq_topk(
+        emb, pred, k=5, n_clusters=8, n_probe=4, refine=20
+    )
+    approx_sets: dict[int, set[int]] = {}
+    for r in approx.collect():
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    # both approximations stacked: decent-not-perfect recall, and
+    # fully deterministic under the fixed seed
+    assert sum(recalls) / len(recalls) >= 0.4
+    again = {
+        (r["query_id"], r["vec_id"], r["rk"])
+        for r in ann_ivfpq_topk(
+            emb, pred, k=5, n_clusters=8, n_probe=4, refine=20
+        ).collect()
+    }
+    assert again == {
+        (r["query_id"], r["vec_id"], r["rk"]) for r in approx.collect()
+    }
+
+
 def test_pq_rejects_indivisible_subspaces(spark):
     from real_time_video_streaming_analytics_lakehouse_spark.operators.similarity import pq_topk
 
