@@ -9,7 +9,7 @@ no Python touches the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .util import ensure_parallelism
@@ -226,6 +226,52 @@ def doc_fingerprint(
     return df.select(
         F.col(id_col), fingerprint_col(text_col, size).alias("fingerprint")
     )
+
+
+def filter_by_quantile(
+    df: DataFrame,
+    score_col: str,
+    quantile: float,
+    strata_col: str | None = None,
+    exact: bool = False,
+) -> DataFrame:
+    """Keep rows whose ``score_col`` is at or above the ``quantile``
+    cut of their stratum — the "top (1-q) by quality score" gate every
+    corpus-filtering pipeline runs after scoring (optionally
+    per-language/domain via ``strata_col`` so one stratum's score
+    distribution doesn't starve another).
+
+    Two physical paths:
+
+    * default (``exact=False``): per-stratum thresholds via
+      ``percentile_approx`` — one tiny aggregate broadcast back as an
+      equi-join, so the corpus pass is map-only. This is the 100 TB
+      path; the approximation moves only the cut point (accuracy set
+      by the function's default accuracy parameter), never reorders
+      rows.
+    * ``exact=True``: ``percent_rank`` over a per-stratum window —
+      exact, but sorts each stratum; right for modest corpora and for
+      pinning the approx path in tests.
+    """
+    if not 0.0 <= quantile <= 1.0:
+        raise ValueError(f"quantile must be in [0, 1], got {quantile}")
+    strata = [strata_col] if strata_col else []
+    if exact:
+        w = Window.partitionBy(*strata).orderBy(F.col(score_col))
+        return (
+            df.withColumn("_pr", F.percent_rank().over(w))
+            .filter(F.col("_pr") >= quantile)
+            .drop("_pr")
+        )
+    thr = df.groupBy(*strata).agg(
+        F.percentile_approx(score_col, quantile).alias("_thr")
+    )
+    joined = (
+        df.join(F.broadcast(thr), strata)
+        if strata
+        else df.crossJoin(F.broadcast(thr))
+    )
+    return joined.filter(F.col(score_col) >= F.col("_thr")).drop("_thr")
 
 
 def contaminated_ids(

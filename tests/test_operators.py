@@ -398,3 +398,31 @@ def test_decontamination_real_corpus_self_overlap(spark):
     # at minimum the holdout docs themselves are removed
     assert clean.filter(F.col("doc_id") % 37 == 0).count() == 0
     assert clean.count() <= docs.count() - holdout.count()
+
+
+def test_filter_by_quantile_exact_and_approx(spark):
+    """Quality gating: the exact percent_rank path keeps precisely the
+    top (1-q) of each stratum; the approx (scale) path agrees on data
+    with well-separated scores; both respect stratum boundaries."""
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.text import filter_by_quantile
+    from pyspark.sql import functions as F
+    import pytest
+
+    rows = [(i, "a" if i < 100 else "b", float(i % 100)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id BIGINT, lang STRING, score DOUBLE")
+
+    exact = filter_by_quantile(df, "score", 0.8, strata_col="lang", exact=True)
+    got = {(r["lang"], r["score"]) for r in exact.collect()}
+    # percent_rank >= 0.8 over scores 0..99 keeps scores 80..99 per stratum
+    assert got == {(l, float(s)) for l in ("a", "b") for s in range(80, 100)}
+
+    approx = filter_by_quantile(df, "score", 0.8, strata_col="lang")
+    ga = {(r["lang"], r["score"]) for r in approx.collect()}
+    # approx threshold lands within one integer step of the exact cut
+    kept_a = sorted(s for l, s in ga if l == "a")
+    assert 19 <= len(kept_a) <= 22 and min(kept_a) >= 78.0
+
+    # global (no strata) exact path + validation
+    assert filter_by_quantile(df, "score", 0.0, exact=True).count() == 200
+    with pytest.raises(ValueError):
+        filter_by_quantile(df, "score", 1.5)
