@@ -28,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from real_time_video_streaming_analytics_lakehouse_spark.plans import CATALOG
 from real_time_video_streaming_analytics_lakehouse_spark.session import get_spark
+from real_time_video_streaming_analytics_lakehouse_spark.sources import readers
 
 
 def main() -> None:
@@ -36,10 +37,22 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm-up: JVM, codegen, parquet footer caches.
+    # Warm-up: JVM, codegen, parquet footer caches — AND the Python
+    # worker fleet (the first mapInPandas in a session forks 32 Arrow
+    # workers, a one-time ~2 s cost that otherwise lands on whichever
+    # catalog query alphabetically reaches Python first instead of on
+    # session startup where it belongs; steady-state per-query numbers
+    # are what this bench reports).
     CATALOG["event_type_rank"].fn(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    spark.range(64).repartition(32).mapInPandas(
+        lambda batches: batches, "id LONG"
+    ).write.format("noop").mode("overwrite").save()
+    for warm_table in ("documents", "embeddings"):
+        readers.load_table(spark, sf_dir, warm_table).write.format(
+            "noop"
+        ).mode("overwrite").save()
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}

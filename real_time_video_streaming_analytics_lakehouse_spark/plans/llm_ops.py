@@ -317,7 +317,14 @@ def hash_dedup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (signatures, banding, bucket join, verification); organic
     candidate behavior on unplanted near-dups stays pinned by
     tests/test_operators.py and the oracle-checked exact companion
-    ``ngram_jaccard_top_pairs``."""
+    ``ngram_jaccard_top_pairs``.
+
+    Each family deliberately re-scans + re-tokenizes the corpus: a
+    shared checkpointed token-array projection was tried and REJECTED
+    (measured 3.4 s → 5.4 s warm at sf0.1) — materializing exploded
+    token arrays costs more than the columnar parquet re-scan plus the
+    codegen'd split they would save, at this and any scale where text
+    compresses better than its token array."""
     d = _docs(spark, sf_dir).select("doc_id", "text")
     planted = d.filter(
         (F.col("doc_id") % _PLANT_MOD == 0) & F.col("text").isNotNull()
