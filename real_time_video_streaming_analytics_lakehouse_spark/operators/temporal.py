@@ -1,0 +1,124 @@
+"""Temporal joins: as-of (point-in-time) matching.
+
+:func:`asof_join` attaches to each left row the single most recent
+right row at or before its timestamp, per key — the kdb/pandas
+``merge_asof`` / DuckDB ``ASOF JOIN`` semantics that every event
+pipeline eventually needs (latest price at trade time, latest view
+before purchase, latest config at event time). The reference's closest
+construct is the correlated interval join of its attribution view
+(``sql-scripts/analytics_views.sql`` V_PURCHASE_ATTRIBUTION), which
+answers only EXISTENCE; as-of answers WHICH row, with a bounded plan.
+
+Scale shape — why not a range join: the naive formulation
+``l JOIN r ON key AND r.ts <= l.ts [AND r.ts > l.ts - tol]`` explodes
+to one row per (left, candidate) pair before aggregating the max — at
+100 TB a skewed key's candidate set is quadratic in its event count.
+This implementation is the union-merge formulation instead:
+
+1. union left and right rows into one (key, ts, side) stream,
+2. one window per key ordered by (ts, side) — a single hash-partition
+   SHUFFLE on the join key, the only wide stage,
+3. ``last(<right payload>, ignorenulls=True)`` over the unbounded
+   preceding frame hands every left row the latest right row in O(1)
+   per row — linear in the partition, no candidate blow-up,
+4. filter back to left rows; tolerance is a post-filter on the matched
+   timestamp (nulling the payload, preserving the left row).
+
+Determinism: multiple right rows sharing one (key, ts) are ordered by
+``tiebreak`` (the LAST one wins, matching keep-latest semantics); pass
+an id-like column whenever right timestamps can tie, otherwise the
+winner is partition-order-dependent — same contract as
+``dedup_keep_latest``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.dialect import epoch_us
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tolerance_us: int | None = None,
+    allow_exact_matches: bool = True,
+    tiebreak: str | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Left as-of join: every left row, plus the latest right row with
+    ``right_ts <= left_ts`` (strict ``<`` when ``allow_exact_matches``
+    is False) for the same ``on`` key — or NULLs when no right row
+    qualifies (within ``tolerance_us`` microseconds, if given).
+
+    Right columns keep their names; a name also present on the left
+    gains ``suffix``. ``right_ts`` must not be a join key (the matched
+    timestamp is part of the payload — tolerance and callers need it).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_ts in keys:
+        raise ValueError(f"right_ts {right_ts!r} cannot be a join key")
+    payload = [c for c in right.columns if c not in keys]
+    out_names = {c: (c + suffix if c in left.columns else c) for c in payload}
+
+    rstruct = F.struct(*[F.col(c) for c in payload])
+    rtype = right.select(rstruct.alias("_r")).schema["_r"].dataType
+    non_key_left = [c for c in left.columns if c not in keys]
+
+    # side 0 = right, side 1 = left: at equal ts the right row sorts
+    # FIRST, so the unbounded-preceding frame (which includes the
+    # current row's predecessors and itself) sees it — that is
+    # allow_exact_matches=True. Exclusive matching flips the order so
+    # the equal-ts right row lands after the left row, outside its
+    # frame. The tiebreak orders equal-(ts, side) right rows so "last
+    # non-null" is well-defined; it is NULL on left rows (asc_nulls_last
+    # keeps them after every tied right row without affecting sides —
+    # side already separates them).
+    r_exact_side, l_exact_side = (0, 1) if allow_exact_matches else (1, 0)
+    r_side = right.select(
+        *keys,
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in non_key_left
+        ],
+        F.col(right_ts).alias("_ts"),
+        F.lit(r_exact_side).alias("_side"),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("_tb"),
+        rstruct.alias("_r"),
+    )
+    l_side = left.select(
+        *keys,
+        *non_key_left,
+        F.col(left_ts).alias("_ts"),
+        F.lit(l_exact_side).alias("_side"),
+        F.lit(None).cast(r_side.schema["_tb"].dataType).alias("_tb"),
+        F.lit(None).cast(rtype).alias("_r"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(
+            F.col("_ts").asc(), F.col("_side").asc(),
+            F.col("_tb").asc_nulls_last(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        r_side.unionByName(l_side)
+        .withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+        .filter(F.col("_side") == l_exact_side)
+    )
+    m = F.col("_m")
+    if tolerance_us is not None:
+        # epoch_us, not bare unix_micros: TIMESTAMP_NTZ inputs (parquet
+        # NTZ columns) need the UTC-pinned cast the dialect helper does.
+        gap = epoch_us(F.col("_ts")) - epoch_us(m.getField(right_ts))
+        m = F.when(gap <= F.lit(tolerance_us), m)
+    return matched.select(
+        *keys,
+        *non_key_left,
+        *[m.getField(c).alias(out_names[c]) for c in payload],
+    )

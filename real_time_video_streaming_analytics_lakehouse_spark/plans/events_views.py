@@ -502,8 +502,20 @@ DEVICE_PLATFORM_QUALITY_SQL = (
 # purchase counts split by whether a same-user view preceded the
 # purchase within 30 minutes. The attribution set uses a LEFT SEMI join
 # (EXISTS) so multi-view purchases are not double-counted.
+#
+# Round 5 adds the AS-OF arm (operators/temporal.py::asof_join): each
+# purchase is matched to the single LATEST preceding view (union-merge
+# + one per-key window — no range-join candidate blow-up), and
+# ``asof_gap_us_total`` sums the view→purchase microsecond gaps of
+# purchases whose latest view is within the 30-minute window. A
+# purchase is attributed (EXISTS arm) iff its latest preceding view is
+# within the window, so both arms agree on WHICH purchases count while
+# the gap totals pin WHICH view the as-of join picked — exact integer
+# arithmetic, oracled against DuckDB's native ASOF JOIN.
 
 def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import asof_join
+
     e = _events(spark, sf_dir)
     p = e.filter(F.col("event_type") == "purchase").select(
         "user_id", "event_id", "ts", "value"
@@ -525,16 +537,39 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("attributed_purchases"),
         money_sum(F.col("value"), 2).alias("attributed_value"),
     )
-    return totals.join(attr, "user_id", "left_outer").select(
-        "user_id",
-        "purchases",
-        "total_value",
-        F.coalesce(F.col("attributed_purchases"), F.lit(0)).alias(
-            "attributed_purchases"
+    latest_view = asof_join(
+        p.select("user_id", "ts"),
+        e.filter(F.col("event_type") == "view").select(
+            "user_id", F.col("ts").alias("view_ts")
         ),
-        F.coalesce(F.col("attributed_value"), F.lit(0.0)).alias(
-            "attributed_value"
-        ),
+        on="user_id",
+        left_ts="ts",
+        right_ts="view_ts",
+        tolerance_us=1_800_000_000,
+    )
+    gap_us = epoch_us(F.col("ts")) - epoch_us(F.col("view_ts"))
+    asof_attr = (
+        latest_view.filter(F.col("view_ts").isNotNull())
+        .groupBy("user_id")
+        .agg(F.sum(gap_us).alias("asof_gap_us_total"))
+    )
+    return (
+        totals.join(attr, "user_id", "left_outer")
+        .join(asof_attr, "user_id", "left_outer")
+        .select(
+            "user_id",
+            "purchases",
+            "total_value",
+            F.coalesce(F.col("attributed_purchases"), F.lit(0)).alias(
+                "attributed_purchases"
+            ),
+            F.coalesce(F.col("attributed_value"), F.lit(0.0)).alias(
+                "attributed_value"
+            ),
+            F.coalesce(
+                F.col("asof_gap_us_total"), F.lit(0).cast("long")
+            ).alias("asof_gap_us_total"),
+        )
     )
 
 
@@ -555,11 +590,27 @@ totals AS (
 attr AS (
   SELECT user_id, COUNT(*) AS attributed_purchases,
          CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS attributed_value
-  FROM a GROUP BY 1)
+  FROM a GROUP BY 1),
+latest_view AS (
+  SELECT p.user_id, p.ts, v.view_ts
+  FROM p ASOF LEFT JOIN (
+    SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view') v
+    ON p.user_id = v.user_id AND v.view_ts <= p.ts),
+asof_attr AS (
+  SELECT user_id,
+         CAST(SUM(epoch_us(ts) - epoch_us(view_ts)) AS BIGINT)
+           AS asof_gap_us_total
+  FROM latest_view
+  WHERE view_ts IS NOT NULL
+    AND epoch_us(ts) - epoch_us(view_ts) <= 1800000000
+  GROUP BY 1)
 SELECT totals.user_id, purchases, total_value,
        COALESCE(attributed_purchases, 0) AS attributed_purchases,
-       COALESCE(attributed_value, 0.0) AS attributed_value
-FROM totals LEFT JOIN attr ON totals.user_id = attr.user_id
+       COALESCE(attributed_value, 0.0) AS attributed_value,
+       COALESCE(asof_attr.asof_gap_us_total, 0) AS asof_gap_us_total
+FROM totals
+LEFT JOIN attr ON totals.user_id = attr.user_id
+LEFT JOIN asof_attr ON totals.user_id = asof_attr.user_id
 """
 
 

@@ -1,0 +1,174 @@
+"""As-of join: point-in-time matching semantics + plan shape.
+
+Covers the contract matrix of operators/temporal.py::asof_join —
+backward latest-match, exact-tie inclusion/exclusion, tolerance
+nulling, no-candidate NULLs, key isolation, name collisions, tie
+determinism — and pins the union-window plan (ONE shuffle, no range
+join) that makes it survive 100 TB.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_video_streaming_analytics_lakehouse_spark.operators.temporal import asof_join
+
+
+def _ts(minute, second=0):
+    # naive UTC: the test session pins spark.sql.session.timeZone=UTC,
+    # and collect() hands back naive datetimes in session time
+    return dt.datetime(2024, 3, 1, 10, minute, second)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts(10), "p1"),
+            (1, _ts(30), "p2"),
+            (1, _ts(5), "p0"),   # before any right row
+            (2, _ts(20), "p3"),  # key with no right rows at all
+        ],
+        "user_id INT, ts TIMESTAMP, pid STRING",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts(8), "v1"),
+            (1, _ts(10), "v2"),   # exactly at p1's ts
+            (1, _ts(29), "v3"),
+            (3, _ts(9), "vx"),    # key absent from left
+        ],
+        "user_id INT, ts TIMESTAMP, vid STRING",
+    )
+    return left, right
+
+
+def _rows(df):
+    return {
+        r["pid"]: (r["vid"], r["ts_right"])
+        for r in df.collect()
+    }
+
+
+def test_backward_latest_match_with_exact_ties(spark, frames):
+    left, right = frames
+    out = asof_join(left, right, on="user_id")
+    assert set(out.columns) == {"user_id", "ts", "pid", "ts_right", "vid"}
+    got = _rows(out)
+    assert got["p1"] == ("v2", _ts(10))   # exact tie included
+    assert got["p2"] == ("v3", _ts(29))   # latest preceding, not v1/v2
+    assert got["p0"] == (None, None)      # nothing at or before
+    assert got["p3"] == (None, None)      # key has no right rows
+
+
+def test_exclusive_matching_skips_equal_timestamps(spark, frames):
+    left, right = frames
+    got = _rows(
+        asof_join(left, right, on="user_id", allow_exact_matches=False)
+    )
+    assert got["p1"] == ("v1", _ts(8))    # v2 (== ts) now excluded
+    assert got["p2"] == ("v3", _ts(29))
+
+
+def test_tolerance_nulls_stale_matches_but_keeps_left_rows(spark, frames):
+    left, right = frames
+    out = asof_join(
+        left, right, on="user_id", tolerance_us=60 * 1_000_000
+    )
+    got = _rows(out)
+    assert got["p1"] == ("v2", _ts(10))   # gap 0 <= 60s
+    assert got["p2"] == ("v3", _ts(29))   # gap 60s, boundary inclusive
+    assert got["p0"] == (None, None)
+    assert out.count() == 4               # every left row survives
+
+
+def test_right_only_keys_do_not_leak(spark, frames):
+    left, right = frames
+    out = asof_join(left, right, on="user_id")
+    assert out.filter(F.col("user_id") == 3).count() == 0
+
+
+def test_tiebreak_picks_last_by_column(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), "p")], "k INT, ts TIMESTAMP, pid STRING"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(9), "a"), (1, _ts(9), "b"), (1, _ts(9), "c")],
+        "k INT, ts TIMESTAMP, vid STRING",
+    )
+    for _ in range(3):
+        got = asof_join(
+            left, right, on="k", tiebreak="vid"
+        ).collect()[0]["vid"]
+        assert got == "c"  # last in tiebreak order wins, every run
+
+
+def test_matches_merge_asof_reference(spark):
+    """Property check against pandas.merge_asof on a seeded random
+    frame — same keys, same backward semantics, same tolerance."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    base = dt.datetime(2024, 3, 1)
+    lpd = pd.DataFrame(
+        {
+            "k": rng.randint(0, 5, 200),
+            "ts": [
+                base + dt.timedelta(seconds=int(s))
+                for s in np.sort(rng.randint(0, 10_000, 200))
+            ],
+            "lid": np.arange(200),
+        }
+    )
+    rpd = pd.DataFrame(
+        {
+            "k": rng.randint(0, 5, 300),
+            "ts": [
+                base + dt.timedelta(seconds=int(s))
+                for s in np.sort(rng.randint(0, 10_000, 300))
+            ],
+            "rid": np.arange(300),
+        }
+    )
+    # drop duplicate (k, ts) on the right: merge_asof keeps the last
+    # row per timestamp, which is only well-defined with unique ts
+    rpd = rpd.drop_duplicates(["k", "ts"], keep="last")
+    expected = pd.merge_asof(
+        lpd.sort_values("ts"),
+        rpd.sort_values("ts"),
+        on="ts",
+        by="k",
+        tolerance=pd.Timedelta(seconds=600),
+        suffixes=("", "_right"),
+    )
+    out = asof_join(
+        spark.createDataFrame(lpd),
+        spark.createDataFrame(rpd),
+        on="k",
+        tolerance_us=600 * 1_000_000,
+    ).toPandas()
+    merged = expected.merge(
+        out[["lid", "rid"]], on="lid", suffixes=("_pd", "_spark")
+    )
+    assert len(merged) == 200
+    pd.testing.assert_series_equal(
+        merged["rid_pd"], merged["rid_spark"],
+        check_names=False, check_dtype=False,
+    )
+
+
+def test_plan_has_one_shuffle_and_no_range_join(spark, frames):
+    left, right = frames
+    plan = asof_join(
+        left, right, on="user_id"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # union-window, not a join at all
+    # exactly one exchange partitions by the key for the window
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
