@@ -1,4 +1,7 @@
-"""Temporal joins: as-of (point-in-time) matching.
+"""Temporal joins: as-of (point-in-time) matching and binned interval
+overlap joins — the two join classes Spark's optimizer has no operator
+for (it falls back to BroadcastNestedLoopJoin or a per-key candidate
+explosion; both rewrites here are linear equi-join/window plans).
 
 :func:`asof_join` attaches to each left row the single most recent
 right row at or before its timestamp, per key — the kdb/pandas
@@ -36,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.dialect import epoch_us
+from ..functions.dialect import epoch_us, floor_div
 
 
 def asof_join(
@@ -121,4 +124,91 @@ def asof_join(
         *keys,
         *non_key_left,
         *[m.getField(c).alias(out_names[c]) for c in payload],
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    on: str | list[str] | None = None,
+    bin_width_us: int = 3_600_000_000,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Inner overlap join: one row per (left, right) pair whose
+    ``[start, end]`` intervals intersect (closed on both ends), with an
+    optional equality key.
+
+    Spark has no range-join operator: without an equi-key the optimizer
+    falls back to BroadcastNestedLoopJoin — a full cross product with a
+    post-filter, quadratic at any real scale; with a low-cardinality
+    key it is the same blow-up inside each key. This is the standard
+    bin-replication rewrite instead:
+
+    1. each interval is exploded into the time bins it touches
+       (``floor(start/w) .. floor(end/w)``),
+    2. the join is a plain EQUI-join on (bin, key...) — hash shuffle,
+       AQE-broadcastable, skew-splittable like any other equi-join,
+    3. the exact overlap predicate filters in the same stage, and
+    4. each surviving pair is kept at ONE canonical bin — the bin
+       containing ``greatest(left_start, right_start)`` (the overlap's
+       start) — so multi-bin overlaps emit no duplicates WITHOUT a
+       dropDuplicates shuffle.
+
+    ``bin_width_us`` trades replication for selectivity: each row is
+    copied ``duration/bin_width + 1`` times, while a bin only pairs
+    rows within ``bin_width`` of each other — set it near the typical
+    interval length (default 1 h). Replication factor is bounded and
+    linear; there is no quadratic stage at any key distribution.
+
+    Right columns keep their names; collisions with left names gain
+    ``suffix``.
+    """
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    out_names = {
+        c: (c + suffix if c in left.columns else c)
+        for c in right.columns
+        if c not in keys
+    }
+
+    def binned(df: DataFrame, start: str, end: str, tag: str) -> DataFrame:
+        s_us, e_us = epoch_us(F.col(start)), epoch_us(F.col(end))
+        cols = [
+            F.col(c).alias(f"{tag}{c}") for c in df.columns if c not in keys
+        ]
+        return df.select(
+            *keys,
+            *cols,
+            F.explode(
+                F.sequence(floor_div(s_us, bin_width_us),
+                           floor_div(e_us, bin_width_us))
+            ).alias("_bin"),
+            s_us.alias(f"{tag}s_us"),
+            e_us.alias(f"{tag}e_us"),
+        )
+
+    l = binned(left, left_start, left_end, "_l_")
+    r = binned(right, right_start, right_end, "_r_")
+    ls, le = F.col("_l_s_us"), F.col("_l_e_us")
+    rs, re_ = F.col("_r_s_us"), F.col("_r_e_us")
+    overlap = (ls <= re_) & (rs <= le)
+    canonical = floor_div(F.greatest(ls, rs), bin_width_us) == F.col("_bin")
+    # (bin, keys) equi-join; overlap + canonical-bin filters ride the
+    # same stage, so no post-join dedup pass is needed.
+    joined = l.join(r, ["_bin", *keys]).filter(overlap & canonical)
+    return joined.select(
+        *keys,
+        *[
+            F.col(f"_l_{c}").alias(c)
+            for c in left.columns
+            if c not in keys
+        ],
+        *[
+            F.col(f"_r_{c}").alias(out_names[c])
+            for c in right.columns
+            if c not in keys
+        ],
     )

@@ -172,3 +172,114 @@ def test_plan_has_one_shuffle_and_no_range_join(spark, frames):
     # exactly one exchange partitions by the key for the window
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, plan
+
+
+# --- interval_join ---------------------------------------------------------
+
+def _random_intervals(spark, n, max_dur_sec, seed, tag, keys=3):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for i in range(n):
+        s = int(rng.randint(0, 20_000))
+        d = int(rng.randint(0, max_dur_sec))
+        rows.append(
+            (
+                int(rng.randint(0, keys)),
+                base + dt.timedelta(seconds=s),
+                base + dt.timedelta(seconds=s + d),
+                f"{tag}{i}",
+            )
+        )
+    return spark.createDataFrame(
+        rows, "k INT, start TIMESTAMP, fin TIMESTAMP, rid STRING"
+    )
+
+
+def _brute_pairs(left, right, keyed):
+    cond = (
+        (left.start <= right.fin2) & (right.start2 <= left.fin)
+    )
+    if keyed:
+        cond = cond & (left.k == right.k2)
+    return {
+        (r["rid"], r["rid2"])
+        for r in left.join(
+            right, cond, "inner"
+        ).select(left.rid, right.rid2).collect()
+    }
+
+
+@pytest.mark.parametrize("bin_sec", [60, 600, 7200])
+def test_interval_join_matches_brute_force_any_bin_width(spark, bin_sec):
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.temporal import interval_join
+
+    left = _random_intervals(spark, 120, 1800, 11, "L")
+    right = (
+        _random_intervals(spark, 150, 1800, 22, "R")
+        .withColumnRenamed("rid", "rid2")
+        .withColumnRenamed("start", "start2")
+        .withColumnRenamed("fin", "fin2")
+        .withColumnRenamed("k", "k2")
+    )
+    expected = _brute_pairs(left, right, keyed=False)
+    out = interval_join(
+        left,
+        right.withColumnRenamed("start2", "start").withColumnRenamed(
+            "fin2", "fin"
+        ).withColumnRenamed("k2", "k").withColumnRenamed("rid2", "rid"),
+        "start", "fin", "start", "fin",
+        bin_width_us=bin_sec * 1_000_000,
+    )
+    got = [
+        (r["rid"], r["rid_right"])
+        for r in out.select("rid", "rid_right").collect()
+    ]
+    assert len(got) == len(set(got)), "duplicate pairs emitted"
+    assert set(got) == expected
+
+
+def test_interval_join_with_equality_key(spark):
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.temporal import interval_join
+
+    left = _random_intervals(spark, 100, 3600, 33, "L")
+    right_rn = (
+        _random_intervals(spark, 100, 3600, 44, "R")
+        .withColumnRenamed("rid", "rid2")
+        .withColumnRenamed("start", "start2")
+        .withColumnRenamed("fin", "fin2")
+        .withColumnRenamed("k", "k2")
+    )
+    expected = _brute_pairs(left, right_rn, keyed=True)
+    out = interval_join(
+        left,
+        right_rn.withColumnRenamed("start2", "start")
+        .withColumnRenamed("fin2", "fin")
+        .withColumnRenamed("k2", "k")
+        .withColumnRenamed("rid2", "rid"),
+        "start", "fin", "start", "fin",
+        on="k",
+        bin_width_us=600 * 1_000_000,
+    )
+    got = {
+        (r["rid"], r["rid_right"])
+        for r in out.select("rid", "rid_right").collect()
+    }
+    assert got == expected
+
+
+def test_interval_join_plan_is_equi_join_not_nlj(spark):
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.temporal import interval_join
+
+    left = _random_intervals(spark, 50, 1800, 55, "L")
+    right = _random_intervals(spark, 50, 1800, 66, "R")
+    plan = interval_join(
+        left, right, "start", "fin", "start", "fin",
+        bin_width_us=600 * 1_000_000,
+    )._jdf.queryExecution().executedPlan().toString()
+    # keyless overlap join: naive Spark gives BroadcastNestedLoopJoin;
+    # the bin rewrite must be a hash/sort-merge EQUI join on _bin
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
