@@ -759,3 +759,62 @@ def test_bronze_to_silver_chain_on_native_log(spark, tmp_path):
     # idle drain: no new bronze commits -> no new silver versions
     drain()
     assert s.snapshot().version == v2
+
+
+def test_streaming_asof_enrichment_matches_batch(spark, tmp_path):
+    """Temporal-table enrichment (the Flink temporal-join pattern on
+    micro-batches): each event picks up the latest dimension row at or
+    before its event time via asof_join inside foreachBatch. As-of
+    matching is per-row against a static snapshot, so WHICH micro-batch
+    an event arrives in cannot change its result — drained one file per
+    trigger, the union of batch outputs must equal the one-shot batch
+    join."""
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.temporal import asof_join
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    dim_rows = [
+        Row(user_id=1, ts=t - dt.timedelta(hours=2), plan="free"),
+        Row(user_id=1, ts=t + dt.timedelta(minutes=15), plan="pro"),
+        Row(user_id=2, ts=t - dt.timedelta(hours=1), plan="team"),
+    ]
+    dim = spark.createDataFrame(dim_rows).withColumnRenamed("ts", "valid_from")
+    # two source files → two micro-batches with maxFilesPerTrigger=1
+    ev_a = [Row(event_id=1, ts=t, user_id=1, event_type="view", value=1.0),
+            Row(event_id=2, ts=t + dt.timedelta(minutes=30), user_id=1,
+                event_type="view", value=2.0)]
+    ev_b = [Row(event_id=3, ts=t, user_id=2, event_type="view", value=3.0),
+            Row(event_id=4, ts=t, user_id=3, event_type="view", value=4.0)]
+    src_dir = str(tmp_path / "ev_src")
+    spark.createDataFrame(ev_a).coalesce(1).write.mode("append").parquet(src_dir)
+    spark.createDataFrame(ev_b).coalesce(1).write.mode("append").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    events = spark.read.parquet(src_dir)
+
+    expected = {
+        (r["event_id"], r["plan"])
+        for r in asof_join(
+            events, dim, on="user_id", left_ts="ts", right_ts="valid_from"
+        ).collect()
+    }
+    assert expected == {(1, "free"), (2, "pro"), (3, "team"), (4, None)}
+
+    out_dir = str(tmp_path / "enriched")
+
+    def enrich(batch_df, batch_id):
+        asof_join(
+            batch_df, dim, on="user_id", left_ts="ts",
+            right_ts="valid_from",
+        ).write.mode("append").parquet(out_dir)
+
+    src = stream_events_from_files(
+        spark, src_dir, schema, max_files_per_trigger=1
+    )
+    q = (src.writeStream.foreachBatch(enrich)
+         .option("checkpointLocation", f"{tmp_path}/enrich_ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {
+        (r["event_id"], r["plan"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == expected
