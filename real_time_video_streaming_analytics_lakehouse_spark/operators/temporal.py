@@ -127,6 +127,57 @@ def asof_join(
     )
 
 
+def scd2_from_history(
+    history: DataFrame,
+    keys: str | list[str],
+    order_col: str,
+    attr_cols: list[str],
+    collapse_unchanged: bool = True,
+) -> DataFrame:
+    """Build a slowly-changing-dimension Type 2 table from a per-key
+    change history: one validity interval per attribute version.
+
+    ``history`` has one row per observed key state (a CDF's ``insert`` /
+    ``update_postimage`` rows — see :meth:`..txlog.TxTable.read_changes`
+    — or any event-sourced attribute log). Output: ``keys``,
+    ``attr_cols``, ``valid_from`` (= ``order_col``), ``valid_to`` (the
+    next version's ``valid_from``, NULL for the current row) and
+    ``is_current`` (1/0 INT). Intervals partition each key's timeline:
+    enriching facts against the result with :func:`asof_join` on
+    ``valid_from`` is exactly a point-in-time lookup.
+
+    ``collapse_unchanged`` drops rows whose attributes equal the
+    previous version's (re-asserted unchanged state — e.g. an upsert
+    that matched but changed nothing), so intervals describe attribute
+    CHANGES, not write traffic. Comparison is null-safe via struct
+    equality.
+
+    Scale shape: two windows over the same (key, order) partitioning —
+    ONE shuffle (the second window reuses the first's partitioning and
+    sort), no joins, linear per key. The classic MERGE-based SCD2
+    maintenance loop rewrites the dimension per batch; this derives the
+    whole dimension from the change feed in one pass and composes with
+    incremental CDF reads for maintenance.
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    w = Window.partitionBy(*key_list).orderBy(F.col(order_col).asc())
+    out = history.select(*key_list, F.col(order_col), *attr_cols)
+    if collapse_unchanged:
+        state = F.struct(*[F.col(c) for c in attr_cols])
+        # eqNullSafe: NULL attrs must compare equal to NULL, and the
+        # first row per key (lag = NULL struct) must be KEPT
+        changed = ~state.eqNullSafe(F.lag(state).over(w))
+        out = out.withColumn("_chg", changed).filter("_chg").drop("_chg")
+    nxt = F.lead(order_col).over(w)
+    return out.select(
+        *key_list,
+        *attr_cols,
+        F.col(order_col).alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().cast("int").alias("is_current"),
+    )
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,

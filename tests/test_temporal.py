@@ -283,3 +283,122 @@ def test_interval_join_plan_is_equi_join_not_nlj(spark):
     # the bin rewrite must be a hash/sort-merge EQUI join on _bin
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --- scd2_from_history -----------------------------------------------------
+
+def test_scd2_intervals_partition_timeline_and_collapse(spark):
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.temporal import scd2_from_history
+
+    hist = spark.createDataFrame(
+        [
+            (1, _ts(0), "free", None),
+            (1, _ts(10), "free", None),    # re-asserted, no change
+            (1, _ts(20), "pro", "card"),
+            (1, _ts(30), "pro", "card"),   # re-asserted again
+            (1, _ts(40), "pro", None),     # attr → NULL is a change
+            (2, _ts(5), "team", "invoice"),
+        ],
+        "user_id INT, ts TIMESTAMP, plan STRING, pay STRING",
+    )
+    out = scd2_from_history(
+        hist, keys="user_id", order_col="ts", attr_cols=["plan", "pay"]
+    )
+    rows = sorted(
+        out.collect(), key=lambda r: (r["user_id"], r["valid_from"])
+    )
+    as_tuples = [
+        (r["user_id"], r["plan"], r["pay"], r["valid_from"],
+         r["valid_to"], r["is_current"])
+        for r in rows
+    ]
+    assert as_tuples == [
+        (1, "free", None, _ts(0), _ts(20), 0),
+        (1, "pro", "card", _ts(20), _ts(40), 0),
+        (1, "pro", None, _ts(40), None, 1),
+        (2, "team", "invoice", _ts(5), None, 1),
+    ]
+    # intervals partition each key's timeline: valid_to chains to the
+    # next valid_from, exactly one current row per key
+    assert sum(r["is_current"] for r in rows) == 2
+
+
+def test_scd2_without_collapse_keeps_every_version(spark):
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.temporal import scd2_from_history
+
+    hist = spark.createDataFrame(
+        [(1, _ts(0), "a"), (1, _ts(10), "a")],
+        "k INT, ts TIMESTAMP, v STRING",
+    )
+    out = scd2_from_history(
+        hist, "k", "ts", ["v"], collapse_unchanged=False
+    )
+    assert out.count() == 2
+
+
+def test_scd2_asof_enrichment_is_point_in_time_lookup(spark):
+    """The composition contract: asof_join(facts, scd2, on=key,
+    right_ts=valid_from) lands every fact in the interval covering its
+    timestamp — SCD2 + as-of IS the point-in-time lookup."""
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.temporal import (
+        asof_join,
+        scd2_from_history,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, _ts(0), "free"), (1, _ts(20), "pro")],
+        "user_id INT, ts TIMESTAMP, plan STRING",
+    )
+    dim = scd2_from_history(hist, "user_id", "ts", ["plan"])
+    facts = spark.createDataFrame(
+        [(1, _ts(5), "f1"), (1, _ts(20), "f2"), (1, _ts(25), "f3")],
+        "user_id INT, ts TIMESTAMP, fid STRING",
+    )
+    got = {
+        (r["fid"], r["plan"])
+        for r in asof_join(
+            facts, dim, on="user_id", left_ts="ts", right_ts="valid_from"
+        ).collect()
+    }
+    assert got == {("f1", "free"), ("f2", "pro"), ("f3", "pro")}
+    # every match's interval truly covers the fact timestamp
+    covered = asof_join(
+        facts, dim, on="user_id", left_ts="ts", right_ts="valid_from"
+    ).filter(
+        F.col("valid_to").isNotNull() & (F.col("ts") >= F.col("valid_to"))
+    )
+    assert covered.count() == 0
+
+
+def test_scd2_from_native_change_feed(spark, tmp_path):
+    """E2E over the engine's own CDF: merges into a TxTable produce
+    insert/update_postimage change rows; scd2_from_history over them
+    yields one validity interval per attribute version, ordered by
+    commit version."""
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.temporal import scd2_from_history
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.txlog import TxTable
+
+    from pyspark.sql.types import StructType
+
+    ddl = "id INT, plan STRING"
+    t = TxTable.create(spark, str(tmp_path / "dim"), StructType.fromDDL(ddl))
+    t.write(spark.createDataFrame([(1, "free"), (2, "team")], ddl))
+    t.merge(spark.createDataFrame([(1, "pro")], ddl), keys=["id"])
+    t.merge(spark.createDataFrame([(1, "max"), (3, "free")], ddl),
+            keys=["id"])
+    changes = t.change_feed(from_version=0).filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    )
+    dim = scd2_from_history(
+        changes, keys="id", order_col="_commit_version",
+        attr_cols=["plan"],
+    )
+    got = {
+        (r["id"], r["plan"], r["valid_from"], r["is_current"])
+        for r in dim.collect()
+    }
+    rows = sorted(got, key=lambda r: (r[0], r[2]))
+    assert [(i, p, c) for i, p, _, c in rows] == [
+        (1, "free", 0), (1, "pro", 0), (1, "max", 1),
+        (2, "team", 1), (3, "free", 1),
+    ]
