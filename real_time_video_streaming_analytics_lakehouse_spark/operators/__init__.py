@@ -2,19 +2,23 @@ from .dedup import dedup_keep_latest, exact_dedup_groups, minhash_lsh_candidates
 from .merge import merge_upsert
 from .quality import dq_summary
 from .sessionize import gap_sessionize
+from .temporal import asof_join, interval_join, scd2_from_history
 from .similarity import cosine_topk, label_centroid_norms
 from .text import add_text_features, doc_fingerprint, shingles
 
 __all__ = [
     "add_text_features",
+    "asof_join",
     "cosine_topk",
     "dedup_keep_latest",
     "doc_fingerprint",
     "dq_summary",
     "exact_dedup_groups",
     "gap_sessionize",
+    "interval_join",
     "label_centroid_norms",
     "merge_upsert",
     "minhash_lsh_candidates",
+    "scd2_from_history",
     "shingles",
 ]
