@@ -93,3 +93,102 @@ def combine_sketch_tables(
         )
         .drop("_old", "_new")
     )
+
+
+# --- count-min sketch (frequency / heavy-hitter counterpart) --------------
+
+def _cms_bucket(value_col: str, row: int, width: int, seed: int):
+    # independent row hash via per-row seed; pmod keeps buckets >= 0
+    return F.pmod(F.xxhash64(F.lit(seed + row), value_col), F.lit(width))
+
+
+def cms_build(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    depth: int = 5,
+    width: int = 2048,
+    seed: int = 0x5EED,
+) -> DataFrame:
+    """Count-min sketch per key group over ``value_col``, as a TABLE:
+    one row per (keys, hash row ``_d``, bucket ``_b``) with the exact
+    collision count ``cnt`` — ≤ ``depth×width`` rows per group however
+    many distinct values the group holds, which is the entire point
+    (a frequency table over a high-cardinality column at 100 TB cannot
+    be kept exact; ~10k sketch rows per group can).
+
+    Tabular instead of an opaque binary deliberately: the build is one
+    explode + one map-side-combinable count aggregate (JVM built-ins,
+    no UDF), merging is ``groupBy.sum`` (exact integer addition — CMS
+    is linear, so a merged table is ROW-IDENTICAL to rebuilding over
+    the concatenated input, pinned by test), and estimates are plain
+    equi-joins — every piece stays inside Catalyst, unlike Spark's
+    ``count_min_sketch`` binary which has no union builtin at all.
+
+    Standard CMS guarantees apply: estimates never undercount, and
+    overcount by more than ``e·N/width`` with probability at most
+    ``e^-depth`` (N = group row count).
+    """
+    rows = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(d).alias("_d"),
+                _cms_bucket(value_col, d, width, seed).alias("_b"),
+            )
+            for d in range(depth)
+        ])
+    ).alias("_rb")
+    return (
+        df.select(*keys, rows)
+        .select(*keys, "_rb._d", "_rb._b")
+        .groupBy(*keys, "_d", "_b")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge two sketch tables built with the SAME (depth, width,
+    seed): union + sum — associative and commutative; counter addition
+    makes the result exactly the sketch of the concatenated inputs."""
+    return (
+        a.unionByName(b)
+        .groupBy(*keys, "_d", "_b")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    keys: list[str],
+    value_col: str,
+    depth: int = 5,
+    width: int = 2048,
+    seed: int = 0x5EED,
+    estimate_col: str = "freq_est",
+) -> DataFrame:
+    """Frequency estimate for each (keys, value) row of ``items``:
+    min over the ``depth`` matched buckets, 0 when a bucket row is
+    absent (absent bucket = nothing ever hashed there). The sketch side
+    is ≤ depth×width rows per group — broadcastable; the probe is
+    ``depth`` equi-join rows per item, no wide stage beyond the final
+    per-item min."""
+    probes = items.select(
+        *keys,
+        F.col(value_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("_d"),
+                    _cms_bucket(value_col, d, width, seed).alias("_b"),
+                )
+                for d in range(depth)
+            ])
+        ).alias("_rb"),
+    ).select(*keys, value_col, "_rb._d", "_rb._b")
+    return (
+        probes.join(sketch, [*keys, "_d", "_b"], "left_outer")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+        .groupBy(*keys, value_col)
+        .agg(F.min("cnt").alias(estimate_col))
+    )

@@ -167,3 +167,72 @@ def test_redelivery_is_idempotent(spark, events):
         ).collect()
     }
     assert est_once == est_base
+
+
+# --- count-min sketch ------------------------------------------------------
+
+def test_cms_never_undercounts_and_bounds_overcount(spark, events):
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    width, depth = 1024, 5
+    e = events.select(F.lit(1).alias("g"), F.col("user_id"))
+    sketch = cms_build(e, ["g"], "user_id", depth=depth, width=width)
+    exact = e.groupBy("g", "user_id").agg(F.count("*").alias("true_cnt"))
+    est = cms_estimate(
+        sketch, exact.select("g", "user_id"), ["g"], "user_id",
+        depth=depth, width=width,
+    )
+    joined = exact.join(est, ["g", "user_id"]).collect()
+    n = e.count()
+    assert len(joined) > 0
+    bound = 2.72 * n / width  # e*N/width, the CMS tail bound
+    for r in joined:
+        assert r["freq_est"] >= r["true_cnt"], "CMS must never undercount"
+        assert r["freq_est"] - r["true_cnt"] <= bound
+
+
+def test_cms_merge_is_row_identical_to_rebuild(spark, events):
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.sketches import (
+        cms_build,
+        cms_merge,
+    )
+
+    e = events.select(
+        F.to_date("ts").alias("day"), F.col("user_id")
+    ).withColumn("g", F.lit(1))
+    days = sorted(r["day"] for r in e.select("day").distinct().collect())
+    split = days[len(days) // 2]
+    a = cms_build(e.filter(F.col("day") <= split), ["g"], "user_id")
+    b = cms_build(e.filter(F.col("day") > split), ["g"], "user_id")
+    merged = cms_merge(a, b, ["g"])
+    rebuilt = cms_build(e, ["g"], "user_id")
+    # counter addition is exact: merged table == full rebuild, row-wise
+    assert merged.exceptAll(rebuilt).count() == 0
+    assert rebuilt.exceptAll(merged).count() == 0
+
+
+def test_cms_heavy_hitters_surface_hot_keys(spark):
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    # 3 hot keys (1000 each) in 10k rows of long-tail noise
+    hot = spark.range(3000).select(
+        F.lit(1).alias("g"), (F.col("id") % 3).alias("k")
+    )
+    noise = spark.range(10_000).select(
+        F.lit(1).alias("g"), (F.col("id") % 2000 + 100).alias("k")
+    )
+    data = hot.unionByName(noise)
+    sketch = cms_build(data, ["g"], "k", depth=5, width=512)
+    candidates = data.select("g", "k").distinct()
+    est = cms_estimate(sketch, candidates, ["g"], "k", depth=5, width=512)
+    top = [
+        r["k"]
+        for r in est.orderBy(F.col("freq_est").desc()).limit(3).collect()
+    ]
+    assert set(top) == {0, 1, 2}
