@@ -65,6 +65,14 @@ def asof_join(
     keys = [on] if isinstance(on, str) else list(on)
     if right_ts in keys:
         raise ValueError(f"right_ts {right_ts!r} cannot be a join key")
+    reserved = {"_ts", "_side", "_tb", "_r", "_m"} & (
+        set(left.columns) | set(right.columns)
+    )
+    if reserved:
+        raise ValueError(
+            f"asof_join reserves column names {sorted(reserved)}; "
+            "rename them on the input frames"
+        )
     payload = [c for c in right.columns if c not in keys]
     out_names = {c: (c + suffix if c in left.columns else c) for c in payload}
 
@@ -219,6 +227,16 @@ def interval_join(
     ``suffix``.
     """
     keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    clash = {
+        c
+        for c in (*left.columns, *right.columns)
+        if c == "_bin" or c.startswith(("_l_", "_r_"))
+    }
+    if clash:
+        raise ValueError(
+            f"interval_join reserves column names {sorted(clash)}; "
+            "rename them on the input frames"
+        )
     out_names = {
         c: (c + suffix if c in left.columns else c)
         for c in right.columns

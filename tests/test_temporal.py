@@ -402,3 +402,21 @@ def test_scd2_from_native_change_feed(spark, tmp_path):
         (1, "free", 0), (1, "pro", 0), (1, "max", 1),
         (2, "team", 1), (3, "free", 1),
     ]
+
+
+def test_reserved_internal_names_are_rejected(spark):
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.temporal import (
+        asof_join,
+        interval_join,
+    )
+
+    l = spark.createDataFrame([(1, _ts(0), 1)], "k INT, ts TIMESTAMP, _r INT")
+    r = spark.createDataFrame([(1, _ts(0))], "k INT, vts TIMESTAMP")
+    with pytest.raises(ValueError, match="reserves column names"):
+        asof_join(l, r, on="k", left_ts="ts", right_ts="vts")
+    l2 = spark.createDataFrame(
+        [(1, _ts(0), _ts(1), 1)], "k INT, s TIMESTAMP, e TIMESTAMP, _bin INT"
+    )
+    with pytest.raises(ValueError, match="reserves column names"):
+        interval_join(l2, r.withColumnRenamed("vts", "s")
+                      .withColumn("e", F.col("s")), "s", "e", "s", "e")
