@@ -74,24 +74,49 @@ def combine_sketch_tables(
     delta: DataFrame,
     keys: list[str],
     sketch_col: str = "sketch",
+    allow_different_lg_k: bool = False,
 ) -> DataFrame:
     """Incremental maintenance step: merge a stored per-key sketch
     table with the sketches of newly arrived data — one full-outer key
     join, union where both sides exist, pass-through otherwise. The
     result is row-identical (in estimate) to rebuilding from all raw
-    data, at the cost of scanning only the delta."""
-    e = existing.select(*keys, F.col(sketch_col).alias("_old"))
-    d = delta.select(*keys, F.col(sketch_col).alias("_new"))
-    both = F.hll_union("_old", "_new")
+    data, at the cost of scanning only the delta.
+
+    The key join is NULL-SAFE: a NULL key group (e.g. ``to_date`` of a
+    corrupt timestamp) on both sides merges into ONE row like any other
+    key — a plain ``join(keys)`` would never match NULL=NULL and emit
+    two rows forever, silently splitting that group's estimate.
+
+    ``lg_k`` is frozen at table creation: ``hll_union`` of sketches
+    built with different lg_k throws at runtime unless
+    ``allow_different_lg_k`` downgrades both to the smaller precision —
+    rebuilding the stored table at the new lg_k is the better fix.
+    """
+    e = existing.select(
+        *[F.col(k).alias(f"_ek_{k}") for k in keys],
+        F.col(sketch_col).alias("_old"),
+    )
+    d = delta.select(
+        *[F.col(k).alias(f"_dk_{k}") for k in keys],
+        F.col(sketch_col).alias("_new"),
+    )
+    cond = None
+    for k in keys:
+        c = F.col(f"_ek_{k}").eqNullSafe(F.col(f"_dk_{k}"))
+        cond = c if cond is None else cond & c
+    both = F.hll_union("_old", "_new", allow_different_lg_k)
     return (
-        e.join(d, keys, "full_outer")
-        .withColumn(
-            sketch_col,
+        e.join(d, cond, "full_outer")
+        .select(
+            *[
+                F.coalesce(F.col(f"_ek_{k}"), F.col(f"_dk_{k}")).alias(k)
+                for k in keys
+            ],
             F.when(F.col("_old").isNull(), F.col("_new"))
             .when(F.col("_new").isNull(), F.col("_old"))
-            .otherwise(both),
+            .otherwise(both)
+            .alias(sketch_col),
         )
-        .drop("_old", "_new")
     )
 
 
@@ -100,6 +125,30 @@ def combine_sketch_tables(
 def _cms_bucket(value_col: str, row: int, width: int, seed: int):
     # independent row hash via per-row seed; pmod keeps buckets >= 0
     return F.pmod(F.xxhash64(F.lit(seed + row), value_col), F.lit(width))
+
+
+def _cms_guard(keys: list[str], value_col: str | None = None) -> None:
+    reserved = {"_d", "_b", "cnt", "_rb"} & {*keys, *([value_col] if value_col else [])}
+    if reserved:
+        raise ValueError(
+            f"CMS helpers reserve column names {sorted(reserved)}; "
+            "rename them on the input frames"
+        )
+
+
+def _cms_rows(value_col: str, depth: int, width: int, seed: int):
+    """The shared probe layout: explode a value into its ``depth``
+    (hash row, bucket) pairs — used identically by build and estimate
+    so the two sides can never disagree on the hashing."""
+    return F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(d).alias("_d"),
+                _cms_bucket(value_col, d, width, seed).alias("_b"),
+            )
+            for d in range(depth)
+        ])
+    ).alias("_rb")
 
 
 def cms_build(
@@ -127,19 +176,15 @@ def cms_build(
 
     Standard CMS guarantees apply: estimates never undercount, and
     overcount by more than ``e·N/width`` with probability at most
-    ``e^-depth`` (N = group row count).
+    ``e^-depth`` (N = group row count). NULL values are EXCLUDED, the
+    same population rule as ``hll_sketch_agg`` and exact ``count(col)``
+    — without the filter every NULL row would hash to one fixed bucket
+    per row and masquerade as a single hot value.
     """
-    rows = F.explode(
-        F.array(*[
-            F.struct(
-                F.lit(d).alias("_d"),
-                _cms_bucket(value_col, d, width, seed).alias("_b"),
-            )
-            for d in range(depth)
-        ])
-    ).alias("_rb")
+    _cms_guard(keys, value_col)
     return (
-        df.select(*keys, rows)
+        df.filter(F.col(value_col).isNotNull())
+        .select(*keys, _cms_rows(value_col, depth, width, seed))
         .select(*keys, "_rb._d", "_rb._b")
         .groupBy(*keys, "_d", "_b")
         .agg(F.count("*").alias("cnt"))
@@ -150,6 +195,7 @@ def cms_merge(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
     """Merge two sketch tables built with the SAME (depth, width,
     seed): union + sum — associative and commutative; counter addition
     makes the result exactly the sketch of the concatenated inputs."""
+    _cms_guard(keys)
     return (
         a.unionByName(b)
         .groupBy(*keys, "_d", "_b")
@@ -172,19 +218,13 @@ def cms_estimate(
     absent (absent bucket = nothing ever hashed there). The sketch side
     is ≤ depth×width rows per group — broadcastable; the probe is
     ``depth`` equi-join rows per item, no wide stage beyond the final
-    per-item min."""
-    probes = items.select(
+    per-item min. NULL probe values are dropped (NULLs are outside the
+    sketched population — see :func:`cms_build`)."""
+    _cms_guard(keys, value_col)
+    probes = items.filter(F.col(value_col).isNotNull()).select(
         *keys,
         F.col(value_col),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(d).alias("_d"),
-                    _cms_bucket(value_col, d, width, seed).alias("_b"),
-                )
-                for d in range(depth)
-            ])
-        ).alias("_rb"),
+        _cms_rows(value_col, depth, width, seed),
     ).select(*keys, value_col, "_rb._d", "_rb._b")
     return (
         probes.join(sketch, [*keys, "_d", "_b"], "left_outer")

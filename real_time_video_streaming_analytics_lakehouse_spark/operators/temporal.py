@@ -75,6 +75,15 @@ def asof_join(
         )
     payload = [c for c in right.columns if c not in keys]
     out_names = {c: (c + suffix if c in left.columns else c) for c in payload}
+    out_cols = [*keys, *(c for c in left.columns if c not in keys),
+                *out_names.values()]
+    if len(out_cols) != len(set(out_cols)):
+        dupes = sorted({c for c in out_cols if out_cols.count(c) > 1})
+        raise ValueError(
+            f"asof_join output would contain duplicate columns {dupes} "
+            f"(suffixed right name collides with a left column); pick a "
+            f"different suffix or rename the inputs"
+        )
 
     rstruct = F.struct(*[F.col(c) for c in payload])
     rtype = right.select(rstruct.alias("_r")).schema["_r"].dataType
@@ -90,7 +99,11 @@ def asof_join(
     # keeps them after every tied right row without affecting sides —
     # side already separates them).
     r_exact_side, l_exact_side = (0, 1) if allow_exact_matches else (1, 0)
-    r_side = right.select(
+    # A NULL right timestamp can never satisfy right_ts <= left_ts, but
+    # ASC NULLS FIRST would sort such a row before everything in its
+    # key and last(ignorenulls) would hand its payload to any left row
+    # with no real predecessor — drop those rows up front.
+    r_side = right.filter(F.col(right_ts).isNotNull()).select(
         *keys,
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(c)
@@ -168,6 +181,11 @@ def scd2_from_history(
     incremental CDF reads for maintenance.
     """
     key_list = [keys] if isinstance(keys, str) else list(keys)
+    if "_chg" in (*key_list, *attr_cols, order_col):
+        raise ValueError(
+            "scd2_from_history reserves the column name '_chg'; rename "
+            "it on the input frame"
+        )
     w = Window.partitionBy(*key_list).orderBy(F.col(order_col).asc())
     out = history.select(*key_list, F.col(order_col), *attr_cols)
     if collapse_unchanged:
@@ -230,7 +248,9 @@ def interval_join(
     clash = {
         c
         for c in (*left.columns, *right.columns)
-        if c == "_bin" or c.startswith(("_l_", "_r_"))
+        # s_us/e_us collide with the internal _l_s_us/_r_e_us carriers
+        # AFTER tagging, since every non-key column gets the same prefix
+        if c in ("_bin", "s_us", "e_us") or c.startswith(("_l_", "_r_"))
     }
     if clash:
         raise ValueError(
@@ -242,6 +262,14 @@ def interval_join(
         for c in right.columns
         if c not in keys
     }
+    out_cols = [*keys, *(c for c in left.columns if c not in keys),
+                *out_names.values()]
+    if len(out_cols) != len(set(out_cols)):
+        dupes = sorted({c for c in out_cols if out_cols.count(c) > 1})
+        raise ValueError(
+            f"interval_join output would contain duplicate columns "
+            f"{dupes}; pick a different suffix or rename the inputs"
+        )
 
     def binned(df: DataFrame, start: str, end: str, tag: str) -> DataFrame:
         s_us, e_us = epoch_us(F.col(start)), epoch_us(F.col(end))

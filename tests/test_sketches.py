@@ -236,3 +236,60 @@ def test_cms_heavy_hitters_surface_hot_keys(spark):
         for r in est.orderBy(F.col("freq_est").desc()).limit(3).collect()
     ]
     assert set(top) == {0, 1, 2}
+
+
+def test_combine_sketch_tables_merges_null_key_groups(spark):
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.sketches import (
+        combine_sketch_tables,
+        sketch_distinct,
+    )
+
+    old = sketch_distinct(
+        spark.createDataFrame(
+            [(None, 1), (None, 2), ("a", 1)], "day STRING, v INT"
+        ),
+        ["day"], "v",
+    )
+    new = sketch_distinct(
+        spark.createDataFrame(
+            [(None, 2), (None, 3)], "day STRING, v INT"
+        ),
+        ["day"], "v",
+    )
+    merged = combine_sketch_tables(old, new, ["day"])
+    rows = merged.select(
+        "day", F.hll_sketch_estimate("sketch").alias("est")
+    ).collect()
+    by_key = {r["day"]: round(r["est"]) for r in rows}
+    # ONE row for the NULL key, unioned to {1,2,3}
+    assert len(rows) == 2
+    assert by_key[None] == 3 and by_key["a"] == 1
+
+
+def test_cms_excludes_nulls_like_hll(spark):
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    data = spark.createDataFrame(
+        [(1, None)] * 50 + [(1, "x")] * 3, "g INT, v STRING"
+    )
+    sketch = cms_build(data, ["g"], "v", depth=3, width=64)
+    # total mass in any hash row == non-null rows only
+    per_row = sketch.groupBy("_d").agg(F.sum("cnt").alias("m")).collect()
+    assert all(r["m"] == 3 for r in per_row)
+    est = cms_estimate(
+        sketch, spark.createDataFrame([(1, "x")], "g INT, v STRING"),
+        ["g"], "v", depth=3, width=64,
+    ).collect()[0]["freq_est"]
+    assert est == 3
+
+
+def test_cms_rejects_reserved_names(spark):
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.sketches import cms_build
+
+    df = spark.createDataFrame([(1, 1)], "g INT, cnt INT")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="reserve"):
+        cms_build(df, ["cnt"], "g")

@@ -420,3 +420,52 @@ def test_reserved_internal_names_are_rejected(spark):
     with pytest.raises(ValueError, match="reserves column names"):
         interval_join(l2, r.withColumnRenamed("vts", "s")
                       .withColumn("e", F.col("s")), "s", "e", "s", "e")
+
+
+def test_null_right_timestamps_never_match(spark):
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, _ts(10), "p")], "k INT, ts TIMESTAMP, pid STRING"
+    )
+    right = spark.createDataFrame(
+        [(1, None, "bad")], "k INT, ts TIMESTAMP, vid STRING"
+    )
+    row = asof_join(left, right, on="k").collect()[0]
+    assert row["vid"] is None and row["ts_right"] is None
+
+
+def test_suffix_collision_is_rejected(spark):
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, _ts(0), 1, 2)], "k INT, ts TIMESTAMP, x INT, x_right INT"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(0), 3)], "k INT, vts TIMESTAMP, x INT"
+    )
+    with pytest.raises(ValueError, match="duplicate columns"):
+        asof_join(left, right, on="k", left_ts="ts", right_ts="vts")
+
+
+def test_scd2_rejects_reserved_chg_column(spark):
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.temporal import scd2_from_history
+
+    hist = spark.createDataFrame(
+        [(1, _ts(0), "a")], "k INT, ts TIMESTAMP, _chg STRING"
+    )
+    with pytest.raises(ValueError, match="_chg"):
+        scd2_from_history(hist, "k", "ts", ["_chg"])
+
+
+def test_interval_join_rejects_s_us_collision(spark):
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.temporal import interval_join
+
+    left = spark.createDataFrame(
+        [(1, _ts(0), _ts(1), 7)], "k INT, s TIMESTAMP, e TIMESTAMP, s_us INT"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(0), _ts(1))], "k INT, s TIMESTAMP, e TIMESTAMP"
+    )
+    with pytest.raises(ValueError, match="reserves column names"):
+        interval_join(left, right, "s", "e", "s", "e")
