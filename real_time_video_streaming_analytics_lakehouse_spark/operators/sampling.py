@@ -66,11 +66,19 @@ def _hex_threshold(fraction: float) -> str:
 def sample_key(key_cols: list[str | Column], seed: str = "") -> Column:
     """Deterministic uniform draw for a row: first 8 hex chars of
     ``md5(seed | key₁ | key₂ | …)`` (lowercase, fixed width — string
-    order ≡ numeric order on the 32-bit value)."""
+    order ≡ numeric order on the 32-bit value).
+
+    NULL key components encode as a NUL byte rather than vanishing:
+    ``concat_ws`` silently drops NULL elements AND their separator, so
+    without the coalesce the keys ``('x', NULL)`` and ``(NULL, 'x')``
+    would collide (identical draw, permanently correlated fate) and
+    all-NULL keys would hash to the constant ``md5(seed)``. Non-NULL
+    keys hash exactly as before. SQL mirror:
+    ``coalesce(CAST(c AS VARCHAR), chr(0))`` per component."""
     cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
     parts: list[Column] = [F.lit(seed)]
     for c in cols:
-        parts.append(c.cast("string"))
+        parts.append(F.coalesce(c.cast("string"), F.lit("\x00")))
     return F.substring(F.md5(F.concat_ws(_SEP, *parts)), 1, 8)
 
 
@@ -94,7 +102,7 @@ def stratified_sample(
     df: DataFrame,
     strata_col: str,
     fractions: dict[str, float],
-    key_cols: list[str] | None = None,
+    key_cols: list[str],
     default_fraction: float = 0.0,
     seed: str = "",
 ) -> DataFrame:
@@ -104,8 +112,20 @@ def stratified_sample(
     keep ``default_fraction`` of their rows. Implemented as one
     when-chain selecting the stratum's hex threshold, compared against
     the row's hash — map-only, no shuffle, no UDF.
+
+    ``key_cols`` is REQUIRED and must vary within each stratum (a
+    row-id, not the stratum label): hashing the stratum value itself
+    would give every row in the stratum the same draw, silently
+    keeping 100% or 0% of it depending on the seed instead of the
+    requested fraction.
     """
-    keys = key_cols or [strata_col]
+    keys = key_cols
+    if not keys or list(keys) == [strata_col]:
+        raise ValueError(
+            "stratified_sample key_cols must identify rows within a "
+            f"stratum; hashing the stratum column {strata_col!r} alone "
+            "makes sampling all-or-nothing per stratum"
+        )
     thr: Column = F.lit(_hex_threshold(default_fraction))
     for value, fraction in sorted(fractions.items()):
         thr = (

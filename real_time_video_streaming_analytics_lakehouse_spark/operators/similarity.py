@@ -35,6 +35,35 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _query_split(embeddings: DataFrame, query_pred: Column, vec_col: str):
+    """(queries, candidates) partition of the corpus.
+
+    ``coalesce(pred, False)``: a predicate evaluating to NULL (e.g.
+    ``label == 'q'`` over NULL labels) would otherwise drop the row
+    from BOTH sides — ``filter(pred)`` and ``filter(~pred)`` each skip
+    NULL — silently shrinking the candidate corpus. NULL-pred rows are
+    candidates. NULL vectors are excluded outright (no similarity
+    signal; they crash the numpy stages as 0-d nan arrays)."""
+    base = embeddings.filter(F.col(vec_col).isNotNull())
+    qp = F.coalesce(query_pred, F.lit(False))
+    return base.filter(qp), base.filter(~qp)
+
+
+def _empty_topk(embeddings: DataFrame, id_col: str, extra_cols) -> DataFrame:
+    """Zero-row frame with the top-k output schema — returned when the
+    corpus is empty (nothing to train on or rank against)."""
+    idt = embeddings.schema[id_col].dataType.simpleString()
+    ddl = ", ".join(
+        [f"query_id {idt}", f"{id_col} {idt}"]
+        + [
+            f"{c} {embeddings.schema[c].dataType.simpleString()}"
+            for c in extra_cols
+        ]
+        + ["cosine DOUBLE", "rk INT"]
+    )
+    return embeddings.sparkSession.createDataFrame([], ddl)
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_pred: Column,
@@ -51,13 +80,16 @@ def cosine_topk(
     result is deterministic.
     """
     emb = _as_double(F.col(vec_col))
-    base = embeddings.withColumn("_e", emb).withColumn("_n", _norm(F.col("_e")))
-    queries = base.filter(query_pred).select(
+    q_raw, c_raw = _query_split(embeddings, query_pred, vec_col)
+    prep = lambda df: df.withColumn("_e", emb).withColumn(  # noqa: E731
+        "_n", _norm(F.col("_e"))
+    )
+    queries = prep(q_raw).select(
         F.col(id_col).alias("query_id"),
         F.col("_e").alias("_qe"),
         F.col("_n").alias("_qn"),
     )
-    candidates = base.filter(~query_pred).select(
+    candidates = prep(c_raw).select(
         id_col, *extra_cols, F.col("_e").alias("_ce"), F.col("_n").alias("_cn")
     )
     cosine = F.round(
@@ -122,7 +154,10 @@ def cosine_pairs(
     ]
     mapping = spark.createDataFrame(tasks, "blk INT, ti INT, tj INT")
     rep = (
-        embeddings.select(id_col, vec_col)
+        # NULL vectors would crash the block matmul's np.stack; a NULL
+        # embedding is pairable with nothing, so exclude it.
+        embeddings.filter(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col)
         .withColumn("blk", F.pmod(F.hash(F.col(id_col)), F.lit(num_blocks)))
         .join(F.broadcast(mapping), "blk")
     )
@@ -263,7 +298,11 @@ def lsh_cosine_pairs(
     # full Python-worker fleet for a small corpus costs more than it
     # saves, and at scale the source is already well-partitioned.
     sig = (
-        embeddings.select(id_col, vec_col)
+        # NULL vectors carry no similarity signal and would crash the
+        # np.stack (0-d nan array) — exclude them like the dim probe
+        # above already does.
+        embeddings.filter(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col)
         .mapInPandas(signatures, f"{id_col} BIGINT, band INT, code BIGINT")
         .localCheckpoint(eager=False)
     )
@@ -334,10 +373,17 @@ def ann_ivf_topk(
     """
     import numpy as np
 
+    qbase_raw, base = _query_split(embeddings, query_pred, vec_col)
     # --- train coarse centroids on a deterministic sample ---
     sample = (
-        embeddings.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
+        embeddings.filter(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_size)
+        .collect()
     )
+    if not sample:
+        return _empty_topk(embeddings, id_col, extra_cols)
     x = np.array([list(r[1]) for r in sample], dtype=np.float64)
     x /= np.linalg.norm(x, axis=1, keepdims=True)
     rng = np.random.RandomState(seed)
@@ -371,16 +417,14 @@ def ann_ivf_topk(
     # forking a full Python-worker fleet for a small corpus costs more
     # than it saves; the bucket join shuffles downstream anyway and
     # large inputs arrive well-partitioned.
-    base = embeddings.filter(~query_pred).select(
-        id_col, vec_col, *extra_cols
-    )
+    base = base.select(id_col, vec_col, *extra_cols)
     cand_schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in base.schema.fields]
         + ["bucket INT"]
     )
     candidates = base.mapInPandas(assign_buckets(1, vec_col), cand_schema)
 
-    qbase = embeddings.filter(query_pred).select(
+    qbase = qbase_raw.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe")
     )
     queries = qbase.mapInPandas(
@@ -454,12 +498,16 @@ def pq_topk(
     """
     import numpy as np
 
+    queries_raw, base = _query_split(embeddings, query_pred, vec_col)
     sample = (
-        embeddings.select(id_col, vec_col)
+        embeddings.filter(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col)
         .orderBy(id_col)
         .limit(sample_size)
         .collect()
     )
+    if not sample:
+        return _empty_topk(embeddings, id_col, extra_cols)
     x = np.array([list(r[1]) for r in sample], dtype=np.float64)
     x /= np.linalg.norm(x, axis=1, keepdims=True)
     dim = x.shape[1]
@@ -498,7 +546,6 @@ def pq_topk(
             out["codes"] = list(codes)
             yield out
 
-    base = embeddings.filter(~query_pred)
     extra_schema = "".join(
         f", {f.name} {f.dataType.simpleString()}"
         for f in base.select(*extra_cols).schema.fields
@@ -535,8 +582,7 @@ def pq_topk(
             )
 
     queries = (
-        embeddings.filter(query_pred)
-        .select(id_col, vec_col)
+        queries_raw.select(id_col, vec_col)
         .mapInPandas(
             query_luts, "query_id BIGINT, qe ARRAY<FLOAT>, lut ARRAY<DOUBLE>"
         )
@@ -627,13 +673,17 @@ def ann_ivfpq_topk(
     """
     import numpy as np
 
+    qdf, base = _query_split(embeddings, query_pred, vec_col)
     # --- coarse quantizer (same bounded sample protocol as IVF) ---
     sample = (
-        embeddings.select(id_col, vec_col)
+        embeddings.filter(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col)
         .orderBy(id_col)
         .limit(sample_size)
         .collect()
     )
+    if not sample:
+        return _empty_topk(embeddings, id_col, extra_cols)
     x = np.array([list(r[1]) for r in sample], dtype=np.float64)
     x /= np.linalg.norm(x, axis=1, keepdims=True)
     rng = np.random.RandomState(seed)
@@ -662,13 +712,11 @@ def ann_ivfpq_topk(
 
         return fn
 
-    base = embeddings.filter(~query_pred)
     cand_schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in base.schema.fields]
         + ["bucket INT"]
     )
     cand_buckets = base.mapInPandas(assign_buckets(1, vec_col), cand_schema)
-    qdf = embeddings.filter(query_pred)
     q_schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in qdf.schema.fields]
         + ["bucket INT"]
@@ -682,7 +730,11 @@ def ann_ivfpq_topk(
     probed = cand_buckets.join(
         F.broadcast(q_buckets.select("bucket").distinct()), "bucket"
     ).drop("bucket")
-    pruned_corpus = probed.unionByName(qdf)
+    # Materialize the pruned corpus ONCE: pq_topk reads its input four
+    # times (codebook sample collect, encode pass, query-LUT pass,
+    # re-rank vector join) and each read would otherwise re-run the
+    # Python bucket-assignment stage and its join.
+    pruned_corpus = probed.unionByName(qdf).localCheckpoint(eager=False)
     return pq_topk(
         pruned_corpus,
         query_pred,

@@ -1353,13 +1353,30 @@ class TxTable:
         def gate(df: DataFrame) -> DataFrame:
             return F.broadcast(df) if use_broadcast else df
 
+        def ns_join(left: DataFrame, right: DataFrame, how: str) -> DataFrame:
+            # NULL-SAFE key join: plain `on=keys` never matches
+            # NULL=NULL, so a NULL-key row would look permanently
+            # unmatched — every merge would re-insert it, silently
+            # accumulating duplicates (Delta MERGE conditions written
+            # with `=` share the trap; `<=>` is the fix there too).
+            # EqualNullSafe is still an equi-join predicate to Spark,
+            # so the broadcast/sort-merge gate applies unchanged.
+            cond = None
+            for k in keys:
+                c = left[k].eqNullSafe(right[k])
+                cond = c if cond is None else cond & c
+            return left.join(right, cond, how)
+
         # Capture the source file BEFORE the join: input_file_name() is
         # only defined in the scan stage — evaluated above a shuffle
         # (the sort-merge path of the size gate) it returns "".
         tgt = _align(self.read(), target_schema)
         hits = (
-            tgt.withColumn("_f", F.input_file_name())
-            .join(gate(keys_df), keys, "left_semi")
+            ns_join(
+                tgt.withColumn("_f", F.input_file_name()),
+                gate(keys_df),
+                "left_semi",
+            )
             .groupBy("_f")
             .count()
             .collect()
@@ -1374,15 +1391,15 @@ class TxTable:
             return v
 
         matched_keys = (
-            tgt.join(gate(keys_df), keys, "left_semi")
+            ns_join(tgt, gate(keys_df), "left_semi")
             .select(*keys).distinct().localCheckpoint(eager=False)
         )
-        upd_src = src.join(gate(matched_keys), keys, "left_semi")
-        inserts = src.join(gate(matched_keys), keys, "left_anti")
+        upd_src = ns_join(src, gate(matched_keys), "left_semi")
+        inserts = ns_join(src, gate(matched_keys), "left_anti")
 
         tdf = _align(self._touched_df(snap, touched), target_schema)
-        survivors = tdf.join(gate(keys_df), keys, "left_anti")
-        pre = tdf.join(gate(keys_df), keys, "left_semi")
+        survivors = ns_join(tdf, gate(keys_df), "left_anti")
+        pre = ns_join(tdf, gate(keys_df), "left_semi")
         # Columns the ORIGINAL source doesn't carry must keep the
         # TARGET's values on matched rows (Delta updateAll +
         # schema.autoMerge leaves them unchanged) — _align's null-fill
@@ -1392,10 +1409,19 @@ class TxTable:
         # semantics).
         missing = [c for c in tgt.columns if c not in src_cols]
         if missing:
-            carried = pre.select(*keys, *missing).dropDuplicates(keys)
+            # Aliased keys + null-safe condition: a matched NULL-key
+            # row must still pick up its carried columns (a plain
+            # on=keys inner join would drop the row entirely).
+            carried = pre.select(
+                *[F.col(k).alias(f"_ck_{k}") for k in keys], *missing
+            ).dropDuplicates([f"_ck_{k}" for k in keys])
+            ccond = None
+            for k in keys:
+                c = F.col(k).eqNullSafe(F.col(f"_ck_{k}"))
+                ccond = c if ccond is None else ccond & c
             updates = (
                 upd_src.drop(*missing)
-                .join(gate(carried), keys)
+                .join(gate(carried), ccond)
                 .select(*tgt.columns)
             )
         else:

@@ -366,7 +366,14 @@ def run_merge_stream(
         pred = pcol.isin([v for v in touched if v is not None])
         if any(v is None for v in touched):
             pred = pred | pcol.isNull()
-        existing = spark.read.parquet(target_path).filter(pred)
+        # Explicit schema, not inference: partition discovery would
+        # type a directory like day=01 as INT (value 1), and the
+        # rewrite would emit day=1 alongside the stale day=01 —
+        # fragmenting the partition and rewriting stored values. The
+        # batch carries the authoritative column types.
+        existing = (
+            spark.read.schema(batch.schema).parquet(target_path).filter(pred)
+        )
         merged = merge_upsert(existing, batch, keys)
         merged.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
         # Swap exactly the partition dirs the writer produced; untouched
@@ -513,14 +520,29 @@ def run_sketch_stream(
         delta = sketch_distinct(batch_df, keys, value_col, lg_k=lg_k)
         params = {"txnAppId": app, "txnVersion": batch_id}
         if not TxTable.exists(spark, table_path):
-            TxTable.create(spark, table_path, delta.schema)
+            try:
+                TxTable.create(spark, table_path, delta.schema)
+            except FileExistsError:
+                # pre-txlog target: adopt its files (same contract as
+                # run_merge_stream_versioned) instead of crashing the
+                # first micro-batch
+                TxTable.bootstrap(spark, table_path)
         tx = TxTable(spark, table_path)
         last = tx.txn_version(app)
         if last is not None and batch_id <= last:
             return  # replayed micro-batch: already committed
-        touched = tx.read().join(
-            delta.select(*keys).distinct(), keys, "left_semi"
-        )
+        # NULL-SAFE touched probe: plain on=keys never matches
+        # NULL=NULL, so a NULL key group's stored sketch would be
+        # omitted from the combine and the (null-safe) MERGE below
+        # would still update it with only the batch's partial sketch —
+        # permanently splitting that group's estimate.
+        stored = tx.read()
+        probe = delta.select(*keys).distinct()
+        cond = None
+        for k in keys:
+            c = stored[k].eqNullSafe(probe[k])
+            cond = c if cond is None else cond & c
+        touched = stored.join(probe, cond, "left_semi")
         combined = combine_sketch_tables(touched, delta, keys)
         tx.merge(combined, keys, params=params)
 
@@ -574,7 +596,12 @@ def run_quarantine_stream(
         bad = annotated.filter(~F.col("_dq_valid")).drop("_dq_valid")
         for path, frame in ((good_path, good), (quarantine_path, bad)):
             if not TxTable.exists(spark, path):
-                TxTable.create(spark, path, frame.schema)
+                try:
+                    TxTable.create(spark, path, frame.schema)
+                except FileExistsError:
+                    # pre-txlog target: adopt, don't crash (same
+                    # contract as run_merge_stream_versioned)
+                    TxTable.bootstrap(spark, path)
             tx = TxTable(spark, path)
             last = tx.txn_version(app)
             if last is not None and batch_id <= last:

@@ -876,3 +876,21 @@ def test_read_rejects_unsupported_predicate_op(spark, table):
         table.read(predicates=[("v", "!=", 1)])
     with pytest.raises(ValueError, match="unsupported predicate op"):
         table.delete(F.col("v") == 1, predicates=[("v", "<>", 1)])
+
+
+def test_merge_null_key_rows_update_not_duplicate(spark, tmp_path):
+    """NULL join keys must behave like any other key value under MERGE
+    (Delta MERGE conditions written with <=> semantics): re-merging a
+    NULL-key row UPDATES the existing row instead of inserting a
+    duplicate every time — the silent-accumulation trap of plain
+    `=`-joins, which never match NULL=NULL."""
+    from pyspark.sql.types import StructType
+
+    ddl = "k STRING, v INT"
+    t = TxTable.create(spark, str(tmp_path / "nk"), StructType.fromDDL(ddl))
+    t.write(spark.createDataFrame([("a", 1), (None, 10)], ddl))
+    for v in (20, 30):
+        t.merge(spark.createDataFrame([(None, v)], ddl), keys=["k"])
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert rows == {"a": 1, None: 30}
+    assert t.read().count() == 2
