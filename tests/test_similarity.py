@@ -260,3 +260,56 @@ def test_lsh_cosine_pairs_empty_corpus(spark):
 
     empty = spark.createDataFrame([], "vec_id BIGINT, embedding ARRAY<FLOAT>")
     assert lsh_cosine_pairs(empty).count() == 0
+
+
+def test_null_vectors_and_null_pred_are_handled(spark):
+    """Round-5 hardening: NULL embeddings are excluded from every
+    numpy stage (previously a np.stack crash), and a query predicate
+    evaluating to NULL routes the row to the CANDIDATE side instead of
+    silently dropping it from both sides."""
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_topk,
+        lsh_cosine_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, [1.0, 0.0], "q"),
+        (1, [1.0, 0.0], None),   # NULL label -> NULL pred
+        (2, [0.9, 0.1], "c"),
+        (3, None, "c"),          # NULL vector
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>, label STRING"
+    )
+    top = cosine_topk(emb, F.col("label") == "q", k=5).collect()
+    ids = {r["vec_id"] for r in top}
+    assert 1 in ids, "NULL-pred row must stay in the candidate corpus"
+    assert 3 not in ids, "NULL-vector row cannot be ranked"
+    # numpy paths must not crash on the NULL vector
+    assert cosine_pairs(emb, threshold=0.5).count() >= 1
+    assert lsh_cosine_pairs(emb, threshold=0.5).count() >= 0
+
+
+def test_ann_on_empty_corpus_returns_empty_frame(spark):
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.similarity import (
+        ann_ivf_topk,
+        ann_ivfpq_topk,
+        pq_topk,
+    )
+    from pyspark.sql import functions as F
+
+    empty = spark.createDataFrame(
+        [], "vec_id BIGINT, embedding ARRAY<DOUBLE>, label STRING"
+    )
+    for fn, kw in (
+        (ann_ivf_topk, {}),
+        (pq_topk, {"n_subspaces": 2}),
+        (ann_ivfpq_topk, {"n_subspaces": 2}),
+    ):
+        out = fn(empty, F.col("vec_id") < 5, k=3, **kw)
+        assert out.count() == 0
+        assert {"query_id", "vec_id", "label", "cosine", "rk"} <= set(
+            out.columns
+        )
