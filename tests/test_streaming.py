@@ -818,3 +818,42 @@ def test_streaming_asof_enrichment_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     }
     assert got == expected
+
+
+def test_run_merge_stream_preserves_numeric_looking_string_partitions(
+    spark, tmp_path
+):
+    """Regression: the partitioned merge sink reads its target with the
+    batch's explicit schema. Partition-type inference would retype a
+    string partition value like '01' as INT 1, so the rewrite emitted
+    day=1 alongside the stale day=01 — fragmenting the partition and
+    rewriting stored values. Two sequential batches over day='01' must
+    update in place, keep ONE partition dir, and keep the value '01'."""
+    src_dir = str(tmp_path / "numpart_src")
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    batches = [
+        [Row(event_id=1, day="01", ts=t, value=1.0)],
+        [Row(event_id=1, day="01", ts=t + dt.timedelta(minutes=1),
+             value=10.0)],
+    ]
+    for i, rows in enumerate(batches):
+        before = set(glob.glob(f"{src_dir}/*.parquet"))
+        spark.createDataFrame(rows).coalesce(1).write.mode("append").parquet(
+            src_dir
+        )
+        for f in set(glob.glob(f"{src_dir}/*.parquet")) - before:
+            os.utime(f, (1700000000 + i * 100, 1700000000 + i * 100))
+    target = f"{tmp_path}/numpart_target"
+    schema = spark.read.parquet(src_dir).schema
+    src = stream_events_from_files(spark, src_dir, schema,
+                                   max_files_per_trigger=1)
+    q = run_merge_stream(src, target, f"{tmp_path}/numpart_ckpt",
+                         keys=["event_id"], precedence_col="ts",
+                         partition_col="day")
+    q.awaitTermination(120)
+    part_dirs = [d for d in os.listdir(target) if d.startswith("day=")]
+    assert part_dirs == ["day=01"], part_dirs
+    rows = spark.read.schema(schema).parquet(target).collect()
+    assert [(r["event_id"], r["day"], r["value"]) for r in rows] == [
+        (1, "01", 10.0)
+    ]
