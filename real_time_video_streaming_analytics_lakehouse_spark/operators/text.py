@@ -215,8 +215,15 @@ def fingerprint_col(text_col: str = "text", size: int = 3) -> Column:
     """Order-insensitive content fingerprint: md5 over the sorted
     distinct character-shingle set. Identical for any permutation-
     preserving re-encoding of the same shingle set, and portable (the
-    oracle reproduces it with DuckDB list functions)."""
-    return F.md5(F.concat_ws("", F.array_sort(shingles(text_col, size))))
+    oracle reproduces it with DuckDB list functions).
+
+    NULL text fingerprints to NULL, not to md5('') — concat_ws would
+    silently skip the [NULL] shingle array and collapse missing docs
+    onto empty docs, violating the module's missing≠empty dedup rule
+    (and diverging from the oracle, whose md5 propagates NULL)."""
+    text = F.col(text_col) if isinstance(text_col, str) else text_col
+    fp = F.md5(F.concat_ws("", F.array_sort(shingles(text_col, size))))
+    return F.when(text.isNull(), F.lit(None).cast("string")).otherwise(fp)
 
 
 def doc_fingerprint(
@@ -266,11 +273,20 @@ def filter_by_quantile(
     thr = df.groupBy(*strata).agg(
         F.percentile_approx(score_col, quantile).alias("_thr")
     )
-    joined = (
-        df.join(F.broadcast(thr), strata)
-        if strata
-        else df.crossJoin(F.broadcast(thr))
-    )
+    if strata:
+        # eqNullSafe: a NULL stratum (missing language/domain) forms
+        # its own group in the aggregate, but a plain equi-join would
+        # never match it back — every NULL-stratum row would silently
+        # vanish from the output while the exact (window) path keeps
+        # and gates them.
+        t = thr.select(
+            F.col(strata_col).alias("_sv"), "_thr"
+        )
+        joined = df.join(
+            F.broadcast(t), F.col(strata_col).eqNullSafe(F.col("_sv"))
+        ).drop("_sv")
+    else:
+        joined = df.crossJoin(F.broadcast(thr))
     return joined.filter(F.col(score_col) >= F.col("_thr")).drop("_thr")
 
 

@@ -203,9 +203,13 @@ def _merge_schemas(old: StructType, new: StructType) -> StructType:
     for f in old.fields:
         g = new_by.pop(f.name, None)
         if g is None or f.dataType == g.dataType:
+            # A column ABSENT from the incoming frame must go nullable:
+            # the new files lack it and reads null-fill it, so keeping
+            # a non-nullable declaration would serve NULLs under a
+            # schema that guarantees none.
             out.append(StructField(
                 f.name, f.dataType,
-                f.nullable or (g is not None and g.nullable),
+                f.nullable or g is None or g.nullable,
             ))
             continue
         a, b = f.dataType.simpleString(), g.dataType.simpleString()
@@ -1053,10 +1057,28 @@ class TxTable:
                 if mtime_ms <= cutoff_ms:
                     doomed.append(p)
         doomed = sorted(set(doomed))
+        # Crashed staging directories live as SIBLINGS of the table
+        # root (`<root>__stage_v*_*` — outside the root so snapshot
+        # reads can't see them), so the in-root stray scan above never
+        # finds them; a writer that died between staging and its final
+        # rename would leak a full copy of the written data forever.
+        parent = os.path.dirname(self.root.rstrip("/")) or "."
+        base = os.path.basename(self.root.rstrip("/"))
+        stage_dirs = []
+        for entry in sorted(os.listdir(parent)):
+            if not entry.startswith(f"{base}__stage_"):
+                continue
+            full = os.path.join(parent, entry)
+            if os.path.isdir(full) and os.path.getmtime(full) * 1000 <= cutoff_ms:
+                stage_dirs.append(full)
+                doomed.append(os.path.relpath(full, self.root))
         if not dry_run:
             for p in doomed:
+                full = os.path.join(self.root, p)
                 try:
-                    os.unlink(os.path.join(self.root, p))
+                    os.unlink(full)
+                except IsADirectoryError:
+                    shutil.rmtree(full, ignore_errors=True)
                 except FileNotFoundError:
                     pass
         return doomed
@@ -1253,8 +1275,12 @@ class TxTable:
             return snap.version
         tdf = self._touched_df(snap, touched)
         cdc = tdf.filter(cond).withColumn("_change_type", F.lit("delete"))
+        # Survivors = rows where cond is NOT TRUE (Delta DELETE
+        # semantics): plain ~cond is NULL for NULL-condition rows, so
+        # they would be neither kept nor recorded as deletes — silent
+        # row loss on e.g. x > 5 over a NULL x.
         return self._rewrite(
-            touched, snap, tdf.filter(~cond),
+            touched, snap, tdf.filter(~cond | cond.isNull()),
             "DELETE", {"predicate": str(cond)}, cdc_df=cdc,
         )
 
@@ -1390,14 +1416,19 @@ class TxTable:
                                          target_schema)
             return v
 
+        tdf = _align(self._touched_df(snap, touched), target_schema)
+        # Probe the TOUCHED files, not the full table: every target row
+        # with a matched key is by construction in a touched file (the
+        # hits probe found the files holding them), so this yields the
+        # identical key set while reading only the touched files —
+        # dropping the merge's second full-table scan.
         matched_keys = (
-            ns_join(tgt, gate(keys_df), "left_semi")
+            ns_join(tdf, gate(keys_df), "left_semi")
             .select(*keys).distinct().localCheckpoint(eager=False)
         )
         upd_src = ns_join(src, gate(matched_keys), "left_semi")
         inserts = ns_join(src, gate(matched_keys), "left_anti")
 
-        tdf = _align(self._touched_df(snap, touched), target_schema)
         survivors = ns_join(tdf, gate(keys_df), "left_anti")
         pre = ns_join(tdf, gate(keys_df), "left_semi")
         # Columns the ORIGINAL source doesn't carry must keep the

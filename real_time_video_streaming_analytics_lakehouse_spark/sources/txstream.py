@@ -22,8 +22,9 @@ Semantics (matching Delta's streaming source for append-style tables):
   to Delta's documented behavior: the commit's added files ARE
   emitted, so updated rows are re-delivered (consumers must be
   idempotent / keyed).
-* ``.option("startingVersion", N)`` starts tailing after commit N
-  (default 0 = emit the whole table history from the first commit).
+* ``.option("startingVersion", N)`` starts tailing FROM commit N
+  inclusive — Delta's documented contract — (default 0 = emit the
+  whole table history, including a bootstrap-adopted commit 0).
 
 Scale shape: ``partitions(start, end)`` is driver-side log metadata
 only (one ``InputPartition`` per added file); the actual parquet
@@ -68,9 +69,18 @@ class _AddedFile(InputPartition):
 
 
 def _coerce_partition_value(raw: str, simple_type: str):
-    """Hive-style partition dir value → typed Python value."""
+    """Hive-style partition dir value → typed Python value.
+
+    Values are stored percent-escaped by the writer (a string
+    partition value ``"a b"`` lands as ``col=a%20b``), so unescape
+    FIRST. Types outside the supported set fail here with a clear
+    driver-side error instead of an executor-side ArrowInvalid when
+    the batch is materialized."""
     if raw is None or raw == _HIVE_NULL:
         return None
+    from urllib.parse import unquote
+
+    raw = unquote(raw)
     if simple_type in ("tinyint", "smallint", "int", "bigint"):
         return int(raw)
     if simple_type in ("float", "double"):
@@ -79,7 +89,13 @@ def _coerce_partition_value(raw: str, simple_type: str):
         return dt.date.fromisoformat(raw)
     if simple_type == "boolean":
         return raw.lower() == "true"
-    return raw
+    if simple_type == "string":
+        return raw
+    raise NotImplementedError(
+        f"txtable stream: unsupported partition column type "
+        f"{simple_type!r} (supported: int/float/date/boolean/string); "
+        f"partition the table on a supported type or read it in batch"
+    )
 
 
 class TxTableStreamReader(DataSourceStreamReader):
@@ -97,11 +113,20 @@ class TxTableStreamReader(DataSourceStreamReader):
     # -- offsets -----------------------------------------------------------
 
     def initialOffset(self) -> dict:
-        return {"version": self.starting_version}
+        # Offsets are EXCLUSIVE lower bounds (partitions() takes
+        # lo < v <= hi), so the initial offset sits one BELOW the first
+        # version to emit — {starting_version} itself would silently
+        # skip that commit. With the default startingVersion=0 the
+        # offset is -1 and commit 0's adds are delivered, which is what
+        # makes bootstrap-adopted tables (ALL pre-existing files land
+        # in commit 0) streamable at all.
+        return {"version": self.starting_version - 1}
 
     def latestOffset(self) -> dict:
         versions = _list_versions(self.path)
-        return {"version": versions[-1] if versions else self.starting_version}
+        return {
+            "version": versions[-1] if versions else self.starting_version - 1
+        }
 
     # -- planning (driver-side, metadata only) -----------------------------
 

@@ -426,3 +426,33 @@ def test_filter_by_quantile_exact_and_approx(spark):
     assert filter_by_quantile(df, "score", 0.0, exact=True).count() == 200
     with pytest.raises(ValueError):
         filter_by_quantile(df, "score", 1.5)
+
+
+def test_filter_by_quantile_keeps_null_strata(spark):
+    """NULL-stratum rows (missing language/domain) must be gated within
+    their own group, not silently dropped — approx path ≡ exact path."""
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.text import filter_by_quantile
+
+    rows = [("en", float(i)) for i in range(10)] + [
+        (None, float(i)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "lang STRING, score DOUBLE")
+    approx = filter_by_quantile(df, "score", 0.5, strata_col="lang")
+    a = {(r["lang"], r["score"]) for r in approx.collect()}
+    # the NULL stratum is gated IDENTICALLY to a named stratum with
+    # the same scores (both survive the join and share one threshold
+    # semantics) — previously every NULL-stratum row vanished
+    en = {s for lang, s in a if lang == "en"}
+    nul = {s for lang, s in a if lang is None}
+    assert nul == en and nul, "NULL stratum dropped or gated differently"
+
+
+def test_fingerprint_null_text_is_null_not_empty_hash(spark):
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.text import doc_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "")], "doc_id BIGINT, text STRING"
+    )
+    got = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprint(df).collect()}
+    assert got[1] is None
+    assert got[2] is not None

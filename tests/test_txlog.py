@@ -894,3 +894,42 @@ def test_merge_null_key_rows_update_not_duplicate(spark, tmp_path):
     rows = {r["k"]: r["v"] for r in t.read().collect()}
     assert rows == {"a": 1, None: 30}
     assert t.read().count() == 2
+
+
+def test_delete_keeps_null_condition_rows(spark, tmp_path):
+    """DELETE removes rows where cond is TRUE; rows where it is NULL
+    (e.g. x > 5 over NULL x) are SURVIVORS, not silent losses — Delta
+    semantics. The CDC delete rows carry only the true matches."""
+    from pyspark.sql.types import StructType
+
+    ddl = "id INT, x INT"
+    t = TxTable.create(
+        spark, str(tmp_path / "nd"), StructType.fromDDL(ddl),
+        properties={"delta.enableChangeDataFeed": "true"},
+    )
+    t.write(spark.createDataFrame([(1, 1), (2, 10), (3, None)], ddl))
+    t.delete(F.col("x") > 5)
+    rows = {r["id"]: r["x"] for r in t.read().collect()}
+    assert rows == {1: 1, 3: None}
+    deleted = (
+        t.change_feed(from_version=2)
+        .filter(F.col("_change_type") == "delete")
+        .collect()
+    )
+    assert [r["id"] for r in deleted] == [2]
+
+
+def test_vacuum_collects_crashed_stage_dirs(spark, tmp_path, table):
+    """A writer that dies between staging and renaming leaks a full
+    sibling copy (`<root>__stage_*`); vacuum past retention must
+    reclaim it (the module docstring's crash-garbage promise)."""
+    import os
+
+    table.write(_df(spark, [(1, "2024-01-01", 1)]))
+    stage = table.root + "__stage_v9_deadbeef"
+    os.makedirs(stage, exist_ok=True)
+    with open(os.path.join(stage, "part-crashed.parquet"), "wb") as f:
+        f.write(b"crash")
+    doomed = table.vacuum(retention_hours=0)
+    assert not os.path.exists(stage)
+    assert any("__stage_v9_deadbeef" in p for p in doomed)

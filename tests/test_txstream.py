@@ -123,13 +123,21 @@ def test_stream_serves_evolved_schema_with_nullfill(registered, tmp_path):
 
 
 def test_stream_starting_version(registered, tmp_path):
+    """startingVersion is INCLUSIVE — Delta's documented contract
+    ("all table changes starting from this version (inclusive)").
+    Round-5 fix: the reader previously treated it as exclusive, which
+    also silently skipped commit 0 under the default and lost every
+    bootstrap-adopted row."""
     spark = registered
     t = TxTable.create(spark, str(tmp_path / "s"), SCHEMA)
     t.write(spark.createDataFrame([(1, "a", 1)], SCHEMA))  # v1
     t.write(spark.createDataFrame([(2, "a", 2)], SCHEMA))  # v2
     got = _drain(spark, t.root, str(tmp_path / "out"),
-                 str(tmp_path / "ckpt"), startingVersion="1")
-    assert got == [(2, "a", 2)]  # commits <= 1 skipped
+                 str(tmp_path / "ckpt"), startingVersion="2")
+    assert got == [(2, "a", 2)]  # commits < 2 skipped, v2 delivered
+    got_all = _drain(spark, t.root, str(tmp_path / "out1"),
+                     str(tmp_path / "ckpt1"), startingVersion="1")
+    assert got_all == [(1, "a", 1), (2, "a", 2)]  # v1 included
 
 
 def test_stream_nullfills_evolved_timestamp_and_array_columns(
@@ -192,3 +200,36 @@ def test_stream_raises_documented_error_on_vacuumed_commit(
     t.vacuum(retention_hours=0)
     with pytest.raises(Exception, match="VACUUM"):
         _drain(spark, t.root, out, ckpt)
+
+
+def test_stream_delivers_bootstrap_adopted_commit_zero(spark, tmp_path):
+    """Offsets are exclusive lower bounds, so the initial offset must
+    sit BELOW startingVersion: a bootstrap-adopted table carries ALL
+    its pre-existing files in commit 0, and a default stream must
+    deliver them (the pre-txlog upgrade path)."""
+    import glob
+    import os
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.txlog import TxTable
+
+    target = str(tmp_path / "boot")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id INT, v STRING"
+    ).write.parquet(target)
+    assert glob.glob(f"{target}/*.parquet")
+    t = TxTable.bootstrap(spark, target)
+    assert t.read().count() == 2
+
+    out_dir = str(tmp_path / "boot_out")
+    q = (
+        spark.readStream.format("txtable")
+        .load(target)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", f"{tmp_path}/boot_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["id"], r["v"]) for r in spark.read.parquet(out_dir).collect()}
+    assert got == {(1, "a"), (2, "b")}
