@@ -68,17 +68,22 @@ def sample_key(key_cols: list[str | Column], seed: str = "") -> Column:
     ``md5(seed | key₁ | key₂ | …)`` (lowercase, fixed width — string
     order ≡ numeric order on the 32-bit value).
 
-    NULL key components encode as a NUL byte rather than vanishing:
-    ``concat_ws`` silently drops NULL elements AND their separator, so
-    without the coalesce the keys ``('x', NULL)`` and ``(NULL, 'x')``
-    would collide (identical draw, permanently correlated fate) and
-    all-NULL keys would hash to the constant ``md5(seed)``. Non-NULL
-    keys hash exactly as before. SQL mirror:
-    ``coalesce(CAST(c AS VARCHAR), chr(0))`` per component."""
+    Each key component is tagged with a one-char null marker —
+    ``'n'`` for NULL, ``'v' + CAST(c AS STRING)`` otherwise — so NULL
+    never collides with ANY value (including a genuine NUL byte or a
+    value casting to one; a bare ``coalesce(c, sentinel)`` encoding
+    collides with rows whose value IS the sentinel). It also keeps
+    ``('x', NULL)`` ≠ ``(NULL, 'x')``: ``concat_ws`` alone would drop
+    NULL elements AND their separator. SQL mirror per component:
+    ``CASE WHEN c IS NULL THEN 'n' ELSE 'v' || CAST(c AS VARCHAR) END``.
+    """
     cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
     parts: list[Column] = [F.lit(seed)]
     for c in cols:
-        parts.append(F.coalesce(c.cast("string"), F.lit("\x00")))
+        parts.append(
+            F.when(c.isNull(), F.lit("n"))
+            .otherwise(F.concat(F.lit("v"), c.cast("string")))
+        )
     return F.substring(F.md5(F.concat_ws(_SEP, *parts)), 1, 8)
 
 

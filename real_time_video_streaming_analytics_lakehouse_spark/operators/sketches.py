@@ -219,15 +219,31 @@ def cms_estimate(
     is ≤ depth×width rows per group — broadcastable; the probe is
     ``depth`` equi-join rows per item, no wide stage beyond the final
     per-item min. NULL probe values are dropped (NULLs are outside the
-    sketched population — see :func:`cms_build`)."""
+    sketched population — see :func:`cms_build`).
+
+    The key match is NULL-SAFE (``<=>``), mirroring
+    :func:`combine_sketch_tables`: a NULL key GROUP (e.g. ``to_date``
+    of a corrupt timestamp) is a legitimate sketched group, and a plain
+    equi-join would never match it — estimating its every value as 0
+    and silently breaking the never-undercounts guarantee for exactly
+    the dirty-data groups sketches exist to count."""
     _cms_guard(keys, value_col)
     probes = items.filter(F.col(value_col).isNotNull()).select(
         *keys,
         F.col(value_col),
         _cms_rows(value_col, depth, width, seed),
     ).select(*keys, value_col, "_rb._d", "_rb._b")
+    sk = sketch.select(
+        *[F.col(k).alias(f"_sk_{k}") for k in keys],
+        F.col("_d").alias("_sk_d"),
+        F.col("_b").alias("_sk_b"),
+        F.col("cnt"),
+    )
+    cond = (F.col("_d") == F.col("_sk_d")) & (F.col("_b") == F.col("_sk_b"))
+    for k in keys:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"_sk_{k}"))
     return (
-        probes.join(sketch, [*keys, "_d", "_b"], "left_outer")
+        probes.join(sk, cond, "left_outer")
         .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
         .groupBy(*keys, value_col)
         .agg(F.min("cnt").alias(estimate_col))

@@ -250,7 +250,8 @@ def interval_join(
         for c in (*left.columns, *right.columns)
         # s_us/e_us collide with the internal _l_s_us/_r_e_us carriers
         # AFTER tagging, since every non-key column gets the same prefix
-        if c in ("_bin", "s_us", "e_us") or c.startswith(("_l_", "_r_"))
+        if c in ("_bin", "_rbin", "s_us", "e_us")
+        or c.startswith(("_l_", "_r_", "_rk_"))
     }
     if clash:
         raise ValueError(
@@ -271,33 +272,42 @@ def interval_join(
             f"{dupes}; pick a different suffix or rename the inputs"
         )
 
-    def binned(df: DataFrame, start: str, end: str, tag: str) -> DataFrame:
+    def binned(df: DataFrame, start: str, end: str, tag: str,
+               key_tag: str = "", bin_name: str = "_bin") -> DataFrame:
         s_us, e_us = epoch_us(F.col(start)), epoch_us(F.col(end))
         cols = [
             F.col(c).alias(f"{tag}{c}") for c in df.columns if c not in keys
         ]
         return df.select(
-            *keys,
+            *[F.col(k).alias(f"{key_tag}{k}") for k in keys],
             *cols,
             F.explode(
                 F.sequence(floor_div(s_us, bin_width_us),
                            floor_div(e_us, bin_width_us))
-            ).alias("_bin"),
+            ).alias(bin_name),
             s_us.alias(f"{tag}s_us"),
             e_us.alias(f"{tag}e_us"),
         )
 
     l = binned(left, left_start, left_end, "_l_")
-    r = binned(right, right_start, right_end, "_r_")
+    r = binned(right, right_start, right_end, "_r_",
+               key_tag="_rk_", bin_name="_rbin")
     ls, le = F.col("_l_s_us"), F.col("_l_e_us")
     rs, re_ = F.col("_r_s_us"), F.col("_r_e_us")
     overlap = (ls <= re_) & (rs <= le)
     canonical = floor_div(F.greatest(ls, rs), bin_width_us) == F.col("_bin")
     # (bin, keys) equi-join; overlap + canonical-bin filters ride the
-    # same stage, so no post-join dedup pass is needed.
-    joined = l.join(r, ["_bin", *keys]).filter(overlap & canonical)
+    # same stage, so no post-join dedup pass is needed. Keys compare
+    # NULL-SAFE (``<=>`` — still a hash-joinable equi-predicate, the
+    # no-NLJ plan pin holds): NULL-key rows pair with NULL-key rows,
+    # matching asof_join's partitionBy treatment of NULL keys, instead
+    # of silently never pairing under plain `=` semantics.
+    cond = F.col("_bin") == F.col("_rbin")
+    for k in keys:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"_rk_{k}"))
+    joined = l.join(r, cond).filter(overlap & canonical)
     return joined.select(
-        *keys,
+        *[F.col(k) for k in keys],
         *[
             F.col(f"_l_{c}").alias(c)
             for c in left.columns

@@ -70,9 +70,17 @@ Scale notes (the parts that matter at 100 TB):
     see row-level changes, not the rewritten file's carried-over rows,
     and OPTIMIZE (``dataChange=false``) is invisible to the feed.
 
-Local-FS only, like the repo's other directory-swap fallbacks — object
-stores need a real put-if-absent primitive (see
-:func:`.util.require_local_dir`).
+The COMMIT plane (publish / list / read commits, checkpoints, the
+``_last_checkpoint`` pointer) is pluggable via
+:mod:`.commitstore` — put-if-absent is the only atomic primitive the
+protocol needs, implemented as ``os.link`` locally and as a
+conditional PUT on object stores; the in-memory conditional-PUT store
+proves the concurrency machinery is independent of local-FS rename
+semantics. The DATA plane in this sandbox is local-FS (staged files
+are renamed to final writer-unique names), but nothing correctness-
+critical rests on that: data files are immutable, uniquely named, and
+invisible until the commit references them, so an object-store
+deployment simply uploads them before committing.
 """
 
 from __future__ import annotations
@@ -89,7 +97,14 @@ from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
-from .util import require_local_dir
+from .commitstore import (
+    CommitConflictError,
+    checkpoint_from_bytes,
+    checkpoint_to_bytes,
+    normalize_root,
+    register_store,
+    store_for,
+)
 
 _LOG_DIR = "_txlog"
 _CDC_DIR = "_change_data"
@@ -133,61 +148,31 @@ def _checkpoint_path(root: str, version: int) -> str:
 
 
 def _list_versions(root: str) -> list[int]:
-    d = _log_dir(root)
-    if not os.path.isdir(d):
-        return []
-    out = []
-    for name in os.listdir(d):
-        if name.endswith(".json") and not name.endswith(".tmp.json"):
-            try:
-                out.append(int(name[: -len(".json")]))
-            except ValueError:
-                continue
-    return sorted(out)
+    return store_for(root).list_commits()
 
 
 def _list_checkpoints(root: str) -> list[int]:
-    d = _log_dir(root)
-    if not os.path.isdir(d):
-        return []
-    out = []
-    for name in os.listdir(d):
-        if name.endswith(".checkpoint.parquet"):
-            try:
-                out.append(int(name[: -len(".checkpoint.parquet")]))
-            except ValueError:
-                continue
-    return sorted(out)
+    return store_for(root).list_checkpoints()
 
 
 def _read_commit(root: str, version: int) -> dict:
-    with open(_commit_path(root, version)) as f:
-        return json.load(f)
+    return store_for(root).read_commit(version)
 
 
 def _publish_commit(root: str, version: int, action: dict) -> None:
-    """Put-if-absent commit: stage then hard-link to the final name.
-
-    ``os.link`` raises ``FileExistsError`` if the target exists — the
-    atomic "claim version N" primitive. Losing the race raises
-    :class:`ConcurrentWriteError` so the caller can re-resolve the
-    snapshot and retry, exactly Delta's optimistic-concurrency contract.
+    """Put-if-absent commit through the root's
+    :class:`~.commitstore.CommitStore` — the atomic "claim version N"
+    primitive (``os.link`` on local FS, conditional PUT on object
+    stores). Losing the race raises :class:`ConcurrentWriteError` so
+    the caller can re-resolve the snapshot and retry, exactly Delta's
+    optimistic-concurrency contract.
     """
-    os.makedirs(_log_dir(root), exist_ok=True)
-    final = _commit_path(root, version)
-    tmp = final + f".{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp.json"
-    with open(tmp, "w") as f:
-        json.dump(action, f, separators=(",", ":"))
-        f.flush()
-        os.fsync(f.fileno())
     try:
-        os.link(tmp, final)
-    except FileExistsError:
+        store_for(root).put_commit_if_absent(version, action)
+    except CommitConflictError:
         raise ConcurrentWriteError(
             f"version {version} of {root} was committed concurrently"
         ) from None
-    finally:
-        os.unlink(tmp)
 
 
 # ---------------------------------------------------------------------------
@@ -287,9 +272,7 @@ class Snapshot:
 
 def _load_checkpoint(root: str, version: int):
     """Read one parquet log checkpoint back into replay state."""
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(_checkpoint_path(root, version))
+    t = checkpoint_from_bytes(store_for(root).read_checkpoint(version))
     meta = {
         k.decode(): v.decode()
         for k, v in (t.schema.metadata or {}).items()
@@ -454,9 +437,28 @@ class TxTable:
     checkpoint_interval: int = 10
 
     def __init__(self, spark: SparkSession, path: str,
-                 checkpoint_interval: int | None = None):
+                 checkpoint_interval: int | None = None,
+                 store=None):
         self.spark = spark
-        self.root = require_local_dir(path).rstrip("/")
+        self.root = normalize_root(path)
+        if store is not None:
+            # Route this table's commit plane through the given
+            # CommitStore (registered so module-level log reads —
+            # snapshot resolution, history, vacuum — resolve to it too).
+            register_store(self.root, store)
+        else:
+            # No pluggable store: both planes are files, so refuse
+            # object-store schemes loudly — their lack of an atomic
+            # rename/link is exactly what a registered CommitStore
+            # (conditional PUT) exists to solve.
+            scheme = path.split("://", 1)[0] if "://" in path else ""
+            if scheme not in ("", "file"):
+                raise ValueError(
+                    f"TxTable at {path!r}: scheme {scheme!r} has no atomic "
+                    f"rename/link for the default file-based commit log; "
+                    f"pass/register a CommitStore with put-if-absent "
+                    f"semantics (e.g. a conditional-PUT object-store store)"
+                )
         if checkpoint_interval is not None:
             self.checkpoint_interval = checkpoint_interval
         #: observability: did the last merge() broadcast its key probe?
@@ -467,11 +469,12 @@ class TxTable:
     @classmethod
     def create(cls, spark: SparkSession, path: str, schema: StructType,
                partition_by: list[str] | None = None,
-               properties: dict | None = None) -> "TxTable":
+               properties: dict | None = None,
+               store=None) -> "TxTable":
         """Empty-table create with schema + properties (S8;
         reference ``delta_setup.py:450-505``). Version 0 holds the
         schema and table properties and zero files."""
-        t = cls(spark, path)
+        t = cls(spark, path, store=store)
         os.makedirs(t.root, exist_ok=True)
         if _list_versions(t.root):
             raise FileExistsError(f"table already exists at {t.root}")
@@ -563,7 +566,7 @@ class TxTable:
     @classmethod
     def exists(cls, spark: SparkSession, path: str) -> bool:
         try:
-            return bool(_list_versions(require_local_dir(path).rstrip("/")))
+            return store_for(normalize_root(path)).log_exists()
         except OSError:
             return False
 
@@ -652,9 +655,9 @@ class TxTable:
         instead of replaying the whole log — the difference between
         O(interval) and O(history) driver work at millions of files.
         Idempotent and race-safe: concurrent writers produce identical
-        content for the same version; ``os.replace`` is atomic."""
+        content for the same version, and the store's checkpoint write
+        is an atomic whole-object replace."""
         import pyarrow as pa
-        import pyarrow.parquet as pq
 
         snap = _resolve(self.root, version)
         rows = list(snap.files.values())
@@ -684,15 +687,9 @@ class TxTable:
             "properties": json.dumps(snap.properties),
             "partition_by": json.dumps(snap.partition_by),
         })
-        final = _checkpoint_path(self.root, version)
-        tmp = final + f".{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
-        pq.write_table(table, tmp)
-        os.replace(tmp, final)
-        ptr = os.path.join(_log_dir(self.root), _LAST_CHECKPOINT)
-        ptr_tmp = ptr + f".{os.getpid()}.tmp"
-        with open(ptr_tmp, "w") as f:
-            json.dump({"version": version}, f)
-        os.replace(ptr_tmp, ptr)
+        store = store_for(self.root)
+        store.write_checkpoint(version, checkpoint_to_bytes(table))
+        store.write_pointer({"version": version})
 
     def _commit(self, base_version: int, build_action, removes: list[str],
                 exclusive: bool = False, max_retries: int = 20) -> int:
@@ -1064,6 +1061,12 @@ class TxTable:
         # rename would leak a full copy of the written data forever.
         parent = os.path.dirname(self.root.rstrip("/")) or "."
         base = os.path.basename(self.root.rstrip("/"))
+        # Stage dirs are reported as ABSOLUTE paths (they live outside
+        # the table root, so a root-relative path would escape via
+        # `..` and break the relative-under-root contract of the other
+        # entries) and deleted via rmtree directly — the unlink-then-
+        # catch-IsADirectoryError dance is Linux-specific (macOS raises
+        # PermissionError for unlink-on-dir).
         stage_dirs = []
         for entry in sorted(os.listdir(parent)):
             if not entry.startswith(f"{base}__stage_"):
@@ -1071,17 +1074,16 @@ class TxTable:
             full = os.path.join(parent, entry)
             if os.path.isdir(full) and os.path.getmtime(full) * 1000 <= cutoff_ms:
                 stage_dirs.append(full)
-                doomed.append(os.path.relpath(full, self.root))
         if not dry_run:
             for p in doomed:
                 full = os.path.join(self.root, p)
                 try:
                     os.unlink(full)
-                except IsADirectoryError:
-                    shutil.rmtree(full, ignore_errors=True)
                 except FileNotFoundError:
                     pass
-        return doomed
+            for full in stage_dirs:
+                shutil.rmtree(full, ignore_errors=True)
+        return doomed + stage_dirs
 
     # -- change data feed --------------------------------------------------
 

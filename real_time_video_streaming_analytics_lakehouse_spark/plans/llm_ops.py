@@ -755,18 +755,20 @@ def training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # thresholds: 0.25 → 0x40000000, 0.5 → 0x80000000 (fraction · 2³² in
-# hex); seeds/separators mirror operators/sampling.py::sample_key
+# hex); seeds/separators/'v'-null-marker mirror
+# operators/sampling.py::sample_key (doc_id is non-null here, so the
+# component encodes as 'v' || value)
 TRAINING_MIX_SAMPLE_SQL = """
 SELECT 'quota' AS method, doc_id, lang, source FROM (
   SELECT doc_id, lang, source, ROW_NUMBER() OVER (
       PARTITION BY lang
-      ORDER BY substr(md5('mixq|' || CAST(doc_id AS VARCHAR)), 1, 8),
+      ORDER BY substr(md5('mixq|v' || CAST(doc_id AS VARCHAR)), 1, 8),
                doc_id) AS rk
   FROM documents) WHERE rk <= 40
 UNION ALL
 SELECT 'stratified' AS method, doc_id, lang, source
 FROM documents
-WHERE substr(md5('mixs|' || CAST(doc_id AS VARCHAR)), 1, 8) <
+WHERE substr(md5('mixs|v' || CAST(doc_id AS VARCHAR)), 1, 8) <
       CASE lang WHEN 'en' THEN '40000000'
                 WHEN 'de' THEN '80000000'
                 WHEN 'es' THEN '80000000'
@@ -777,7 +779,7 @@ UNION ALL
 SELECT 'mix_en' AS method, doc_id, lang, source
 FROM documents
 WHERE lang = 'en'
-  AND substr(md5('mixm|en|' || CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+  AND substr(md5('mixm|en|v' || CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
 UNION ALL
 SELECT 'mix_rest' AS method, doc_id, lang, source
 FROM documents

@@ -123,10 +123,14 @@ class TxTableStreamReader(DataSourceStreamReader):
         return {"version": self.starting_version - 1}
 
     def latestOffset(self) -> dict:
+        # Clamped at the initial offset: with startingVersion above the
+        # table's current max, reporting the (smaller) max would be an
+        # offset REGRESSION vs the committed/initial offset, which
+        # Structured Streaming may reject on restart. The clamp makes
+        # that case plan clean empty ranges until the table catches up.
         versions = _list_versions(self.path)
-        return {
-            "version": versions[-1] if versions else self.starting_version - 1
-        }
+        latest = versions[-1] if versions else self.starting_version - 1
+        return {"version": max(latest, self.starting_version - 1)}
 
     # -- planning (driver-side, metadata only) -----------------------------
 

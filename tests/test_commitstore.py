@@ -1,0 +1,310 @@
+"""Pluggable commit store: the txlog protocol on a conditional-PUT fake.
+
+The native log's whole D1–D8 story (operators/txlog.py) rests on one
+atomic primitive — put-if-absent of commit N. operators/commitstore.py
+makes that primitive pluggable; these tests run the transaction-log
+matrix (create / append / time travel / restore / DML / CDF /
+checkpoints / vacuum / optimistic concurrency) against
+:class:`InMemoryCommitStore`, whose semantics are an object store's
+conditional PUT (no rename, no hard link, no directory listing) — so
+everything green here is independent of local-FS rename semantics,
+closing the "the log only works on a local filesystem" gap at the
+100 TB target where tables live on S3/GCS.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from real_time_video_streaming_analytics_lakehouse_spark.operators.commitstore import (
+    CommitConflictError,
+    InMemoryCommitStore,
+    LocalFileCommitStore,
+    store_for,
+    unregister_store,
+)
+from real_time_video_streaming_analytics_lakehouse_spark.operators.txlog import (
+    ConcurrentWriteError,
+    TxTable,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("day", StringType()),
+        StructField("v", IntegerType()),
+    ]
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+@pytest.fixture()
+def mem_table(spark, tmp_path):
+    """A TxTable whose DATA files are local parquet but whose ENTIRE
+    commit plane lives in the in-memory conditional-PUT store."""
+    path = str(tmp_path / "t")
+    t = TxTable.create(
+        spark,
+        path,
+        SCHEMA,
+        partition_by=["day"],
+        properties={"delta.enableChangeDataFeed": "true"},
+        store=InMemoryCommitStore(),
+    )
+    yield t
+    unregister_store(path)
+
+
+# -- store-level semantics -------------------------------------------------
+
+
+def test_conditional_put_claims_version_exactly_once():
+    s = InMemoryCommitStore()
+    s.put_commit_if_absent(0, {"version": 0})
+    with pytest.raises(CommitConflictError):
+        s.put_commit_if_absent(0, {"version": 0, "other": "writer"})
+    assert s.list_commits() == [0]
+    assert s.read_commit(0) == {"version": 0}  # first writer won
+
+
+def test_store_payloads_are_isolated_copies():
+    # object-store semantics: a caller mutating its dict after PUT (or
+    # the dict handed back by GET) must not corrupt the stored commit
+    s = InMemoryCommitStore()
+    action = {"version": 0, "add": []}
+    s.put_commit_if_absent(0, action)
+    action["add"].append("sneaky.parquet")
+    got = s.read_commit(0)
+    assert got["add"] == []
+    got["add"].append("also-sneaky")
+    assert s.read_commit(0)["add"] == []
+
+
+def test_store_checkpoint_and_pointer_roundtrip():
+    s = InMemoryCommitStore()
+    assert s.read_pointer() is None
+    s.write_checkpoint(10, b"parquet-bytes")
+    s.write_pointer({"version": 10})
+    assert s.list_checkpoints() == [10]
+    assert s.read_checkpoint(10) == b"parquet-bytes"
+    assert s.read_pointer() == {"version": 10}
+    assert s.log_exists()
+
+
+def test_concurrent_puts_single_winner_threaded():
+    s = InMemoryCommitStore()
+    barrier = threading.Barrier(8)
+    outcomes = []
+
+    def claim(i):
+        barrier.wait(timeout=30)
+        try:
+            s.put_commit_if_absent(5, {"version": 5, "writer": i})
+            outcomes.append(("win", i))
+        except CommitConflictError:
+            outcomes.append(("lose", i))
+
+    threads = [threading.Thread(target=claim, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    wins = [o for o in outcomes if o[0] == "win"]
+    assert len(outcomes) == 8 and len(wins) == 1
+
+
+def test_unregistered_root_falls_back_to_local_files(tmp_path):
+    assert isinstance(store_for(str(tmp_path)), LocalFileCommitStore)
+
+
+def test_object_store_scheme_without_store_refused(spark):
+    # no conditional-PUT store registered -> the file-based default
+    # would silently depend on rename semantics s3 doesn't have
+    with pytest.raises(ValueError, match="put-if-absent"):
+        TxTable(spark, "s3://bucket/table")
+
+
+def test_object_store_scheme_with_store_accepted(spark):
+    t = TxTable(spark, "s3://bucket/table", store=InMemoryCommitStore())
+    try:
+        assert not TxTable.exists(spark, "s3://bucket/table")
+    finally:
+        unregister_store(t.root)
+
+
+# -- the txlog matrix on the fake ------------------------------------------
+
+
+def test_mem_no_local_log_directory_ever_exists(spark, mem_table):
+    mem_table.write(_df(spark, [(1, "a", 1)]))
+    mem_table.delete(F.col("id") == 1)
+    # the proof the commit plane has no hidden local-FS dependency:
+    # data files exist on disk, the log directory never does
+    assert os.path.isdir(mem_table.root)
+    assert not os.path.exists(os.path.join(mem_table.root, "_txlog"))
+
+
+def test_mem_append_overwrite_time_travel(spark, mem_table):
+    mem_table.write(_df(spark, [(1, "a", 1), (2, "b", 2)]))
+    mem_table.write(_df(spark, [(3, "a", 3)]))
+    mem_table.write(_df(spark, [(9, "c", 9)]), mode="overwrite")
+    assert mem_table.read().count() == 1
+    assert mem_table.read(version=2).count() == 3
+    assert {r.id for r in mem_table.read(version=1).collect()} == {1, 2}
+
+
+def test_mem_restore(spark, mem_table):
+    mem_table.write(_df(spark, [(1, "a", 1)]))
+    mem_table.write(_df(spark, [(2, "b", 2)]))
+    mem_table.restore_to_version(1)
+    assert {r.id for r in mem_table.read().collect()} == {1}
+
+
+def test_mem_dml_and_change_feed(spark, mem_table):
+    mem_table.write(_df(spark, [(1, "a", 1), (2, "a", 2), (3, "b", 3)]))
+    mem_table.delete(F.col("id") == 1)
+    mem_table.update(F.col("id") == 2, {"v": F.lit(20)})
+    got = {(r.id, r.v) for r in mem_table.read().collect()}
+    assert got == {(2, 20), (3, 3)}
+    feed = mem_table.change_feed(2).select("id", "_change_type").collect()
+    assert ("1", "delete") not in feed  # types: id is long
+    by_type = {}
+    for r in feed:
+        by_type.setdefault(r["_change_type"], set()).add(r["id"])
+    assert by_type["delete"] == {1}
+    assert by_type["update_preimage"] == {2}
+    assert by_type["update_postimage"] == {2}
+
+
+def test_mem_merge_upsert(spark, mem_table):
+    mem_table.write(_df(spark, [(1, "a", 1), (2, "a", 2)]))
+    src = _df(spark, [(2, "a", 20), (4, "b", 4)])
+    mem_table.merge(src, keys=["id"])
+    got = {(r.id, r.v) for r in mem_table.read().collect()}
+    assert got == {(1, 1), (2, 20), (4, 4)}
+
+
+def test_mem_txn_version(spark, mem_table):
+    assert mem_table.txn_version("app") is None
+    mem_table.write(_df(spark, [(1, "a", 1)]),
+                    params={"txnAppId": "app", "txnVersion": 7})
+    assert mem_table.txn_version("app") == 7
+
+
+def test_mem_checkpoint_consolidates_and_resolves(spark, tmp_path):
+    path = str(tmp_path / "ckpt")
+    store = InMemoryCommitStore()
+    t = TxTable.create(spark, path, SCHEMA, partition_by=["day"],
+                       store=store)
+    t.checkpoint_interval = 5
+    try:
+        for i in range(6):
+            t.write(_df(spark, [(i, "a", i)]))
+        assert store.list_checkpoints() == [5]
+        # drop the pre-checkpoint commits from the store: resolution
+        # must come from the checkpoint manifest + the tail commits
+        for v in range(5):
+            del store._commits[v]
+        assert t.read().count() == 6
+        assert t.snapshot().version == 6
+    finally:
+        unregister_store(path)
+
+
+def test_mem_vacuum_collects_tombstones(spark, mem_table):
+    mem_table.write(_df(spark, [(1, "a", 1)]))
+    mem_table.write(_df(spark, [(2, "a", 2)]), mode="overwrite")
+    doomed = mem_table.vacuum(retention_hours=0)
+    assert doomed  # the overwritten generation's files
+    for p in doomed:
+        rel = p if os.path.isabs(p) else os.path.join(mem_table.root, p)
+        assert not os.path.exists(rel)
+    assert mem_table.read().count() == 1
+
+
+# -- optimistic concurrency on conditional PUT -----------------------------
+
+
+def test_mem_disjoint_appends_auto_retry(spark, mem_table, monkeypatch):
+    from real_time_video_streaming_analytics_lakehouse_spark.operators import txlog
+
+    orig = txlog._publish_commit
+    state = {"raced": False}
+
+    def racing(root, version, action):
+        if not state["raced"] and action.get("operation") == "APPEND":
+            state["raced"] = True
+            orig(root, version, {
+                "version": version, "timestamp_ms": 0,
+                "operation": "APPEND", "operationParameters": {},
+                "add": [], "remove": [],
+            })
+        orig(root, version, action)
+
+    monkeypatch.setattr(txlog, "_publish_commit", racing)
+    v = mem_table.write(_df(spark, [(1, "a", 1)]))
+    assert state["raced"]
+    assert v == 2  # lost version 1 to the interloper, retried onto 2
+    assert mem_table.read().count() == 1
+
+
+def test_mem_overlapping_rewrite_raises(spark, mem_table, monkeypatch):
+    from real_time_video_streaming_analytics_lakehouse_spark.operators import txlog
+
+    mem_table.write(_df(spark, [(1, "a", 1), (2, "a", 2)]).coalesce(1))
+    victim = sorted(mem_table.snapshot().files)[0]
+    orig = txlog._publish_commit
+    state = {"raced": False}
+
+    def racing(root, version, action):
+        if not state["raced"] and action.get("operation") == "DELETE":
+            state["raced"] = True
+            orig(root, version, {
+                "version": version, "timestamp_ms": 0,
+                "operation": "DELETE", "operationParameters": {},
+                "add": [], "remove": [victim],
+            })
+        orig(root, version, action)
+
+    monkeypatch.setattr(txlog, "_publish_commit", racing)
+    with pytest.raises(ConcurrentWriteError, match="rewrote"):
+        mem_table.delete(F.col("id") == 1)
+
+
+def test_mem_threaded_appends_both_commit(spark, mem_table):
+    barrier = threading.Barrier(2)
+    errors = []
+
+    def writer(day, n):
+        try:
+            df = _df(spark, [(i, day, i) for i in range(n)])
+            barrier.wait(timeout=30)
+            mem_table.write(df)
+        except Exception as e:  # pragma: no cover - surfaced via assert
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=("a", 3)),
+        threading.Thread(target=writer, args=("b", 4)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert errors == []
+    assert mem_table.read().count() == 7
+    assert mem_table.snapshot().version == 2
