@@ -15,6 +15,15 @@ relational queries 3-7x run-to-run, which buried real regressions —
 min-of-N is the standard load-noise filter (the minimum is the run
 least disturbed by the host). The JSON carries ``runs`` so rounds stay
 comparable.
+
+Round 6 de-noising (the 46-54 s same-HEAD band at runs=3 hid sub-25%
+per-query regressions): the TOP-10 most expensive queries get extra
+passes up to ``$SPARK_GRAFT_BENCH_TOP_RUNS`` (default 5) total — they
+dominate the total AND its variance, so min-of-5 there buys most of
+min-of-5-everywhere at a fifth of the wall-clock cost — and the JSON
+records 1-minute ``os.getloadavg()`` markers (start, post-warmup, after
+each pass) so cross-round diffs can discard passes taken on a loaded
+host instead of guessing which deltas are noise.
 """
 
 from __future__ import annotations
@@ -37,6 +46,14 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    def _load1() -> float:
+        try:
+            return round(os.getloadavg()[0], 2)
+        except OSError:  # pragma: no cover - non-POSIX
+            return -1.0
+
+    loadavg: dict = {"start": _load1(), "passes": []}
+
     # Warm-up: JVM, codegen, parquet footer caches — AND the Python
     # worker fleet (the first mapInPandas in a session forks 32 Arrow
     # workers, a one-time ~2 s cost that otherwise lands on whichever
@@ -54,15 +71,31 @@ def main() -> None:
             "noop"
         ).mode("overwrite").save()
 
+    def _time_query(name: str) -> None:
+        start = time.perf_counter()
+        CATALOG[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        elapsed = round(time.perf_counter() - start, 3)
+        if name not in timings or elapsed < timings[name]:
+            timings[name] = elapsed
+
+    loadavg["post_warmup"] = _load1()
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    top_runs = int(os.environ.get("SPARK_GRAFT_BENCH_TOP_RUNS", "5"))
     timings: dict[str, float] = {}
     for run in range(n_runs):
-        for name, spec in sorted(CATALOG.items()):
-            start = time.perf_counter()
-            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            elapsed = round(time.perf_counter() - start, 3)
-            if name not in timings or elapsed < timings[name]:
-                timings[name] = elapsed
+        for name in sorted(CATALOG):
+            _time_query(name)
+        loadavg["passes"].append(_load1())
+    # Extra min-of-N passes for the queries that dominate the total
+    # (and its noise): their current minima pick the top-10, then each
+    # gets (top_runs - n_runs) more timed executions.
+    top10 = sorted(timings, key=timings.get, reverse=True)[:10]
+    for _ in range(max(0, top_runs - n_runs)):
+        for name in top10:
+            _time_query(name)
+        loadavg["passes"].append(_load1())
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -70,6 +103,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "runs": n_runs,
+        "top10_runs": max(top_runs, n_runs),
+        "loadavg_1min": loadavg,
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

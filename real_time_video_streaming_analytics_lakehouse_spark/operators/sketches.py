@@ -123,8 +123,26 @@ def combine_sketch_tables(
 # --- count-min sketch (frequency / heavy-hitter counterpart) --------------
 
 def _cms_bucket(value_col: str, row: int, width: int, seed: int):
-    # independent row hash via per-row seed; pmod keeps buckets >= 0
-    return F.pmod(F.xxhash64(F.lit(seed + row), value_col), F.lit(width))
+    """Independent per-row bucket hash, derived from md5 so the sketch
+    is BIT-REPRODUCIBLE in any engine with ``md5`` (the same technique
+    sampling.py uses for content-hash membership): 60 bits of
+    ``md5(seed|row|value)`` parsed as hex, mod width. An
+    ``xxhash64``-based bucket would be Spark-only — unreproducible in
+    the DuckDB oracle and in any non-JVM consumer of a persisted
+    sketch table. SQL mirror per (row d, value v)::
+
+        CAST('0x' || substr(md5(seed || '|' || d || '|' || v), 1, 15)
+             AS BIGINT) % width
+    """
+    h = F.md5(
+        F.concat_ws(
+            "|", F.lit(str(seed)), F.lit(str(row)),
+            F.col(value_col).cast("string"),
+        )
+    )
+    return F.pmod(
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint"), F.lit(width)
+    )
 
 
 def _cms_guard(keys: list[str], value_col: str | None = None) -> None:

@@ -352,6 +352,7 @@ def chunk_documents(
     text_col: str = "text",
     window: int = 128,
     stride: int = 64,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Split documents into overlapping token windows — the canonical
     LLM training-data preparation step (context-length chunking with
@@ -371,6 +372,12 @@ def chunk_documents(
     ``n_chunks`` array slices. No shuffle, no UDF; at 100 TB this is a
     map-only stage whose output is safely re-partitioned by whatever
     consumes it.
+
+    ``tokens_col`` switches the unit of chunking from whitespace words
+    to a pre-tokenized ``array<string>`` column — e.g. the output of
+    :func:`..bpe.bpe_encode`, so context windows are measured in the
+    TRAINED tokenizer's subwords (what the model actually sees), not
+    word counts. ``text_col`` is ignored in that mode.
     """
     if stride <= 0 or window <= 0:
         raise ValueError("window and stride must be positive")
@@ -378,9 +385,11 @@ def chunk_documents(
         raise ValueError(
             f"stride {stride} > window {window} would drop tokens"
         )
+    unit_col = tokens_col or text_col
+    unit = F.col(tokens_col) if tokens_col else tokens(text_col)
     w_df = (
-        df.filter(F.col(text_col).isNotNull())  # NULL text → no chunks
-        .select(F.col(id_col), tokens(text_col).alias("_w"))
+        df.filter(F.col(unit_col).isNotNull())  # NULL text → no chunks
+        .select(F.col(id_col), unit.alias("_w"))
     )
     w = F.col("_w")
     n = F.size(w)

@@ -768,19 +768,62 @@ WINDOW w AS (PARTITION BY event_type ORDER BY day
 # --- props_key_distribution (JSON parse S2-analog) ------------------------
 
 def props_key_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-key distribution, plus the COUNT-MIN-SKETCH arm (round 6;
+    operators/sketches.py::cms_build/cms_estimate): a CMS over each
+    group's ``event_type`` values and the sketch's frequency estimate
+    for the probe value ``'click'``. The bucket hash is md5-derived
+    (60 hex bits mod width — the same engine-portable content-hash
+    technique as sampling.py), so the ENTIRE sketch is bit-reproducible
+    in SQL and the estimate — buckets, collisions and all — is driver-
+    oracled, not just its never-undercounts bound."""
+    from ..operators.sketches import cms_build, cms_estimate
+
     e = _events(spark, sf_dir)
     k = F.get_json_object("props", "$.k").cast("int")
-    return e.groupBy((k % 10).alias("k_mod")).agg(
+    base = e.select((k % 10).alias("k_mod"), "event_type", "value")
+    rollup = base.groupBy("k_mod").agg(
         F.count("*").alias("events_cnt"),
         (money_sum(F.col("value"), 2) / F.count("*")).alias("avg_value"),
     )
+    sketch = cms_build(base, keys=["k_mod"], value_col="event_type")
+    probes = base.select("k_mod").distinct().withColumn(
+        "event_type", F.lit("click")
+    )
+    est = cms_estimate(
+        sketch, probes, keys=["k_mod"], value_col="event_type",
+        estimate_col="cms_click_est",
+    ).select("k_mod", "cms_click_est")
+    cond = rollup["k_mod"].eqNullSafe(est["k_mod"])
+    return rollup.join(est, cond).select(
+        rollup["k_mod"], "events_cnt", "avg_value", "cms_click_est"
+    )
 
 
+# CMS oracle: depth=5, width=2048, seed=0x5EED ('24301' as a string);
+# est(group) = min over hash rows d of the group's rows whose value
+# lands in the probe's (d, bucket) — the sketch counter, closed-form.
 PROPS_KEY_DISTRIBUTION_SQL = """
-SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
-       COUNT(*) AS events_cnt,
-       CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_value
-FROM events GROUP BY 1
+WITH base AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+         event_type, value
+  FROM events),
+rollup AS (
+  SELECT k_mod, COUNT(*) AS events_cnt,
+         CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS avg_value
+  FROM base GROUP BY 1),
+rows_d AS (SELECT UNNEST(generate_series(0, 4)) AS d),
+buckets AS (
+  SELECT b.k_mod, r.d,
+         CAST(SUM(CASE WHEN
+             CAST(('0x' || substr(md5('24301|' || r.d || '|' || b.event_type), 1, 15)) AS BIGINT) % 2048
+           = CAST(('0x' || substr(md5('24301|' || r.d || '|click'), 1, 15)) AS BIGINT) % 2048
+           THEN 1 ELSE 0 END) AS BIGINT) AS cnt
+  FROM base b CROSS JOIN rows_d r
+  WHERE b.event_type IS NOT NULL
+  GROUP BY 1, 2),
+est AS (SELECT k_mod, MIN(cnt) AS cms_click_est FROM buckets GROUP BY 1)
+SELECT rollup.k_mod, events_cnt, avg_value, cms_click_est
+FROM rollup JOIN est ON rollup.k_mod IS NOT DISTINCT FROM est.k_mod
 """
 
 

@@ -198,14 +198,31 @@ def user_value_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exercises the window functions the reference imports but never
     uses (etl_framework.py:29-30 — lead, dense_rank, first_value):
     per-user event timeline with next-event gap, per-user value dense
-    rank, and first value."""
+    rank, and first value.
+
+    Round 6 adds the SCD2 arm (operators/temporal.py::scd2_from_history
+    + asof_join): each user's ``event_type`` history is compressed into
+    Type-2 validity intervals (consecutive equal states collapse to one
+    interval), and every event is enriched with ``state_since_us`` —
+    the start of the event_type run it belongs to — via an as-of
+    point-in-time lookup against those intervals. That is the canonical
+    SCD2 composition (dimension from change history, facts enriched by
+    as-of), and it is closed-form checkable: the oracle recomputes the
+    run starts with a LAG-change-flag + running-sum group id, so the
+    driver hash pins both the interval construction and the lookup.
+
+    The as-of timestamp is a (ts_us, event_id) STRUCT, making the order
+    total when timestamps tie — same tie rule as the other windows here.
+    """
     from ..functions.dialect import epoch_us
+    from ..operators.temporal import asof_join, scd2_from_history
 
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wv = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
     us = epoch_us(F.col("ts"))
-    return e.select(
+    ord_ = F.struct(us.alias("t"), F.col("event_id").alias("e"))
+    timeline = e.select(
         "user_id",
         "event_id",
         us.alias("ts_us"),
@@ -213,16 +230,53 @@ def user_value_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(wv).alias("value_dense_rank"),
         F.first("value").over(w).alias("first_value_seen"),
     )
+    intervals = scd2_from_history(
+        e.select("user_id", "event_type", ord_.alias("ord")),
+        keys="user_id",
+        order_col="ord",
+        attr_cols=["event_type"],
+    )
+    states = asof_join(
+        e.select("user_id", "event_id", ord_.alias("ord")),
+        intervals.select("user_id", F.col("valid_from").alias("vf")),
+        on="user_id",
+        left_ts="ord",
+        right_ts="vf",
+    ).select(
+        "user_id",
+        "event_id",
+        F.col("vf").getField("t").alias("state_since_us"),
+    )
+    return timeline.join(states, ["user_id", "event_id"]).select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        "gap_to_next_us",
+        "value_dense_rank",
+        "first_value_seen",
+        "state_since_us",
+    )
 
 
 USER_VALUE_TIMELINE_SQL = """
-SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-       LEAD(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_to_next_us,
+WITH h AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value, event_type,
+         CASE WHEN LAG(event_type) OVER
+                (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+              IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+  FROM events),
+r AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS grp
+  FROM h)
+SELECT user_id, event_id, ts_us,
+       LEAD(ts_us) OVER w - ts_us AS gap_to_next_us,
        DENSE_RANK() OVER (PARTITION BY user_id ORDER BY value DESC, event_id)
            AS value_dense_rank,
-       FIRST_VALUE(value) OVER w AS first_value_seen
-FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+       FIRST_VALUE(value) OVER w AS first_value_seen,
+       MIN(ts_us) OVER (PARTITION BY user_id, grp) AS state_since_us
+FROM r
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
 """
 
 

@@ -188,30 +188,93 @@ FROM agg
 # --- customer_order_profile (left-outer join + coalesce J1) --------------
 
 def customer_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer profile (J1: left-outer + coalesce).
+
+    Round 6 adds the INTERVAL-JOIN arm
+    (operators/temporal.py::interval_join): each order's fulfillment
+    interval is [o_orderdate, max lineitem ship date], and
+    ``overlapping_order_pairs`` counts the pairs of a customer's orders
+    whose fulfillment intervals overlap — "orders in flight
+    simultaneously". The operator is the bin-replication rewrite (equi
+    join on (30-day bin, custkey), exact overlap + canonical-bin filter
+    in-stage — no nested-loop join, no candidate blow-up at a hot
+    customer), oracled against DuckDB's brute-force pair join, which is
+    exact at sf0.01 scale. Pairs are canonical (left orderkey < right
+    orderkey), so each overlapping pair counts once."""
+    from ..operators.temporal import interval_join
+
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
     per_cust = orders.groupBy("o_custkey").agg(
         F.count("*").alias("cnt"), F.sum("o_totalprice").alias("total")
     )
-    return cust.join(
-        per_cust, cust.c_custkey == per_cust.o_custkey, "left_outer"
-    ).select(
-        "c_custkey",
-        "c_name",
-        "c_mktsegment",
-        F.coalesce(F.col("cnt"), F.lit(0)).alias("order_cnt"),
-        F.round(F.coalesce(F.col("total"), F.lit(0.0)), 2).alias("total_spent"),
+    iv = (
+        orders.join(
+            lineitem.select("l_orderkey", "l_shipdate"),
+            orders.o_orderkey == F.col("l_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(
+            F.min(F.col("o_orderdate").cast("timestamp")).alias("fs"),
+            F.max(F.col("l_shipdate").cast("timestamp")).alias("fe"),
+        )
+        .localCheckpoint(eager=False)  # both sides of the self-join
+    )
+    pairs = interval_join(
+        iv,
+        iv,
+        left_start="fs",
+        left_end="fe",
+        right_start="fs",
+        right_end="fe",
+        on="o_custkey",
+        bin_width_us=30 * 86_400_000_000,  # ~interval length: ≤5 bins/order
+    ).filter(F.col("o_orderkey") < F.col("o_orderkey_right"))
+    overlaps = pairs.groupBy("o_custkey").agg(
+        F.count("*").alias("overlapping_order_pairs")
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left_outer")
+        .join(overlaps, cust.c_custkey == overlaps.o_custkey, "left_outer")
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("order_cnt"),
+            F.round(F.coalesce(F.col("total"), F.lit(0.0)), 2).alias(
+                "total_spent"
+            ),
+            F.coalesce(
+                F.col("overlapping_order_pairs"), F.lit(0).cast("long")
+            ).alias("overlapping_order_pairs"),
+        )
     )
 
 
 CUSTOMER_ORDER_PROFILE_SQL = """
+WITH iv AS (
+  SELECT o.o_orderkey, o.o_custkey,
+         CAST(o.o_orderdate AS TIMESTAMP) AS fs,
+         CAST(MAX(l.l_shipdate) AS TIMESTAMP) AS fe
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2, 3),
+pairs AS (
+  SELECT a.o_custkey, CAST(COUNT(*) AS BIGINT) AS overlapping_order_pairs
+  FROM iv a JOIN iv b
+    ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+   AND a.fs <= b.fe AND b.fs <= a.fe
+  GROUP BY 1)
 SELECT c.c_custkey, c.c_name, c.c_mktsegment,
        COALESCE(o.cnt, 0) AS order_cnt,
-       ROUND(COALESCE(o.total, 0), 2) AS total_spent
-FROM customer c LEFT JOIN (
+       ROUND(COALESCE(o.total, 0), 2) AS total_spent,
+       COALESCE(p.overlapping_order_pairs, 0) AS overlapping_order_pairs
+FROM customer c
+LEFT JOIN (
   SELECT o_custkey, COUNT(*) AS cnt, SUM(o_totalprice) AS total
   FROM orders GROUP BY 1) o
 ON c.c_custkey = o.o_custkey
+LEFT JOIN pairs p ON c.c_custkey = p.o_custkey
 """
 
 

@@ -48,6 +48,7 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from ..operators.txlog import (
+    _WIDENS_TO,
     VacuumedFileError,
     _list_versions,
     _read_commit,
@@ -55,6 +56,12 @@ from ..operators.txlog import (
 )
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+class SchemaChangedError(RuntimeError):
+    """The table's schema evolved past the stream's pinned schema
+    mid-stream; restart the query to pick up the new schema (Delta's
+    contract for streaming reads across schema changes)."""
 
 
 class _AddedFile(InputPartition):
@@ -134,6 +141,30 @@ class TxTableStreamReader(DataSourceStreamReader):
 
     # -- planning (driver-side, metadata only) -----------------------------
 
+    def _unservable(self, gen_json: str) -> str | None:
+        """Why a file generation CANNOT be served under the stream's
+        pinned schema, or None if it can.
+
+        Servable = every generation column exists in the pinned schema
+        with the same type or one the pinned type safely widens (the
+        old-generations-under-a-newer-schema case — null-fill/upcast,
+        exactly like the batch reader). NOT servable = the table
+        evolved PAST the pinned schema mid-stream: a new column, or a
+        type widened beyond the pinned one. Serving those batches would
+        silently drop (or corrupt) the evolved column's data — Delta's
+        contract is to fail the stream and let a restart re-pin."""
+        if not gen_json:
+            return None
+        gen = StructType.fromJson(json.loads(gen_json))
+        pinned = {f.name: f.dataType.simpleString() for f in self.schema.fields}
+        for f in gen.fields:
+            if f.name not in pinned:
+                return f"new column {f.name!r}"
+            gt, pt = f.dataType.simpleString(), pinned[f.name]
+            if gt != pt and pt not in _WIDENS_TO.get(gt, set()):
+                return f"column {f.name!r} evolved to {gt} (pinned: {pt})"
+        return None
+
     def partitions(self, start: dict, end: dict):
         out = []
         lo, hi = int(start["version"]), int(end["version"])
@@ -143,6 +174,14 @@ class TxTableStreamReader(DataSourceStreamReader):
             c = _read_commit(self.path, v)
             if c.get("dataChange") is False:
                 continue  # OPTIMIZE: files moved, no rows changed
+            why = self._unservable(c.get("fileSchema") or "")
+            if why:
+                raise SchemaChangedError(
+                    f"txtable stream at {self.path}: commit {v} evolved "
+                    f"the table schema mid-stream ({why}); restart the "
+                    f"query to pick up the new schema — the checkpoint "
+                    f"resumes from this commit"
+                )
             if c.get("remove") and not self.ignore_changes:
                 raise RuntimeError(
                     f"txtable stream at {self.path}: commit {v} "

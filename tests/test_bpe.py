@@ -1,0 +1,191 @@
+"""Distributed BPE training vs a sequential reference implementation.
+
+operators/bpe.py trains subword merges with one corpus scan + per-merge
+pair-count aggregations; these tests pin exact equality with the
+textbook sequential algorithm (Sennrich et al. 2016) on multiple
+corpora, determinism under repartitioning, the tie-break rule, the
+stopping rule, and that encode(trained merges) reproduces the training
+run's final symbol sequences.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_video_streaming_analytics_lakehouse_spark.operators.bpe import (
+    apply_merge,
+    bpe_encode,
+    train_bpe,
+)
+from real_time_video_streaming_analytics_lakehouse_spark.operators.text import (
+    chunk_documents,
+)
+
+
+# -- sequential reference (the classic algorithm, verbatim) ----------------
+
+
+def _ref_merge(syms, a, b):
+    out, pend = [], None
+    for x in syms:
+        if pend is None:
+            pend = x
+        elif pend == a and x == b:
+            out.append(a + b)
+            pend = None
+        else:
+            out.append(pend)
+            pend = x
+    if pend is not None:
+        out.append(pend)
+    return out
+
+
+def ref_train_bpe(texts, num_merges, min_frequency=2, end_of_word=None):
+    words = Counter()
+    for t in texts:
+        if t is None:
+            continue
+        for w in t.split():
+            if w:
+                words[w] += 1
+    table = {
+        w: tuple(list(w) + ([end_of_word] if end_of_word else []))
+        for w in words
+    }
+    merges = []
+    for _ in range(num_merges):
+        pair_counts = Counter()
+        for w, syms in table.items():
+            for p in zip(syms, syms[1:]):
+                pair_counts[p] += words[w]
+        if not pair_counts:
+            break
+        # max count, ties -> lexicographically smallest (a, b)
+        best = min(pair_counts, key=lambda p: (-pair_counts[p], p))
+        if pair_counts[best] < min_frequency:
+            break
+        merges.append(best)
+        a, b = best
+        table = {w: tuple(_ref_merge(s, a, b)) for w, s in table.items()}
+    return merges, table
+
+
+CORPUS_A = [
+    "low low low low low",
+    "lower lower newest newest newest newest newest newest",
+    "widest widest widest",
+]
+CORPUS_B = [
+    "the cat sat on the mat",
+    "the cat ate the rat",
+    "a cat and a rat and a mat",
+    None,
+    "",
+]
+
+
+def _df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+@pytest.mark.parametrize("texts", [CORPUS_A, CORPUS_B], ids=["sennrich", "cat"])
+def test_train_matches_sequential_reference(spark, texts):
+    expected, _ = ref_train_bpe(texts, num_merges=20)
+    got = train_bpe(_df(spark, texts), num_merges=20)
+    assert got == expected
+    assert len(got) > 3  # the corpus genuinely trains several merges
+
+
+def test_train_matches_reference_with_end_of_word(spark):
+    expected, _ = ref_train_bpe(CORPUS_A, num_merges=15, end_of_word="</w>")
+    got = train_bpe(_df(spark, CORPUS_A), num_merges=15, end_of_word="</w>")
+    assert got == expected
+    assert any("</w>" in a + b for a, b in got)  # suffix merges learned
+
+
+def test_train_partitioning_invariant(spark):
+    df = _df(spark, CORPUS_B)
+    one = train_bpe(df.coalesce(1), num_merges=12)
+    many = train_bpe(df.repartition(7), num_merges=12)
+    assert one == many
+
+
+def test_tiebreak_is_lexicographic(spark):
+    # every adjacent pair in "ab" / "cd" ties at count 3 -> the first
+    # learned merge must be the lexicographically smallest pair (a, b)
+    texts = ["ab cd", "ab cd", "ab cd"]
+    got = train_bpe(_df(spark, texts), num_merges=1)
+    assert got == [("a", "b")]
+
+
+def test_min_frequency_stops_training(spark):
+    # all words distinct singletons -> every pair count is 1 < 2
+    texts = ["abc def ghi"]
+    assert train_bpe(_df(spark, texts), num_merges=10) == []
+    # min_frequency=1 lets it learn from singletons
+    got = train_bpe(_df(spark, texts), num_merges=2, min_frequency=1)
+    expected, _ = ref_train_bpe(texts, num_merges=2, min_frequency=1)
+    assert got == expected
+
+
+def test_apply_merge_nonoverlapping_left_to_right(spark):
+    df = spark.createDataFrame(
+        [(["a", "a", "a"],), (["a", "b", "a", "b"],), (["x"],), ([],)],
+        "syms array<string>",
+    )
+    got = [
+        r["m"]
+        for r in df.select(
+            apply_merge(F.col("syms"), "a", "a").alias("m")
+        ).collect()
+    ]
+    assert got[0] == ["aa", "a"]
+    assert got[1] == ["a", "b", "a", "b"]
+    assert got[2] == ["x"]
+    assert got[3] == []
+
+
+def test_encode_reproduces_training_symbols(spark):
+    merges, table = ref_train_bpe(CORPUS_A, num_merges=20)
+    df = _df(spark, CORPUS_A)
+    enc = bpe_encode(df, merges).collect()
+    for r in enc:
+        expected = []
+        for w in r["text"].split():
+            expected.extend(table[w])
+        assert r["bpe_tokens"] == expected
+
+
+def test_encode_null_text_and_unknown_words(spark):
+    merges, _ = ref_train_bpe(CORPUS_A, num_merges=10)
+    df = _df(spark, ["zzz qqq", None])
+    rows = {r["doc_id"]: r["bpe_tokens"] for r in bpe_encode(df, merges).collect()}
+    assert rows[0] == ["z", "z", "z", "q", "q", "q"]  # falls back to chars
+    assert rows[1] is None
+
+
+def test_chunking_accepts_bpe_tokens(spark):
+    merges, table = ref_train_bpe(CORPUS_A, num_merges=20)
+    df = bpe_encode(_df(spark, CORPUS_A), merges)
+    chunks = chunk_documents(
+        df, window=4, stride=2, tokens_col="bpe_tokens"
+    ).collect()
+    n_tokens = {
+        r["doc_id"]: len(r["bpe_tokens"]) for r in df.collect()
+    }
+    by_doc: dict = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r["chunk_idx"])
+        # stride-2 windows of the BPE token stream, exact cover
+        assert rs[0]["chunk_tokens"] == min(4, n_tokens[doc_id])
+        total = n_tokens[doc_id]
+        last = rs[-1]
+        assert last["chunk_idx"] * 2 + last["chunk_tokens"] == total

@@ -233,3 +233,72 @@ def test_stream_delivers_bootstrap_adopted_commit_zero(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r["id"], r["v"]) for r in spark.read.parquet(out_dir).collect()}
     assert got == {(1, "a"), (2, "b")}
+
+
+def test_stream_schema_evolution_mid_stream_raises_then_resumes(
+    registered, tmp_path
+):
+    """The harder evolution case (the round-5 test covers only a stream
+    STARTED after evolution): the table evolves while a stream with a
+    PINNED pre-evolution schema is running. Delta's contract: the
+    stream FAILS with a schema-change error (serving the batch would
+    silently drop the new column's data), and a RESTART re-pins the
+    schema and resumes from the same checkpointed offset with the new
+    column present."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from real_time_video_streaming_analytics_lakehouse_spark.sources.txstream import (
+        SchemaChangedError,
+        TxTableStreamReader,
+    )
+
+    spark = registered
+    t = TxTable.create(spark, str(tmp_path / "m"), SCHEMA)
+    t.write(spark.createDataFrame([(1, "a", 1)], SCHEMA))  # v1
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    assert _drain(spark, t.root, out, ckpt) == [(1, "a", 1)]
+
+    # the still-running query's reader, pinned to the PRE-evolution
+    # schema; the table evolves underneath it
+    reader = TxTableStreamReader(t.root, SCHEMA, {})
+    evolved = StructType(SCHEMA.fields + [StructField("score", DoubleType())])
+    t.write(spark.createDataFrame([(2, "b", 2, 0.5)], evolved),
+            merge_schema=True)  # v2
+    with pytest.raises(SchemaChangedError, match="restart"):
+        reader.partitions({"version": 1}, {"version": 2})
+
+    # restarted stream (fresh query = re-pinned schema, SAME
+    # checkpoint): resumes at v2, new column delivered
+    df = (
+        spark.readStream.format("txtable").option("path", t.root).load()
+    )
+    assert "score" in df.columns
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.id: r.score
+        for r in spark.read.option("mergeSchema", "true").parquet(out).collect()
+    }
+    assert got == {1: None, 2: 0.5}
+
+    # type evolution past the pinned schema raises too; the narrow old
+    # generation under the WIDER re-pinned schema stays servable
+    t2 = TxTable.create(spark, str(tmp_path / "w"), SCHEMA)
+    t2.write(spark.createDataFrame([(1, "a", 1)], SCHEMA))
+    r2 = TxTableStreamReader(t2.root, SCHEMA, {})
+    wider = StructType([
+        StructField("id", LongType()),
+        StructField("day", StringType()),
+        StructField("v", LongType()),  # int -> bigint
+    ])
+    t2.write(spark.createDataFrame([(2, "b", 2)], wider), merge_schema=True)
+    with pytest.raises(SchemaChangedError, match=re.escape("'v'")):
+        r2.partitions({"version": 1}, {"version": 2})
+    r3 = TxTableStreamReader(t2.root, wider, {})
+    assert len(r3.partitions({"version": -1}, {"version": 2})) == 2
