@@ -70,6 +70,11 @@ class CommitStore:
     def put_commit_if_absent(self, version: int, action: dict) -> None:
         raise NotImplementedError
 
+    def delete_commit(self, version: int) -> None:
+        """Remove one commit object (log-retention cleanup). Deleting a
+        missing version is a no-op — cleanup must be idempotent."""
+        raise NotImplementedError
+
     def list_checkpoints(self) -> list[int]:
         raise NotImplementedError
 
@@ -150,6 +155,12 @@ class LocalFileCommitStore(CommitStore):
         finally:
             os.unlink(tmp)
 
+    def delete_commit(self, version: int) -> None:
+        try:
+            os.unlink(self._commit_path(version))
+        except FileNotFoundError:
+            pass
+
     def list_checkpoints(self) -> list[int]:
         return self._list(".checkpoint.parquet")
 
@@ -223,6 +234,10 @@ class InMemoryCommitStore(CommitStore):
                     f"version {version} was committed concurrently"
                 )
             self._commits[version] = payload
+
+    def delete_commit(self, version: int) -> None:
+        with self._lock:
+            self._commits.pop(version, None)
 
     def list_checkpoints(self) -> list[int]:
         with self._lock:

@@ -1085,6 +1085,45 @@ class TxTable:
                 shutil.rmtree(full, ignore_errors=True)
         return doomed + stage_dirs
 
+    def cleanup_log(self, retention_hours: float = 168.0,
+                    dry_run: bool = False) -> list[int]:
+        """Commit-LOG retention (Delta's ``logRetentionDuration``
+        counterpart to data-file VACUUM): delete commit JSONs that are
+        both (a) BELOW the newest log checkpoint — resolving any
+        version at or above it never replays them — and (b) older than
+        ``retention_hours``. Returns the deleted versions.
+
+        Without this the log is O(all commits ever) forever; at 100 TB
+        scale (micro-batch writers: thousands of commits/day) the
+        checkpoint mechanism bounds snapshot RESOLUTION cost but only
+        retention bounds log STORAGE and ``history()``/stream-planning
+        listings. Contracts after cleanup, both pinned by test:
+
+        * time travel to a version whose commits are gone raises the
+          documented missing-commits error (``_resolve`` already
+          detects the gap) — same as Delta past its log retention;
+        * a LAGGING (or fresh-from-0) txtable STREAM raises instead of
+          silently skipping cleaned commits (see
+          ``txstream.partitions``), because an append-only reader that
+          jumps the gap would lose rows without notice.
+        """
+        checkpoints = _list_checkpoints(self.root)
+        if not checkpoints:
+            return []
+        base = checkpoints[-1]
+        cutoff_ms = (time.time() - retention_hours * 3600) * 1000
+        store = store_for(self.root)
+        dropped = []
+        for v in _list_versions(self.root):
+            if v >= base:
+                break
+            if _read_commit(self.root, v)["timestamp_ms"] <= cutoff_ms:
+                dropped.append(v)
+        if not dry_run:
+            for v in dropped:
+                store.delete_commit(v)
+        return dropped
+
     # -- change data feed --------------------------------------------------
 
     def change_feed(self, from_version: int,

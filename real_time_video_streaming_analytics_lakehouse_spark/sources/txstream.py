@@ -168,7 +168,22 @@ class TxTableStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         out = []
         lo, hi = int(start["version"]), int(end["version"])
-        for v in _list_versions(self.path):
+        versions = _list_versions(self.path)
+        # A non-empty range whose first expected commit (lo+1) is below
+        # the oldest retained commit means log-retention cleanup
+        # (TxTable.cleanup_log) removed commits this stream has not
+        # consumed. Silently iterating the survivors would JUMP THE GAP
+        # and lose rows without notice — fail with the remedy instead
+        # (Delta's contract for streams lagging past log retention).
+        if hi > lo and versions and lo + 1 < versions[0]:
+            raise RuntimeError(
+                f"txtable stream at {self.path}: commits "
+                f"{lo + 1}..{versions[0] - 1} were removed by log "
+                f"retention cleanup before this stream consumed them; "
+                f"backfill in batch and restart with "
+                f".option('startingVersion', {versions[0]}) or later"
+            )
+        for v in versions:
             if not (lo < v <= hi):
                 continue
             c = _read_commit(self.path, v)

@@ -308,3 +308,21 @@ def test_mem_threaded_appends_both_commit(spark, mem_table):
     assert errors == []
     assert mem_table.read().count() == 7
     assert mem_table.snapshot().version == 2
+
+
+def test_mem_cleanup_log_retention(spark, tmp_path):
+    path = str(tmp_path / "lr")
+    store = InMemoryCommitStore()
+    t = TxTable.create(spark, path, SCHEMA, store=store)
+    t.checkpoint_interval = 5
+    try:
+        for i in range(6):
+            t.write(_df(spark, [(i, "a", i)]))
+        assert t.cleanup_log(retention_hours=0.0) == [0, 1, 2, 3, 4]
+        assert store.list_commits() == [5, 6]
+        assert t.read().count() == 6  # checkpoint + tail resolve
+        # conditional-PUT delete is idempotent
+        store.delete_commit(99)
+        assert t.cleanup_log(retention_hours=0.0) == []
+    finally:
+        unregister_store(path)

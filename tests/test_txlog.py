@@ -933,3 +933,33 @@ def test_vacuum_collects_crashed_stage_dirs(spark, tmp_path, table):
     doomed = table.vacuum(retention_hours=0)
     assert not os.path.exists(stage)
     assert any("__stage_v9_deadbeef" in p for p in doomed)
+
+
+def test_cleanup_log_retention_contracts(spark, tmp_path):
+    """Commit-log retention (Delta logRetentionDuration analog):
+    commits below the newest checkpoint and past retention are deleted;
+    reads/history keep working from checkpoint + tail; time travel to a
+    cleaned version raises the documented missing-commits error."""
+    t = TxTable.create(spark, str(tmp_path / "lr"), SCHEMA,
+                       partition_by=["day"])
+    t.checkpoint_interval = 5
+    for i in range(7):
+        t.write(_df(spark, [(i, "a", i)]))
+    assert t.snapshot().version == 7
+    # nothing cleaned while retention covers everything
+    assert t.cleanup_log(retention_hours=1.0) == []
+    dry = t.cleanup_log(retention_hours=0.0, dry_run=True)
+    dropped = t.cleanup_log(retention_hours=0.0)
+    assert dropped == dry == [0, 1, 2, 3, 4]  # 5 = newest checkpoint
+    # current reads resolve from the checkpoint + retained tail
+    assert t.read().count() == 7
+    assert t.snapshot().version == 7
+    # history shrinks to the retained commits (like Delta)
+    assert [r.version for r in t.history().collect()] == [7, 6, 5]
+    # time travel below the checkpoint now raises the documented error
+    with pytest.raises(ValueError, match="missing|does not exist"):
+        t.read(version=3)
+    # time travel AT the checkpoint version still works
+    assert t.read(version=5).count() == 5
+    # idempotent
+    assert t.cleanup_log(retention_hours=0.0) == []

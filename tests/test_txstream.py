@@ -302,3 +302,20 @@ def test_stream_schema_evolution_mid_stream_raises_then_resumes(
         r2.partitions({"version": 1}, {"version": 2})
     r3 = TxTableStreamReader(t2.root, wider, {})
     assert len(r3.partitions({"version": -1}, {"version": 2})) == 2
+
+
+def test_stream_raises_on_log_retention_gap(registered, tmp_path):
+    """A stream lagging past cleanup_log must FAIL, not silently jump
+    the gap of cleaned commits (append-only readers lose rows
+    otherwise); starting at/after the oldest retained commit works."""
+    spark = registered
+    t = TxTable.create(spark, str(tmp_path / "lg"), SCHEMA)
+    t.checkpoint_interval = 5
+    for i in range(7):
+        t.write(spark.createDataFrame([(i, "a", i)], SCHEMA))
+    assert t.cleanup_log(retention_hours=0.0) == [0, 1, 2, 3, 4]
+    with pytest.raises(Exception, match="startingVersion"):
+        _drain(spark, t.root, str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    got = _drain(spark, t.root, str(tmp_path / "out2"),
+                 str(tmp_path / "ckpt2"), startingVersion="5")
+    assert got == [(4, "a", 4), (5, "a", 5), (6, "a", 6)]
