@@ -95,20 +95,56 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointed; the language-ID stages (profile training + per-doc
     overlap) explode words from the checkpointed arrays instead of
     re-reading and re-splitting the source (the round-3 fold scanned
-    documents three times and tokenized twice)."""
+    documents three times and tokenized twice).
+
+    Round 6 adds the BIGRAM-LM arm (operators/lm.py): a count-based
+    bigram LM trained on the corpus itself with ``min_count=2``
+    pruning, every doc scored through :func:`..operators.lm.
+    score_documents`. The catalog emits the INTEGER surfaces —
+    ``lm_bigrams`` (doc adjacencies), ``lm_hits`` (those whose corpus
+    count survived pruning), ``lm_hit_weight`` (sum of matched counts)
+    — which the DuckDB oracle recomputes exactly; the float
+    log-prob/perplexity path of the same operator is pinned closed-form
+    in tests/test_lm.py (ln/exp are not bit-portable across engines).
+    Both stages reuse the checkpointed token arrays — no extra scan or
+    tokenize."""
+    from ..operators.lm import score_documents, train_bigram_lm
+
     d = _docs(spark, sf_dir)
     feat = add_text_features(
         d, extra=[F.col("lang"), tokens("text").alias("_w")]
     ).localCheckpoint(eager=False)
     words = feat.select("doc_id", "lang", F.explode("_w").alias("w"))
     pred = predict_language_from_words(words)
+    uni, bi = train_bigram_lm(feat, tokens_col="_w", min_count=2)
+    lm = score_documents(
+        feat.select("doc_id", "_w"), uni, bi,
+        id_col="doc_id", tokens_col="_w", with_logprob=False,
+    ).select(
+        "doc_id",
+        F.col("n_bigrams").alias("lm_bigrams"),
+        "lm_hits",
+        "lm_hit_weight",
+    )
     # LEFT join: a doc with no profile overlap (or NULL/empty text)
     # gets predicted_lang NULL — the quality surface must still emit
     # EVERY doc, exactly like the pre-fold per-doc query did.
-    return feat.drop("_w").join(pred, "doc_id", "left_outer").select(
-        "doc_id", "n_tokens", "n_chars_measured", "avg_token_len",
-        "vowel_ratio", "punct_ratio", "stopword_ratio", "quality",
-        "lang", "predicted_lang",
+    return (
+        feat.drop("_w")
+        .join(pred, "doc_id", "left_outer")
+        .join(lm, "doc_id", "left_outer")
+        .select(
+            "doc_id", "n_tokens", "n_chars_measured", "avg_token_len",
+            "vowel_ratio", "punct_ratio", "stopword_ratio", "quality",
+            "lang", "predicted_lang",
+            F.coalesce("lm_bigrams", F.lit(0).cast("long")).alias(
+                "lm_bigrams"
+            ),
+            F.coalesce("lm_hits", F.lit(0).cast("long")).alias("lm_hits"),
+            F.coalesce("lm_hit_weight", F.lit(0).cast("long")).alias(
+                "lm_hit_weight"
+            ),
+        )
     )
 
 
@@ -116,6 +152,25 @@ TEXT_QUALITY_SQL = r"""
 WITH words AS (
   SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\s+')) AS w
   FROM documents),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w,
+         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS ord
+  FROM documents WHERE text IS NOT NULL),
+big AS (
+  SELECT doc_id, w AS w1,
+         LEAD(w) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+  FROM toks),
+big2 AS (SELECT * FROM big WHERE w2 IS NOT NULL),
+bcnt AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+         FROM big2 GROUP BY 1, 2),
+kept AS (SELECT * FROM bcnt WHERE c12 >= 2),
+lm AS (
+  SELECT b.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS lm_bigrams,
+         CAST(COUNT(k.c12) AS BIGINT) AS lm_hits,
+         CAST(COALESCE(SUM(k.c12), 0) AS BIGINT) AS lm_hit_weight
+  FROM big2 b LEFT JOIN kept k ON b.w1 = k.w1 AND b.w2 = k.w2
+  GROUP BY 1),
 counts AS (SELECT lang, w, COUNT(*) AS cnt FROM words GROUP BY 1, 2),
 profile AS (
   SELECT lang AS cand_lang, w FROM (
@@ -152,8 +207,13 @@ SELECT d.doc_id,
             WHEN len(string_split_regex(trim(d.text), '\s+')) >= 30 THEN 'medium'
             ELSE 'low' END AS quality,
        d.lang,
-       p.predicted_lang
-FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id
+       p.predicted_lang,
+       COALESCE(lm.lm_bigrams, 0) AS lm_bigrams,
+       COALESCE(lm.lm_hits, 0) AS lm_hits,
+       COALESCE(lm.lm_hit_weight, 0) AS lm_hit_weight
+FROM documents d
+LEFT JOIN pred p ON d.doc_id = p.doc_id
+LEFT JOIN lm ON d.doc_id = lm.doc_id
 """
 
 
