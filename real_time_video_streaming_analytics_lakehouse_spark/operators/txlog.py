@@ -289,6 +289,10 @@ def _load_checkpoint(root: str, version: int):
         stats = json.loads(r["stats"])
         if stats:
             entry["stats"] = stats
+        # pre-round-6 checkpoints have no bloom column
+        bloom = json.loads(r["bloom"]) if "bloom" in r else {}
+        if bloom:
+            entry["bloom"] = bloom
         files[entry["path"]] = entry
     return (
         files,
@@ -372,6 +376,73 @@ def _data_files(root: str) -> list[str]:
     return sorted(out)
 
 
+# ---------------------------------------------------------------------------
+# bloom-filter file index (Delta's bloom filter index analog)
+#
+# Opt-in per table via properties at create time:
+#   ``bloom.columns`` (comma list), ``bloom.bits`` (default 1024),
+#   ``bloom.hashes`` (default 3).
+# Every staged file then carries, per indexed column, a ``bits``-wide
+# bitmap (hex string in the commit JSON, ~bits/4 bytes) with the
+# positions of all its values set. An equality predicate probes the
+# bitmap DRIVER-SIDE before Spark lists or opens anything: any unset
+# probe position proves the value is absent (no false negatives by
+# construction — pinned exhaustively in tests), so point lookups skip
+# files that min/max ranges cannot (interleaved values make every
+# range "possibly contains"). Positions are md5-derived (60 hex bits
+# mod ``bits``) so the executor-side Spark expression and the
+# driver-side Python probe are bit-identical — same portability trick
+# as the CMS bucket hash and the sampling keys.
+
+#: types whose Spark ``cast("string")`` matches Python ``str()``
+#: exactly — the prerequisite for driver-side probing. Floats are
+#: excluded (formatting differs), dates/timestamps could be added with
+#: care.
+_BLOOM_TYPES = ("string", "tinyint", "smallint", "int", "bigint")
+
+
+def _bloom_params(properties: dict) -> tuple[list[str], int, int]:
+    cols = [
+        c.strip()
+        for c in str(properties.get("bloom.columns", "")).split(",")
+        if c.strip()
+    ]
+    return (
+        cols,
+        int(properties.get("bloom.bits", 1024)),
+        int(properties.get("bloom.hashes", 3)),
+    )
+
+
+def _bloom_positions_py(value, hashes: int, bits: int) -> list[int]:
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{i}|{value}".encode()).hexdigest()[:15], 16) % bits
+        for i in range(hashes)
+    ]
+
+
+def _bloom_expr(col: str, seed: int, bits: int):
+    """Spark mirror of :func:`_bloom_positions_py` for one hash row."""
+    h = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(col).cast("string")))
+    return F.pmod(
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint"), F.lit(bits)
+    )
+
+
+def _bloom_may_contain(bl: dict | None, lit) -> bool:
+    """Driver-side probe: False only when the bitmap PROVES absence."""
+    if not bl or not bl.get("mask"):
+        return True
+    mask = int(bl["mask"], 16)
+    bits = len(bl["mask"]) * 4
+    return all(
+        (mask >> p) & 1
+        for p in _bloom_positions_py(lit, int(bl.get("k", 3)), bits)
+    )
+
+
 #: the predicate operators read()/_prune understand — validated up
 #: front so an unsupported op (e.g. '!=') fails with a clear error
 #: instead of being silently ignored by pruning and then crashing the
@@ -393,12 +464,22 @@ def _prune(snap: Snapshot, predicates) -> list[dict]:
     prove no row can match. ``predicates`` is a list of
     ``(column, op, literal)`` with op in {=, <, <=, >, >=}; unknown
     columns / missing stats keep the file (pruning is only ever an
-    optimization, never a filter)."""
+    optimization, never a filter). Equality predicates additionally
+    probe the file's BLOOM bitmap when one was indexed (see
+    ``bloom.columns``): min/max answers "could the range contain it",
+    the bloom answers "was this VALUE probably written here" — the
+    point-lookup skipper that stats can't provide once values
+    interleave across files."""
     _validate_predicates(predicates)
     out = []
     for f_ in snap.files.values():
         keep = True
         for col, op, lit in predicates or []:
+            if op == "=" and not _bloom_may_contain(
+                (f_.get("bloom") or {}).get(col), lit
+            ):
+                keep = False
+                break
             pv = (f_.get("partitionValues") or {}).get(col)
             st = (f_.get("stats") or {}).get(col)
             if pv is not None:
@@ -672,6 +753,7 @@ class TxTable:
                 "schema_json": [
                     r.get("_schema_json") or snap.schema_json for r in rows
                 ],
+                "bloom": [json.dumps(r.get("bloom") or {}) for r in rows],
             },
             schema=pa.schema([
                 ("path", pa.string()),
@@ -679,6 +761,7 @@ class TxTable:
                 ("numRecords", pa.int64()),
                 ("stats", pa.string()),
                 ("schema_json", pa.string()),
+                ("bloom", pa.string()),
             ]),
         )
         table = table.replace_schema_metadata({
@@ -777,7 +860,7 @@ class TxTable:
         else:
             _require_compatible(snap.schema, df.schema)
         adds = self._stage_files(df, snap.version + 1, snap.partition_by,
-                                 stats_cols)
+                                 stats_cols, snap.properties)
 
         def action(version: int) -> dict:
             a = {
@@ -801,7 +884,8 @@ class TxTable:
 
     def _stage_files(self, df: DataFrame, version: int,
                      partition_by: list[str],
-                     stats_cols: list[str] | None) -> list[dict]:
+                     stats_cols: list[str] | None,
+                     properties: dict | None = None) -> list[dict]:
         # Sibling of the table root (never inside it, so snapshot reads
         # can't see it), WITHOUT a leading underscore: "_"-prefixed dirs
         # are invisible to Spark's own file listing, which would break
@@ -820,7 +904,8 @@ class TxTable:
             str(p.relative_to(stage))
             for p in pathlib.Path(stage).rglob("*.parquet")
         )
-        per_file = self._collect_stats(stage, staged, df, stats_cols)
+        per_file = self._collect_stats(stage, staged, df, stats_cols,
+                                       properties)
         # Tasks that received no rows still write a zero-row parquet
         # file; don't commit those (Delta doesn't either).
         staged = [rel for rel in staged if rel in per_file]
@@ -851,13 +936,21 @@ class TxTable:
     auto_stats_cols: int = 32
 
     def _collect_stats(self, stage: str, staged: list[str], df: DataFrame,
-                       stats_cols: list[str] | None) -> dict:
+                       stats_cols: list[str] | None,
+                       properties: dict | None = None) -> dict:
         """One aggregate over the staged files: per-file numRecords and
         column min/max for log-side data skipping. ``stats_cols=None``
         auto-indexes the first ``auto_stats_cols`` eligible columns
         (Delta's default behavior — stats are what make `_prune`'s file
         skipping work without the writer having to opt in); pass an
-        explicit list to control it, or ``[]`` to collect none."""
+        explicit list to control it, or ``[]`` to collect none.
+
+        When the table opts in (``bloom.columns`` property), the SAME
+        aggregate also collects each file's bloom bit positions per
+        indexed column — ``hashes`` collect_set aggregates of the
+        md5-derived position expression, bounded by ``bloom.bits``
+        values per file per column — folded into per-file hex bitmaps
+        for `_prune`'s driver-side equality probe."""
         if not staged:
             return {}
         if stats_cols is None:
@@ -868,9 +961,20 @@ class TxTable:
             c for c in stats_cols
             if dict(df.dtypes).get(c, "").startswith(_STATS_TYPES)
         ]
+        bloom_cols, bits, hashes = _bloom_params(properties or {})
+        bloom_cols = [
+            c for c in bloom_cols
+            if dict(df.dtypes).get(c, "") in _BLOOM_TYPES
+        ]
         aggs = [F.count(F.lit(1)).alias("_n")]
         for c in cols:
             aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+        for ci, c in enumerate(bloom_cols):
+            for i in range(hashes):
+                aggs.append(
+                    F.collect_set(_bloom_expr(c, i, bits))
+                    .alias(f"_bf_{ci}_{i}")
+                )
         rows = (
             self.spark.read.option("basePath", stage).parquet(stage)
             .groupBy(F.input_file_name().alias("_f"))
@@ -890,6 +994,17 @@ class TxTable:
                     if v is not None and not isinstance(v, (int, float, str)):
                         mm[k] = str(v)
             out[rel] = {"numRecords": r["_n"], "stats": stats}
+            if bloom_cols:
+                blooms = {}
+                for ci, c in enumerate(bloom_cols):
+                    mask = 0
+                    for i in range(hashes):
+                        for p in r[f"_bf_{ci}_{i}"] or []:
+                            mask |= 1 << p
+                    blooms[c] = {
+                        "k": hashes, "mask": format(mask, f"0{bits // 4}x")
+                    }
+                out[rel]["bloom"] = blooms
         # A staged file with no group row must be a ZERO-ROW file (a
         # write task that got no rows); verify via the parquet footer so
         # a broken read-back (e.g. a hidden-path listing rule eating the
@@ -1274,7 +1389,8 @@ class TxTable:
         version = snap.version + 1
         if extra_df is not None:
             remaining = remaining.unionByName(extra_df)
-        adds = self._stage_files(remaining, version, snap.partition_by, None)
+        adds = self._stage_files(remaining, version, snap.partition_by, None,
+                                 snap.properties)
         cdc = self._stage_cdc(cdc_df, version) if cdc_df is not None else []
 
         def action(v: int) -> dict:
@@ -1524,7 +1640,7 @@ class TxTable:
         """MERGE with zero matched keys: pure append of the source (plus
         the schema evolution, if any) — no files rewritten."""
         adds = self._stage_files(src, snap.version + 1, snap.partition_by,
-                                 None)
+                                 None, snap.properties)
 
         def action(v: int) -> dict:
             a = {
@@ -1578,7 +1694,8 @@ class TxTable:
         else:
             df = df.coalesce(n)
         adds = self._stage_files(
-            df, snap.version + 1, snap.partition_by, stats_cols or zorder_cols
+            df, snap.version + 1, snap.partition_by,
+            stats_cols or zorder_cols, snap.properties,
         )
         removes = sorted(snap.files)
 

@@ -963,3 +963,76 @@ def test_cleanup_log_retention_contracts(spark, tmp_path):
     assert t.read(version=5).count() == 5
     # idempotent
     assert t.cleanup_log(retention_hours=0.0) == []
+
+
+def test_bloom_index_skips_files_without_false_negatives(spark, tmp_path):
+    """Opt-in bloom file index (Delta's bloom filter index analog):
+    equality predicates skip files whose bitmap proves the value
+    absent; EVERY present value keeps its file (no false negatives,
+    checked exhaustively); rewrites and checkpoints preserve bitmaps;
+    range predicates and unindexed columns are unaffected."""
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.txlog import _prune
+
+    t = TxTable.create(
+        spark, str(tmp_path / "bf"), SCHEMA,
+        properties={"bloom.columns": "id,day", "bloom.bits": "256",
+                    "bloom.hashes": "3"},
+    )
+    # ids interleave across files so MIN/MAX ranges overlap everywhere
+    # and range-stats pruning alone can skip nothing
+    t.write(_df(spark, [(1, "x1", 1), (100, "x100", 2)]).coalesce(1))
+    t.write(_df(spark, [(2, "x2", 3), (101, "x101", 4)]).coalesce(1))
+    t.write(_df(spark, [(3, "x3", 5), (102, "x102", 6)]).coalesce(1))
+    snap = t.snapshot()
+    assert len(snap.files) == 3
+    for f in snap.files.values():
+        assert set(f["bloom"]) == {"id", "day"}
+    # bloom skips where min/max cannot: id=2 is inside every file's range
+    kept = _prune(snap, [("id", "=", 2)])
+    assert len(kept) == 1
+    # no false negatives: every present value keeps exactly its file
+    for rid in (1, 2, 3, 100, 101, 102):
+        assert len(_prune(snap, [("id", "=", rid)])) == 1
+    for day in ("x1", "x2", "x102"):
+        assert len(_prune(snap, [("day", "=", day)])) == 1
+    # absent values can prune everything; reads stay exact
+    assert t.read(predicates=[("id", "=", 999)]).count() == 0
+    assert t.read(predicates=[("id", "=", 2)]).count() == 1
+    # v (int, unindexed) and range ops keep working through stats
+    assert t.read(predicates=[("v", ">=", 5)]).count() == 2
+
+    # DML rewrite keeps the index on rewritten files
+    t.update(F.col("id") == 2, {"v": F.lit(30)})
+    snap2 = t.snapshot()
+    assert all("bloom" in f for f in snap2.files.values())
+    assert len(_prune(snap2, [("id", "=", 2)])) == 1
+
+    # checkpoint round-trip preserves bitmaps
+    t.checkpoint_interval = 1
+    t.write(_df(spark, [(4, "x4", 7)]))
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.txlog import _resolve
+
+    snap3 = _resolve(t.root, t.snapshot().version)
+    blooms = [f.get("bloom") for f in snap3.files.values()]
+    assert all(blooms)
+    assert len(_prune(snap3, [("id", "=", 4)])) == 1
+
+
+def test_bloom_skips_ineligible_types_and_null_values(spark, tmp_path):
+    t = TxTable.create(
+        spark, str(tmp_path / "bf2"),
+        StructType([
+            StructField("id", LongType()),
+            StructField("score", DoubleType()),
+        ]),
+        properties={"bloom.columns": "id,score,missing_col"},
+    )
+    t.write(spark.createDataFrame(
+        [(1, 0.5), (None, None)], "id long, score double"
+    ))
+    f = next(iter(t.snapshot().files.values()))
+    # double + unknown columns are not indexed; eligible id is
+    assert set(f["bloom"]) == {"id"}
+    # NULL id rows only add a harmless phantom position; probing the
+    # real value still keeps the file, and reads stay exact
+    assert t.read(predicates=[("id", "=", 1)]).count() == 1
