@@ -355,13 +355,18 @@ def ann_ivf_topk(
     vec_col: str = "embedding",
     extra_cols: tuple[str, ...] = ("label",),
     sample_size: int = 4096,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbors — the scale
     path next to :func:`cosine_topk`'s brute force.
 
     1. Train ``n_clusters`` coarse centroids with seeded Lloyd k-means
        on a deterministic sample (driver-side numpy — the sample is
-       bounded, like any broadcast build side).
+       bounded, like any broadcast build side), or accept pre-trained
+       ``centroids`` — e.g. from the FULL-corpus distributed trainer
+       :func:`..clustering.kmeans` (``normalize=True`` — the index
+       probes by cosine) — which is the 100 TB path when a sample
+       can't cover the distribution.
     2. Assign every candidate to its nearest centroid (blocked numpy
        matmul in mapInPandas) → inverted lists keyed by bucket.
     3. Each query probes its ``n_probe`` nearest centroids; exact
@@ -374,27 +379,33 @@ def ann_ivf_topk(
     import numpy as np
 
     qbase_raw, base = _query_split(embeddings, query_pred, vec_col)
-    # --- train coarse centroids on a deterministic sample ---
-    sample = (
-        embeddings.filter(F.col(vec_col).isNotNull())
-        .select(id_col, vec_col)
-        .orderBy(id_col)
-        .limit(sample_size)
-        .collect()
-    )
-    if not sample:
-        return _empty_topk(embeddings, id_col, extra_cols)
-    x = np.array([list(r[1]) for r in sample], dtype=np.float64)
-    x /= np.linalg.norm(x, axis=1, keepdims=True)
-    rng = np.random.RandomState(seed)
-    cent = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
-    for _ in range(10):
-        assign = np.argmax(x @ cent.T, axis=1)
-        for c in range(cent.shape[0]):
-            members = x[assign == c]
-            if len(members):
-                v = members.mean(axis=0)
-                cent[c] = v / np.linalg.norm(v)
+    if centroids is not None:
+        cent = np.array(centroids, dtype=np.float64)
+        cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    else:
+        # --- train coarse centroids on a deterministic sample ---
+        sample = (
+            embeddings.filter(F.col(vec_col).isNotNull())
+            .select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(sample_size)
+            .collect()
+        )
+        if not sample:
+            return _empty_topk(embeddings, id_col, extra_cols)
+        x = np.array([list(r[1]) for r in sample], dtype=np.float64)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        rng = np.random.RandomState(seed)
+        cent = x[
+            rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)
+        ]
+        for _ in range(10):
+            assign = np.argmax(x @ cent.T, axis=1)
+            for c in range(cent.shape[0]):
+                members = x[assign == c]
+                if len(members):
+                    v = members.mean(axis=0)
+                    cent[c] = v / np.linalg.norm(v)
     sc = embeddings.sparkSession.sparkContext
     bc_cent = sc.broadcast(cent)
 
