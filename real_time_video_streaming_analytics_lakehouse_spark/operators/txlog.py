@@ -475,8 +475,18 @@ def _prune(snap: Snapshot, predicates) -> list[dict]:
     for f_ in snap.files.values():
         keep = True
         for col, op, lit in predicates or []:
-            if op == "=" and not _bloom_may_contain(
-                (f_.get("bloom") or {}).get(col), lit
+            # probe only literal types whose str() provably matches the
+            # indexed column's Spark string cast (int/str — the same
+            # eligibility rule as _BLOOM_TYPES): a float literal on an
+            # int column would encode "2.0" vs the indexed "2" and
+            # produce a FALSE NEGATIVE, turning pruning into a filter.
+            if (
+                op == "="
+                and isinstance(lit, (int, str))
+                and not isinstance(lit, bool)
+                and not _bloom_may_contain(
+                    (f_.get("bloom") or {}).get(col), lit
+                )
             ):
                 keep = False
                 break

@@ -1036,3 +1036,17 @@ def test_bloom_skips_ineligible_types_and_null_values(spark, tmp_path):
     # NULL id rows only add a harmless phantom position; probing the
     # real value still keeps the file, and reads stay exact
     assert t.read(predicates=[("id", "=", 1)]).count() == 1
+
+
+def test_bloom_ignores_type_mismatched_literals(spark, tmp_path):
+    """A float (or bool) literal against an int-indexed column must NOT
+    consult the bloom — str(2.0) = '2.0' never matches the indexed '2'
+    and would false-negative-prune; the stats range path still applies
+    and reads stay exact."""
+    t = TxTable.create(
+        spark, str(tmp_path / "bf3"), SCHEMA,
+        properties={"bloom.columns": "id"},
+    )
+    t.write(_df(spark, [(2, "a", 1)]))
+    assert t.read(predicates=[("id", "=", 2.0)]).count() == 1
+    assert t.read(predicates=[("id", "=", 2)]).count() == 1
