@@ -270,6 +270,44 @@ class Snapshot:
         return StructType.fromJson(json.loads(self.schema_json))
 
 
+def _load_checkpoint_txns(root: str, version: int) -> dict | None:
+    """The app→txnVersion map a checkpoint carries (Delta's
+    SetTransaction actions live in checkpoints for exactly this
+    reason: log-retention cleanup must not erase idempotent-write
+    protection). ``None`` for pre-feature checkpoints that never
+    recorded the map — callers must fall back to scanning commits."""
+    t = checkpoint_from_bytes(store_for(root).read_checkpoint(version))
+    meta = {
+        k.decode(): v.decode()
+        for k, v in (t.schema.metadata or {}).items()
+    }
+    if "txns" not in meta:
+        return None
+    return {k: int(v) for k, v in json.loads(meta["txns"]).items()}
+
+
+def _txn_map(root: str, version: int) -> dict:
+    """Replay app→txnVersion stamps up to ``version``: newest
+    checkpoint's recorded map + the tail commits — incremental, so it
+    works after earlier commits were retention-cleaned. Falls back to
+    a full commit scan when the base checkpoint predates the map."""
+    txns: dict = {}
+    start = 0
+    bases = [c for c in _list_checkpoints(root) if c <= version]
+    if bases:
+        stored = _load_checkpoint_txns(root, bases[-1])
+        if stored is not None:
+            txns = dict(stored)
+            start = bases[-1] + 1
+    for v in _list_versions(root):
+        if not (start <= v <= version):
+            continue
+        p = _read_commit(root, v).get("operationParameters", {})
+        if p.get("txnAppId") is not None and p.get("txnVersion") is not None:
+            txns[str(p["txnAppId"])] = int(p["txnVersion"])
+    return txns
+
+
 def _load_checkpoint(root: str, version: int):
     """Read one parquet log checkpoint back into replay state."""
     t = checkpoint_from_bytes(store_for(root).read_checkpoint(version))
@@ -779,6 +817,10 @@ class TxTable:
             "schema": snap.schema_json,
             "properties": json.dumps(snap.properties),
             "partition_by": json.dumps(snap.partition_by),
+            # app→txnVersion stamps survive log-retention cleanup only
+            # through the checkpoint (Delta stores SetTransaction
+            # actions in checkpoints for the same reason)
+            "txns": json.dumps(_txn_map(self.root, version)),
         })
         store = store_for(self.root)
         store.write_checkpoint(version, checkpoint_to_bytes(table))
@@ -1097,13 +1139,28 @@ class TxTable:
         increasing versions — e.g. streaming batch ids — can skip any
         batch at or below this value after a checkpoint replay.
 
-        Driver-side scan of the commit log, newest first; O(log size)
-        JSON reads, no Spark job.
+        Driver-side: commits newest-first down to the newest
+        checkpoint, then that checkpoint's recorded txn map — O(tail)
+        JSON reads, no Spark job, and correct across
+        :meth:`cleanup_log` (the stamps live on in the checkpoint,
+        like Delta's SetTransaction actions). Pre-map checkpoints fall
+        back to scanning the whole surviving log.
         """
+        checkpoints = _list_checkpoints(self.root)
+        floor = -1
+        stored: dict | None = None
+        if checkpoints:
+            stored = _load_checkpoint_txns(self.root, checkpoints[-1])
+            if stored is not None:
+                floor = checkpoints[-1]
         for v in sorted(_list_versions(self.root), reverse=True):
+            if v <= floor:
+                break  # history at/below the checkpoint is summarized
             p = _read_commit(self.root, v).get("operationParameters", {})
             if p.get("txnAppId") == app_id:
                 return int(p["txnVersion"])
+        if stored is not None and app_id in stored:
+            return int(stored[app_id])
         return None
 
     def restore_to_version(self, version: int) -> int:
@@ -1245,6 +1302,13 @@ class TxTable:
             if _read_commit(self.root, v)["timestamp_ms"] <= cutoff_ms:
                 dropped.append(v)
         if not dry_run:
+            if dropped and _load_checkpoint_txns(self.root, base) is None:
+                # pre-txn-map checkpoint: deleting commits under it
+                # would erase txnAppId/txnVersion stamps and silently
+                # break idempotent-write replay protection — re-write
+                # the checkpoint (idempotent; commits still present)
+                # so the map is recorded first.
+                self._write_checkpoint(base)
             for v in dropped:
                 store.delete_commit(v)
         return dropped

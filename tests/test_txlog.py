@@ -1050,3 +1050,33 @@ def test_bloom_ignores_type_mismatched_literals(spark, tmp_path):
     t.write(_df(spark, [(2, "a", 1)]))
     assert t.read(predicates=[("id", "=", 2.0)]).count() == 1
     assert t.read(predicates=[("id", "=", 2)]).count() == 1
+
+
+def test_txn_stamps_survive_log_cleanup(spark, tmp_path):
+    """Exactly-once replay protection across log retention: the
+    checkpoint records the app->txnVersion map (Delta keeps
+    SetTransaction actions in checkpoints for the same reason), so a
+    stamp whose commit was retention-cleaned is still returned and a
+    newer post-checkpoint stamp still wins."""
+    t = TxTable.create(spark, str(tmp_path / "tx"), SCHEMA)
+    t.checkpoint_interval = 5
+    t.write(_df(spark, [(1, "a", 1)]),
+            params={"txnAppId": "app", "txnVersion": 3})      # v1
+    t.write(_df(spark, [(2, "a", 2)]),
+            params={"txnAppId": "other", "txnVersion": 9})    # v2
+    for i in range(3, 7):
+        t.write(_df(spark, [(i, "a", i)]))                    # v3..v6
+    assert t.cleanup_log(retention_hours=0.0) == [0, 1, 2, 3, 4]
+    assert t.txn_version("app") == 3      # stamp only in cleaned v1
+    assert t.txn_version("other") == 9
+    assert t.txn_version("never") is None
+    # a post-checkpoint stamp overrides the checkpointed one
+    t.write(_df(spark, [(9, "a", 9)]),
+            params={"txnAppId": "app", "txnVersion": 4})
+    assert t.txn_version("app") == 4
+    # and survives the NEXT checkpoint + cleanup cycle
+    for i in range(10, 14):
+        t.write(_df(spark, [(i, "a", i)]))
+    assert t.cleanup_log(retention_hours=0.0)
+    assert t.txn_version("app") == 4
+    assert t.txn_version("other") == 9
