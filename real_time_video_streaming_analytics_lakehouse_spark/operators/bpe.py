@@ -223,12 +223,22 @@ def bpe_encode(
             cache[w] = syms
             return syms
 
+        import re
+
+        # ASCII \s+, NOT str.split(): Python's default split breaks on
+        # unicode whitespace (U+00A0 etc.) that Spark's Java '\s+'
+        # tokenizer — the one train_bpe used — does NOT treat as a
+        # separator; diverging here would encode word boundaries the
+        # trained vocabulary never saw.
+        ws = re.compile(r"\s+", re.ASCII)
+
         def enc_text(t):
             if t is None:
                 return None
             out: list[str] = []
-            for w in t.split():
-                out.extend(enc_word(w))
+            for w in ws.split(t):
+                if w:
+                    out.extend(enc_word(w))
             return out
 
         return pd.Series([enc_text(t) for t in texts])

@@ -99,6 +99,7 @@ from pyspark.sql.types import StringType, StructField, StructType
 
 from .commitstore import (
     CommitConflictError,
+    LocalFileCommitStore,
     checkpoint_from_bytes,
     checkpoint_to_bytes,
     normalize_root,
@@ -135,16 +136,18 @@ class VacuumedFileError(RuntimeError):
 # log primitives
 
 
+# Layout helpers kept for tests/tooling but DELEGATED to the local
+# commit store so the on-disk naming has exactly one definition.
 def _log_dir(root: str) -> str:
-    return os.path.join(root, _LOG_DIR)
+    return LocalFileCommitStore(root)._dir()
 
 
 def _commit_path(root: str, version: int) -> str:
-    return os.path.join(_log_dir(root), f"{version:020d}.json")
+    return LocalFileCommitStore(root)._commit_path(version)
 
 
 def _checkpoint_path(root: str, version: int) -> str:
-    return os.path.join(_log_dir(root), f"{version:020d}.checkpoint.parquet")
+    return LocalFileCommitStore(root)._checkpoint_path(version)
 
 
 def _list_versions(root: str) -> list[int]:
@@ -452,13 +455,20 @@ def _bloom_params(properties: dict) -> tuple[list[str], int, int]:
     )
 
 
-def _bloom_positions_py(value, hashes: int, bits: int) -> list[int]:
+import functools
+
+
+@functools.lru_cache(maxsize=1024)
+def _bloom_positions_py(value, hashes: int, bits: int) -> tuple[int, ...]:
+    # cached: positions depend only on (literal, k, bits) — without the
+    # cache a point lookup over millions of files recomputes k md5s per
+    # file on the driver
     import hashlib
 
-    return [
+    return tuple(
         int(hashlib.md5(f"{i}|{value}".encode()).hexdigest()[:15], 16) % bits
         for i in range(hashes)
-    ]
+    )
 
 
 def _bloom_expr(col: str, seed: int, bits: int):
@@ -470,11 +480,16 @@ def _bloom_expr(col: str, seed: int, bits: int):
 
 
 def _bloom_may_contain(bl: dict | None, lit) -> bool:
-    """Driver-side probe: False only when the bitmap PROVES absence."""
+    """Driver-side probe: False only when the bitmap PROVES absence.
+
+    ``bits`` comes from the stored entry, NOT the mask's hex length —
+    a bit count that isn't a multiple of 4 (or a mask whose top bits
+    overflow the hex width) would otherwise make the probe use a
+    different modulus than the build side and falsely prune."""
     if not bl or not bl.get("mask"):
         return True
+    bits = int(bl.get("bits", len(bl["mask"]) * 4))
     mask = int(bl["mask"], 16)
-    bits = len(bl["mask"]) * 4
     return all(
         (mask >> p) & 1
         for p in _bloom_positions_py(lit, int(bl.get("k", 3)), bits)
@@ -576,12 +591,16 @@ class TxTable:
             # snapshot resolution, history, vacuum — resolve to it too).
             register_store(self.root, store)
         else:
-            # No pluggable store: both planes are files, so refuse
-            # object-store schemes loudly — their lack of an atomic
-            # rename/link is exactly what a registered CommitStore
-            # (conditional PUT) exists to solve.
+            # No pluggable store passed: refuse object-store schemes
+            # UNLESS one was already registered for this root (a second
+            # handle re-attaching to a configured table must work) —
+            # the file-based fallback's rename/link atomicity is
+            # exactly what a registered CommitStore (conditional PUT)
+            # exists to replace.
             scheme = path.split("://", 1)[0] if "://" in path else ""
-            if scheme not in ("", "file"):
+            if scheme not in ("", "file") and isinstance(
+                store_for(self.root), LocalFileCommitStore
+            ):
                 raise ValueError(
                     f"TxTable at {path!r}: scheme {scheme!r} has no atomic "
                     f"rename/link for the default file-based commit log; "
@@ -663,7 +682,8 @@ class TxTable:
         # adopted file (same auto-indexing as fresh writes), so log-side
         # file skipping works immediately — not only after a rewrite.
         # Zero-row files are not adopted (Delta doesn't commit them).
-        per_file = t._collect_stats(t.root, files, df, None)
+        per_file = t._collect_stats(t.root, files, df, None,
+                                    properties or {})
         adds = []
         part_cols: list[str] = []
         for rel in files:
@@ -1027,8 +1047,15 @@ class TxTable:
                     F.collect_set(_bloom_expr(c, i, bits))
                     .alias(f"_bf_{ci}_{i}")
                 )
+        # Explicit schema on the stats read-back: partition-type
+        # INFERENCE would retype a string partition value like
+        # day='01' to INT 1, and a bloom bitmap built from the retyped
+        # value ('1') can never match the true literal ('01') — a
+        # false-negative prune, i.e. silent row loss (the same hazard
+        # the partitioned merge sink pins for its target read).
         rows = (
-            self.spark.read.option("basePath", stage).parquet(stage)
+            self.spark.read.option("basePath", stage)
+            .schema(df.schema).parquet(stage)
             .groupBy(F.input_file_name().alias("_f"))
             .agg(*aggs)
             .collect()  # bounded: one row per staged file
@@ -1054,7 +1081,9 @@ class TxTable:
                         for p in r[f"_bf_{ci}_{i}"] or []:
                             mask |= 1 << p
                     blooms[c] = {
-                        "k": hashes, "mask": format(mask, f"0{bits // 4}x")
+                        "k": hashes,
+                        "bits": bits,
+                        "mask": format(mask, f"0{(bits + 3) // 4}x"),
                     }
                 out[rel]["bloom"] = blooms
         # A staged file with no group row must be a ZERO-ROW file (a
@@ -1299,8 +1328,13 @@ class TxTable:
         for v in _list_versions(self.root):
             if v >= base:
                 break
-            if _read_commit(self.root, v)["timestamp_ms"] <= cutoff_ms:
-                dropped.append(v)
+            if _read_commit(self.root, v)["timestamp_ms"] > cutoff_ms:
+                # contiguous-prefix deletion ONLY (like Delta): commit
+                # timestamps can invert at ms granularity under racing
+                # writers, and deleting v+1 while keeping v would leave
+                # an interior gap a lagging stream could silently jump
+                break
+            dropped.append(v)
         if not dry_run:
             if dropped and _load_checkpoint_txns(self.root, base) is None:
                 # pre-txn-map checkpoint: deleting commits under it

@@ -169,20 +169,25 @@ class TxTableStreamReader(DataSourceStreamReader):
         out = []
         lo, hi = int(start["version"]), int(end["version"])
         versions = _list_versions(self.path)
-        # A non-empty range whose first expected commit (lo+1) is below
-        # the oldest retained commit means log-retention cleanup
-        # (TxTable.cleanup_log) removed commits this stream has not
-        # consumed. Silently iterating the survivors would JUMP THE GAP
-        # and lose rows without notice — fail with the remedy instead
-        # (Delta's contract for streams lagging past log retention).
-        if hi > lo and versions and lo + 1 < versions[0]:
-            raise RuntimeError(
-                f"txtable stream at {self.path}: commits "
-                f"{lo + 1}..{versions[0] - 1} were removed by log "
-                f"retention cleanup before this stream consumed them; "
-                f"backfill in batch and restart with "
-                f".option('startingVersion', {versions[0]}) or later"
-            )
+        # EVERY commit the range (lo, hi] expects must still exist:
+        # log-retention cleanup (TxTable.cleanup_log) may have removed
+        # commits this stream has not consumed — at the head of the log
+        # or (if an out-of-band deletion left one) an interior gap.
+        # Silently iterating the survivors would JUMP THE GAP and lose
+        # rows without notice — fail with the remedy instead (Delta's
+        # contract for streams lagging past log retention).
+        if hi > lo:
+            have = {v for v in versions if lo < v <= hi}
+            missing = sorted(set(range(lo + 1, hi + 1)) - have)
+            if missing:
+                resume = max(missing) + 1
+                raise RuntimeError(
+                    f"txtable stream at {self.path}: commits {missing} "
+                    f"were removed (log retention cleanup) before this "
+                    f"stream consumed them; backfill in batch and "
+                    f"restart with .option('startingVersion', {resume}) "
+                    f"or later"
+                )
         for v in versions:
             if not (lo < v <= hi):
                 continue

@@ -189,3 +189,22 @@ def test_chunking_accepts_bpe_tokens(spark):
         total = n_tokens[doc_id]
         last = rs[-1]
         assert last["chunk_idx"] * 2 + last["chunk_tokens"] == total
+
+
+def test_encode_unicode_whitespace_matches_training_tokenizer(spark):
+    """Java's '\\s+' (train side) does NOT split on unicode whitespace
+    like U+00A0; encode must agree or it applies merges to word
+    boundaries the vocabulary never saw."""
+    text = "low\xa0low"  # NBSP: ONE training word under Java \s+
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    merges = train_bpe(df, num_merges=5, min_frequency=1)
+    enc = bpe_encode(df, merges).collect()[0]["bpe_tokens"]
+    # training saw 'low\xa0low' as one word; encode must reproduce its
+    # trained symbol sequence, not two separate 'low' encodings
+    _, table = ref_train_bpe([text.replace(" ", "_NBSP_")], 0)
+    assert "".join(enc) == text  # same characters, no boundary loss
+    # the nbsp stays INSIDE a token stream of one word: encoding the
+    # two-word variant differs
+    df2 = spark.createDataFrame([(0, "low low")], "doc_id long, text string")
+    enc2 = bpe_encode(df2, merges).collect()[0]["bpe_tokens"]
+    assert enc != enc2

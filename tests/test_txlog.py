@@ -1080,3 +1080,70 @@ def test_txn_stamps_survive_log_cleanup(spark, tmp_path):
     assert t.cleanup_log(retention_hours=0.0)
     assert t.txn_version("app") == 4
     assert t.txn_version("other") == 9
+
+
+def test_bloom_string_partition_values_survive_type_inference(
+    spark, tmp_path
+):
+    """Bloom on a STRING partition column: the stats read-back must pin
+    the writer's schema — partition-type inference would retype
+    day='01' to INT 1 and the bitmap could never match the true
+    literal, turning pruning into a silent filter."""
+    t = TxTable.create(
+        spark, str(tmp_path / "bfs"), SCHEMA, partition_by=["day"],
+        properties={"bloom.columns": "day"},
+    )
+    t.write(_df(spark, [(1, "01", 1), (2, "02", 2)]))
+    assert t.read(predicates=[("day", "=", "01")]).count() == 1
+    assert t.read(predicates=[("day", "=", "02")]).count() == 1
+
+
+def test_bloom_bits_not_multiple_of_four(spark, tmp_path):
+    """bits is stored in the bloom entry, not derived from the hex mask
+    width — a non-multiple-of-4 bit count must not shift the probe's
+    modulus (every present value keeps its file)."""
+    t = TxTable.create(
+        spark, str(tmp_path / "bfb"), SCHEMA,
+        properties={"bloom.columns": "id", "bloom.bits": "10"},
+    )
+    rows = [(i, "a", i) for i in range(50)]
+    t.write(_df(spark, rows))
+    for i in range(50):
+        assert t.read(predicates=[("id", "=", i)]).count() == 1, i
+
+
+def test_object_store_reattach_with_registered_store(spark):
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.commitstore import (
+        InMemoryCommitStore,
+        register_store,
+        unregister_store,
+    )
+
+    register_store("s3://bucket/re", InMemoryCommitStore())
+    try:
+        # second handle without store= resolves the registered one
+        t = TxTable(spark, "s3://bucket/re")
+        assert t.root == "s3://bucket/re"
+    finally:
+        unregister_store("s3://bucket/re")
+
+
+def test_cleanup_log_stops_at_first_retained_commit(spark, tmp_path):
+    """Contiguous-prefix deletion: a commit newer than the cutoff stops
+    cleanup even if later commits are older (ms-level timestamp
+    inversions under racing writers) — no interior gaps, ever."""
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.commitstore import (
+        store_for,
+    )
+
+    t = TxTable.create(spark, str(tmp_path / "cg"), SCHEMA)
+    t.checkpoint_interval = 5
+    for i in range(6):
+        t.write(_df(spark, [(i, "a", i)]))
+    # invert timestamps: commit 2 is "newer" than the cutoff
+    store = store_for(t.root)
+    c2 = store.read_commit(2)
+    c2["timestamp_ms"] = int((__import__("time").time() + 3600) * 1000)
+    store.delete_commit(2)
+    store.put_commit_if_absent(2, c2)
+    assert t.cleanup_log(retention_hours=0.0) == [0, 1]  # stops AT 2
