@@ -1771,7 +1771,8 @@ class TxTable:
 
     def optimize(self, zorder_cols: list[str] | None = None,
                  target_files: int | None = None,
-                 stats_cols: list[str] | None = None) -> int:
+                 stats_cols: list[str] | None = None,
+                 predicates=None) -> int:
         """OPTIMIZE as a versioned commit (D1/D2 on the log): rewrite
         the live snapshot into ``target_files`` files — optionally
         Morton-clustered on ``zorder_cols`` via the same
@@ -1779,11 +1780,22 @@ class TxTable:
         :func:`.maintenance.zorder_by` uses — and commit add/remove with
         ``dataChange=false``, so pre-compaction versions stay
         time-travelable and the change feed correctly sees NO row
-        changes (Delta marks compaction commits the same way)."""
+        changes (Delta marks compaction commits the same way).
+
+        ``predicates`` scopes the rewrite to the files the log proves
+        CAN match (partition values / stats / bloom — the same pruning
+        as ``read``), Delta's ``OPTIMIZE ... WHERE``: at 100 TB you
+        compact the partitions a backfill just fragmented, never the
+        whole table. Untouched files stay committed as-is; pruning is
+        file-conservative, so a kept file's non-matching rows are
+        simply rewritten along (row content never changes)."""
         snap = self.snapshot()
-        if not snap.files:
+        scope = _prune(snap, predicates) if predicates else list(
+            snap.files.values()
+        )
+        if not scope:
             return snap.version
-        df = self.read()
+        df = self._read_entries(scope, snap.schema, snap.partition_by)
         n = target_files or max(
             1, self.spark.sparkContext.defaultParallelism // 4
         )
@@ -1805,7 +1817,7 @@ class TxTable:
             df, snap.version + 1, snap.partition_by,
             stats_cols or zorder_cols, snap.properties,
         )
-        removes = sorted(snap.files)
+        removes = sorted(f_["path"] for f_ in scope)
 
         def action(v: int) -> dict:
             return {

@@ -208,3 +208,27 @@ def test_encode_unicode_whitespace_matches_training_tokenizer(spark):
     df2 = spark.createDataFrame([(0, "low low")], "doc_id long, text string")
     enc2 = bpe_encode(df2, merges).collect()[0]["bpe_tokens"]
     assert enc != enc2
+
+
+def test_apply_merge_random_fuzz_one_job(spark):
+    """300 random symbol arrays vs the sequential reference, in ONE
+    Spark job (overlap chains like a,a,a under rule (a,a) included)."""
+    import random
+
+    rng = random.Random(11)
+    cases = [
+        [rng.choice("ab") for _ in range(rng.randint(0, 8))]
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i long, syms array<string>"
+    )
+    for rule in (("a", "b"), ("a", "a"), ("b", "a")):
+        got = {
+            r["i"]: r["m"]
+            for r in df.select(
+                "i", apply_merge(F.col("syms"), *rule).alias("m")
+            ).collect()
+        }
+        for i, c in enumerate(cases):
+            assert got[i] == _ref_merge(c, *rule), (i, c, rule)

@@ -1147,3 +1147,32 @@ def test_cleanup_log_stops_at_first_retained_commit(spark, tmp_path):
     store.delete_commit(2)
     store.put_commit_if_absent(2, c2)
     assert t.cleanup_log(retention_hours=0.0) == [0, 1]  # stops AT 2
+
+
+def test_optimize_where_scopes_the_rewrite(spark, tmp_path):
+    """Partition-scoped OPTIMIZE (Delta's OPTIMIZE ... WHERE): only the
+    files the predicates can match are rewritten; other partitions'
+    files survive byte-identical, rows never change, and the commit
+    stays dataChange=false (invisible to streams/CDF)."""
+    t = TxTable.create(spark, str(tmp_path / "ow"), SCHEMA,
+                       partition_by=["day"])
+    for i in range(4):  # fragment day=a into 4 files; day=b into 4
+        t.write(_df(spark, [(i, "a", i), (100 + i, "b", i)]))
+    before = t.snapshot()
+    b_files = {p for p, f_ in before.files.items()
+               if f_["partitionValues"].get("day") == "b"}
+    v = t.optimize(target_files=1, predicates=[("day", "=", "a")])
+    snap = t.snapshot()
+    assert snap.version == v
+    # day=b files untouched, day=a compacted to fewer files
+    assert {p for p, f_ in snap.files.items()
+            if f_["partitionValues"].get("day") == "b"} == b_files
+    a_files = [p for p, f_ in snap.files.items()
+               if f_["partitionValues"].get("day") == "a"]
+    assert len(a_files) == 1
+    assert {(r.id, r.day, r.v) for r in t.read().collect()} == {
+        *((i, "a", i) for i in range(4)),
+        *((100 + i, "b", i) for i in range(4)),
+    }
+    # no-match predicate: clean no-op, no new version
+    assert t.optimize(predicates=[("day", "=", "zzz")]) == v
