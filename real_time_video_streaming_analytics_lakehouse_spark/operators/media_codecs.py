@@ -153,6 +153,29 @@ def decode_wav(data: bytes):
     return rate, ch, a
 
 
+#: image formats with a pure-Python decoder here
+IMAGE_FORMATS = ("ppm", "bmp")
+
+
+def decode_image(fmt: str, data: bytes):
+    """The one decode dispatch for :data:`IMAGE_FORMATS` — every
+    consumer (feature decode, resize, embeddings) routes through here
+    so adding a format or changing error handling happens once."""
+    if fmt == "ppm":
+        return decode_ppm(data)
+    if fmt == "bmp":
+        return decode_bmp(data)
+    raise ValueError(f"no pure-Python image decoder for {fmt!r}")
+
+
+def encode_image(fmt: str, arr) -> bytes:
+    if fmt == "ppm":
+        return encode_ppm(arr)
+    if fmt == "bmp":
+        return encode_bmp(arr)
+    raise ValueError(f"no pure-Python image encoder for {fmt!r}")
+
+
 def resize_nearest(arr, new_w: int, new_h: int):
     """Nearest-neighbor resample of an (h, w, 3) array — index maps
     ``src = floor(dst * src_size / dst_size)``, pure numpy fancy

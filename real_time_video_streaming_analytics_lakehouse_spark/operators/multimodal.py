@@ -66,11 +66,8 @@ def _decode_real(fmt: str, payload: bytes) -> tuple[int, int, int]:
     sample rate, n_frames = PCM frames."""
     from . import media_codecs as mc
 
-    if fmt == "ppm":
-        a = mc.decode_ppm(payload)
-        return a.shape[1], a.shape[0], 1
-    if fmt == "bmp":
-        a = mc.decode_bmp(payload)
+    if fmt in mc.IMAGE_FORMATS:
+        a = mc.decode_image(fmt, payload)
         return a.shape[1], a.shape[0], 1
     rate, ch, samples = mc.decode_wav(payload)
     return ch, rate, samples.shape[0]
@@ -207,11 +204,8 @@ def resize_images(
                 pdf["doc_id"], pdf["media_format"], pdf["payload"]
             ):
                 arr = None
-                if fmt in ("ppm", "bmp"):
-                    arr = (
-                        mc.decode_ppm(bytes(payload)) if fmt == "ppm"
-                        else mc.decode_bmp(bytes(payload))
-                    )
+                if fmt in mc.IMAGE_FORMATS:
+                    arr = mc.decode_image(fmt, bytes(payload))
                     h, w = arr.shape[:2]
                 elif not fake:
                     raise NotImplementedError(
@@ -237,10 +231,7 @@ def resize_images(
                 rows["new_height"].append(nh)
                 if arr is not None:
                     resized = mc.resize_nearest(arr, nw, nh)
-                    out_bytes = (
-                        mc.encode_ppm(resized) if fmt == "ppm"
-                        else mc.encode_bmp(resized)
-                    )
+                    out_bytes = mc.encode_image(fmt, resized)
                     rows["resized_fp"].append(
                         hashlib.md5(out_bytes).hexdigest()
                     )
@@ -293,11 +284,8 @@ def media_embeddings(
             return (vals + [0.0] * dim)[:dim]
 
         def one(fmt: str, payload: bytes) -> list[float]:
-            if fmt in ("ppm", "bmp"):
-                a = (
-                    mc.decode_ppm(payload) if fmt == "ppm"
-                    else mc.decode_bmp(payload)
-                )
+            if fmt in mc.IMAGE_FORMATS:
+                a = mc.decode_image(fmt, payload)
                 f = mc.image_features(a)
                 return pad([
                     f["mean_r"] / 255.0, f["mean_g"] / 255.0,

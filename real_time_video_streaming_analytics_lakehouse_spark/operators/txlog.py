@@ -678,14 +678,23 @@ class TxTable:
             )
         df = spark.read.option("basePath", t.root).parquet(t.root)
         schema = df.schema
+        # partition columns derived from the paths UP FRONT: they must
+        # be excluded from bloom indexing (their inferred types can
+        # differ from the stored directory strings)
+        part_cols: list[str] = []
+        for rel in files:
+            for seg in os.path.dirname(rel).split(os.sep):
+                if "=" in seg:
+                    k = seg.partition("=")[0]
+                    if k not in part_cols:
+                        part_cols.append(k)
         # One scan collects numRecords + min/max column stats for every
         # adopted file (same auto-indexing as fresh writes), so log-side
         # file skipping works immediately — not only after a rewrite.
         # Zero-row files are not adopted (Delta doesn't commit them).
         per_file = t._collect_stats(t.root, files, df, None,
-                                    properties or {})
+                                    properties or {}, part_cols)
         adds = []
-        part_cols: list[str] = []
         for rel in files:
             if rel not in per_file:
                 continue
@@ -694,8 +703,6 @@ class TxTable:
                 if "=" in seg:
                     k, _, v = seg.partition("=")
                     pv[k] = v
-                    if k not in part_cols:
-                        part_cols.append(k)
             entry = {"path": rel, "partitionValues": pv}
             entry.update(per_file[rel])
             adds.append(entry)
@@ -977,7 +984,7 @@ class TxTable:
             for p in pathlib.Path(stage).rglob("*.parquet")
         )
         per_file = self._collect_stats(stage, staged, df, stats_cols,
-                                       properties)
+                                       properties, partition_by)
         # Tasks that received no rows still write a zero-row parquet
         # file; don't commit those (Delta doesn't either).
         staged = [rel for rel in staged if rel in per_file]
@@ -1009,7 +1016,8 @@ class TxTable:
 
     def _collect_stats(self, stage: str, staged: list[str], df: DataFrame,
                        stats_cols: list[str] | None,
-                       properties: dict | None = None) -> dict:
+                       properties: dict | None = None,
+                       partition_by: list[str] | None = None) -> dict:
         """One aggregate over the staged files: per-file numRecords and
         column min/max for log-side data skipping. ``stats_cols=None``
         auto-indexes the first ``auto_stats_cols`` eligible columns
@@ -1034,9 +1042,16 @@ class TxTable:
             if dict(df.dtypes).get(c, "").startswith(_STATS_TYPES)
         ]
         bloom_cols, bits, hashes = _bloom_params(properties or {})
+        # Partition columns are NEVER bloom-indexed: partitionValues
+        # already give _prune the EXACT per-file value (a bitmap adds
+        # nothing), and on the bootstrap path their inferred type can
+        # differ from the stored directory string (day='01' inferred
+        # INT 1), which would build a bitmap no true-literal probe can
+        # ever match — reproduced false-negative row loss.
         bloom_cols = [
             c for c in bloom_cols
             if dict(df.dtypes).get(c, "") in _BLOOM_TYPES
+            and c not in (partition_by or [])
         ]
         aggs = [F.count(F.lit(1)).alias("_n")]
         for c in cols:

@@ -182,11 +182,12 @@ class TxTableStreamReader(DataSourceStreamReader):
             if missing:
                 resume = max(missing) + 1
                 raise RuntimeError(
-                    f"txtable stream at {self.path}: commits {missing} "
-                    f"were removed (log retention cleanup) before this "
-                    f"stream consumed them; backfill in batch and "
-                    f"restart with .option('startingVersion', {resume}) "
-                    f"or later"
+                    f"txtable stream at {self.path}: "
+                    f"{len(missing)} commit(s) in "
+                    f"{missing[0]}..{missing[-1]} were removed (log "
+                    f"retention cleanup) before this stream consumed "
+                    f"them; backfill in batch and restart with "
+                    f".option('startingVersion', {resume}) or later"
                 )
         for v in versions:
             if not (lo < v <= hi):

@@ -199,17 +199,18 @@ def test_encode_unicode_whitespace_matches_training_tokenizer(spark):
     df = spark.createDataFrame([(0, text)], "doc_id long, text string")
     merges = train_bpe(df, num_merges=5, min_frequency=1)
     enc = bpe_encode(df, merges).collect()[0]["bpe_tokens"]
-    # training saw 'low\xa0low' as one word; encode must reproduce its
-    # trained symbol sequence, not two separate 'low' encodings
-    _, table = ref_train_bpe([text.replace(" ", "_NBSP_")], 0)
-    assert "".join(enc) == text  # same characters, no boundary loss
-    # the nbsp stays INSIDE a token stream of one word: encoding the
-    # two-word variant differs
+    # training saw the NBSP-joined string as ONE word; encode must
+    # reproduce the trained symbol sequence EXACTLY (for a single-word
+    # corpus, rank-greedy encode == applying merges in learned order)
+    expected = list(text)
+    for a, b in merges:
+        expected = _ref_merge(expected, a, b)
+    assert enc == expected
+    assert any("\xa0" in tok for tok in enc)  # a merge crossed the NBSP
+    # the two-word (ASCII space) variant encodes differently
     df2 = spark.createDataFrame([(0, "low low")], "doc_id long, text string")
     enc2 = bpe_encode(df2, merges).collect()[0]["bpe_tokens"]
     assert enc != enc2
-
-
 def test_apply_merge_random_fuzz_one_job(spark):
     """300 random symbol arrays vs the sequential reference, in ONE
     Spark job (overlap chains like a,a,a under rule (a,a) included)."""

@@ -1082,20 +1082,38 @@ def test_txn_stamps_survive_log_cleanup(spark, tmp_path):
     assert t.txn_version("other") == 9
 
 
-def test_bloom_string_partition_values_survive_type_inference(
-    spark, tmp_path
-):
-    """Bloom on a STRING partition column: the stats read-back must pin
-    the writer's schema — partition-type inference would retype
-    day='01' to INT 1 and the bitmap could never match the true
-    literal, turning pruning into a silent filter."""
+def test_bloom_never_indexes_partition_columns(spark, tmp_path):
+    """Partition columns are excluded from bloom indexing everywhere:
+    partitionValues already prune them EXACTLY, and on the bootstrap
+    path their inferred type can differ from the stored directory
+    string (day='01' inferred INT 1) — a bitmap built from the retyped
+    value false-negatives every true-literal probe (reproduced before
+    the exclusion). Reads by the true string stay exact on both the
+    write and bootstrap paths."""
     t = TxTable.create(
         spark, str(tmp_path / "bfs"), SCHEMA, partition_by=["day"],
-        properties={"bloom.columns": "day"},
+        properties={"bloom.columns": "day,id"},
     )
     t.write(_df(spark, [(1, "01", 1), (2, "02", 2)]))
+    for f in t.snapshot().files.values():
+        assert set(f.get("bloom", {})) == {"id"}  # day excluded
     assert t.read(predicates=[("day", "=", "01")]).count() == 1
     assert t.read(predicates=[("day", "=", "02")]).count() == 1
+
+    # bootstrap path: adopt a plain hive dir with numeric-looking
+    # string partition values, bloom opted in
+    import pyspark.sql.functions as F2
+
+    plain = str(tmp_path / "plain")
+    _df(spark, [(1, "01", 1), (2, "02", 2)]).write.partitionBy(
+        "day"
+    ).parquet(plain)
+    t2 = TxTable.bootstrap(spark, plain,
+                           properties={"bloom.columns": "day,id"})
+    for f in t2.snapshot().files.values():
+        assert "day" not in f.get("bloom", {})
+    assert t2.read(predicates=[("day", "=", "01")]).count() == 1
+    assert t2.read(predicates=[("id", "=", 2)]).count() == 1
 
 
 def test_bloom_bits_not_multiple_of_four(spark, tmp_path):
