@@ -554,6 +554,78 @@ def run_sketch_stream(
     )
 
 
+def run_cms_stream(
+    result: DataFrame,
+    table_path: str,
+    checkpoint_path: str,
+    keys: list[str],
+    value_col: str,
+    depth: int = 5,
+    width: int = 2048,
+    seed: int = 0x5EED,
+    app_id: str | None = None,
+) -> StreamingQuery:
+    """Streaming FREQUENCY-sketch maintenance — the count-min
+    counterpart of :func:`run_sketch_stream`: each micro-batch builds
+    the tabular CMS of JUST the batch
+    (:func:`..operators.sketches.cms_build`), sums it into the stored
+    table's touched buckets (:func:`..operators.sketches.cms_merge` —
+    CMS is linear, so streamed maintenance is row-identical to a full
+    rebuild), and MERGEs on ``(keys, _d, _b)`` into the native log.
+    Heavy-hitter / frequency gold metrics stay current without
+    rescanning history, in ≤ depth×width rows per key group.
+
+    Exactly-once contract differs from the HLL stream in ONE important
+    way, and the implementation reflects it: HLL union is idempotent,
+    so even a replay slipping past the version gate cannot corrupt an
+    estimate — CMS addition is NOT (a double-counted batch inflates
+    counters and the never-undercounts bound stays true but the
+    e·N/width overcount bound silently degrades). The txnAppId/
+    txnVersion replay gate is therefore the correctness mechanism
+    here, not just an optimization, exactly like the MERGE sink.
+    """
+    from ..operators.sketches import cms_build, cms_merge
+    from ..operators.txlog import TxTable
+    from ..operators.util import require_local_dir
+
+    table_path = require_local_dir(table_path)
+    app = app_id or f"cms_stream:{checkpoint_path}"
+    merge_keys = [*keys, "_d", "_b"]
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = cms_build(batch_df, keys, value_col, depth=depth,
+                          width=width, seed=seed)
+        params = {"txnAppId": app, "txnVersion": batch_id}
+        if not TxTable.exists(spark, table_path):
+            try:
+                TxTable.create(spark, table_path, delta.schema)
+            except FileExistsError:
+                TxTable.bootstrap(spark, table_path)
+        tx = TxTable(spark, table_path)
+        last = tx.txn_version(app)
+        if last is not None and batch_id <= last:
+            return  # replayed micro-batch: already committed
+        # NULL-SAFE touched probe on the key columns (bucket columns
+        # _d/_b are never NULL); see run_sketch_stream for why a plain
+        # join would split NULL key groups forever.
+        stored = tx.read()
+        probe = delta.select(*merge_keys).distinct()
+        cond = (stored["_d"] == probe["_d"]) & (stored["_b"] == probe["_b"])
+        for k in keys:
+            cond = cond & stored[k].eqNullSafe(probe[k])
+        touched = stored.join(probe, cond, "left_semi")
+        combined = cms_merge(touched, delta, keys)
+        tx.merge(combined, merge_keys, params=params)
+
+    return (
+        result.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_quarantine_stream(
     result: DataFrame,
     rules,

@@ -293,3 +293,80 @@ def test_cms_rejects_reserved_names(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="reserve"):
         cms_build(df, ["cnt"], "g")
+
+
+def test_streaming_cms_maintenance_matches_batch(spark, tmp_path):
+    """run_cms_stream across micro-batches is ROW-IDENTICAL to a batch
+    cms_build over all events (CMS linearity), estimates never
+    undercount true frequencies, and a replayed drain commits nothing
+    (addition is NOT idempotent — the txn gate is the correctness
+    mechanism)."""
+    import datetime as dt
+    import glob
+    import os
+
+    from pyspark.sql import Row
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.txlog import TxTable
+    from real_time_video_streaming_analytics_lakehouse_spark.streaming import (
+        run_cms_stream,
+        stream_events_from_files,
+    )
+
+    src_dir = str(tmp_path / "cms_src")
+    d1, d2 = dt.datetime(2024, 1, 1, 10, 0), dt.datetime(2024, 1, 2, 10, 0)
+    batches = [
+        [Row(event_id=1, ts=d1, user_id=1), Row(event_id=2, ts=d1, user_id=2),
+         Row(event_id=3, ts=d2, user_id=1)],
+        [Row(event_id=4, ts=d1, user_id=2), Row(event_id=5, ts=d1, user_id=2)],
+    ]
+    for i, rows in enumerate(batches):
+        before = set(glob.glob(f"{src_dir}/*.parquet"))
+        spark.createDataFrame(rows).coalesce(1).write.mode("append").parquet(src_dir)
+        for f in set(glob.glob(f"{src_dir}/*.parquet")) - before:
+            os.utime(f, (1700000000 + i * 100,) * 2)
+
+    table = str(tmp_path / "cms_table")
+    ckpt = str(tmp_path / "cms_ckpt")
+
+    def drain():
+        src = stream_events_from_files(
+            spark, src_dir, spark.read.parquet(src_dir).schema,
+            max_files_per_trigger=1,
+        ).withColumn("day", F.to_date("ts"))
+        q = run_cms_stream(src, table, ckpt, ["day"], "user_id",
+                           depth=3, width=64)
+        q.awaitTermination(120)
+
+    drain()
+    tx = TxTable(spark, table)
+    got = sorted(map(tuple, tx.read().collect()))
+    all_events = spark.read.parquet(src_dir).withColumn("day", F.to_date("ts"))
+    want = sorted(map(tuple, cms_build(
+        all_events, ["day"], "user_id", depth=3, width=64
+    ).collect()))
+    assert got == want  # linearity: streamed == rebuilt, row-identical
+
+    probes = spark.createDataFrame(
+        [(dt.date(2024, 1, 1), 2), (dt.date(2024, 1, 1), 1),
+         (dt.date(2024, 1, 2), 1)],
+        "day date, user_id int",
+    )
+    est = {
+        (str(r["day"]), r["user_id"]): r["freq_est"]
+        for r in cms_estimate(tx.read(), probes, ["day"], "user_id",
+                              depth=3, width=64).collect()
+    }
+    # true counts: day1 user2 x3, day1 user1 x1, day2 user1 x1
+    assert est[("2024-01-01", 2)] >= 3
+    assert est[("2024-01-01", 1)] >= 1
+    assert est[("2024-01-02", 1)] >= 1
+
+    v = tx.snapshot().version
+    drain()  # checkpoint replays nothing; counters NOT double-added
+    assert TxTable(spark, table).snapshot().version == v
+    assert sorted(map(tuple, TxTable(spark, table).read().collect())) == want

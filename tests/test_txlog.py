@@ -1194,3 +1194,35 @@ def test_optimize_where_scopes_the_rewrite(spark, tmp_path):
     }
     # no-match predicate: clean no-op, no new version
     assert t.optimize(predicates=[("day", "=", "zzz")]) == v
+
+
+def test_bloom_spark_build_equals_python_probe_fuzz(spark):
+    """Build/probe parity at the hash level: for 200 random values
+    (unicode included) the Spark-side position expression and the
+    driver-side Python positions are identical across bit widths and
+    hash rows — the invariant the no-false-negatives guarantee rests
+    on. One Spark job for the whole fuzz."""
+    import random
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.txlog import (
+        _bloom_expr,
+        _bloom_positions_py,
+    )
+
+    rng = random.Random(21)
+    alphabet = "abc|:%=01 é中"
+    vals = list({
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+        for _ in range(200)
+    })
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    for bits, hashes in ((1024, 3), (10, 2)):
+        cols = [
+            _bloom_expr("v", i, bits).alias(f"p{i}") for i in range(hashes)
+        ]
+        got = {
+            r["v"]: tuple(r[f"p{i}"] for i in range(hashes))
+            for r in df.select("v", *cols).collect()
+        }
+        for v in vals:
+            assert got[v] == _bloom_positions_py(v, hashes, bits), (v, bits)
