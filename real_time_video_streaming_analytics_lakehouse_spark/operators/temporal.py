@@ -212,7 +212,7 @@ def interval_join(
     right_start: str,
     right_end: str,
     on: str | list[str] | None = None,
-    bin_width_us: int = 3_600_000_000,
+    bin_width_us: int | None = None,
     suffix: str = "_right",
 ) -> DataFrame:
     """Inner overlap join: one row per (left, right) pair whose
@@ -238,12 +238,37 @@ def interval_join(
     ``bin_width_us`` trades replication for selectivity: each row is
     copied ``duration/bin_width + 1`` times, while a bin only pairs
     rows within ``bin_width`` of each other — set it near the typical
-    interval length (default 1 h). Replication factor is bounded and
-    linear; there is no quadratic stage at any key distribution.
+    interval length. Replication factor is bounded and linear; there
+    is no quadratic stage at any key distribution.
+
+    ``bin_width_us=None`` (the default) DERIVES the width from the
+    data: the p75 of observed interval lengths across both inputs
+    (one bounded 1-row ``percentile_approx`` aggregate — the same
+    driver-read pattern as the merge watermark). At that width at
+    least 75% of rows replicate ≤2×, and the worst row replicates
+    ``duration/p75 + 1`` times — bounded without per-dataset tuning,
+    whatever the interval scale (seconds or years). Pass an explicit
+    width to pin the plan instead (e.g. in benchmarks).
 
     Right columns keep their names; collisions with left names gain
     ``suffix``.
     """
+    if bin_width_us is None:
+        lens = (
+            left.select(
+                (epoch_us(F.col(left_end)) - epoch_us(F.col(left_start)))
+                .alias("_len")
+            )
+            .unionByName(
+                right.select(
+                    (epoch_us(F.col(right_end))
+                     - epoch_us(F.col(right_start))).alias("_len")
+                )
+            )
+            .agg(F.percentile_approx("_len", 0.75).alias("_p"))
+            .head()  # bounded: 1 row
+        )
+        bin_width_us = max(int(lens["_p"] or 0), 1)
     keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
     clash = {
         c

@@ -226,12 +226,12 @@ def customer_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey", "fs", "fe")
         .localCheckpoint(eager=False)  # both sides of the self-join
     )
-    # Bin width tracks the MEASURED interval scale, per interval_join's
-    # contract (replication = duration/bin_width + 1): the synthetic
-    # ship dates are uncorrelated with order dates, so fulfillment
-    # intervals run ~2 years (median 733 days at sf0.1) — 730-day bins
-    # keep replication at ~2 copies/order where 30-day bins exploded
-    # every order into ~25 (measured 3.0 s -> sub-second for the join).
+    # Bin width is DERIVED from the observed interval lengths (the
+    # operator's p75 default — here ~2.5 years, since synthetic ship
+    # dates are uncorrelated with order dates and fulfillment intervals
+    # run ~2 years): replication stays ~2 copies/order without the
+    # hard-coded 730-day constant this plan carried before, and the
+    # bound holds unchanged if the data's interval scale shifts.
     pairs = interval_join(
         iv,
         iv,
@@ -240,7 +240,6 @@ def customer_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_start="fs",
         right_end="fe",
         on="o_custkey",
-        bin_width_us=730 * 86_400_000_000,
     ).filter(F.col("o_orderkey") < F.col("o_orderkey_right"))
     overlaps = pairs.groupBy("o_custkey").agg(
         F.count("*").alias("overlapping_order_pairs")

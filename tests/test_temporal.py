@@ -469,3 +469,58 @@ def test_interval_join_rejects_s_us_collision(spark):
     )
     with pytest.raises(ValueError, match="reserves column names"):
         interval_join(left, right, "s", "e", "s", "e")
+
+
+@pytest.mark.parametrize("max_dur_sec,seed", [(900, 31), (14 * 86_400, 32)])
+def test_interval_join_auto_bin_width_bounds_replication(
+    spark, max_dur_sec, seed
+):
+    """bin_width_us=None derives the width from the data (p75 of
+    interval lengths), so replication stays bounded on BOTH a
+    seconds-scale and a days-scale distribution without tuning —
+    and the result still matches brute force exactly."""
+    import numpy as np
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.temporal import interval_join
+
+    left = _random_intervals(spark, 100, max_dur_sec, seed, "L")
+    right = (
+        _random_intervals(spark, 110, max_dur_sec, seed + 50, "R")
+        .withColumnRenamed("rid", "rid2")
+        .withColumnRenamed("start", "start2")
+        .withColumnRenamed("fin", "fin2")
+        .withColumnRenamed("k", "k2")
+    )
+    expected = _brute_pairs(left, right, keyed=False)
+    out = interval_join(
+        left,
+        right.withColumnRenamed("start2", "start")
+        .withColumnRenamed("fin2", "fin")
+        .withColumnRenamed("k2", "k")
+        .withColumnRenamed("rid2", "rid"),
+        "start", "fin", "start", "fin",
+    )
+    got = [
+        (r["rid"], r["rid_right"])
+        for r in out.select("rid", "rid_right").collect()
+    ]
+    assert len(got) == len(set(got))
+    assert set(got) == expected
+
+    # the replication bound the derived width guarantees: each row is
+    # copied duration/width + 1 times; with width = p75 of durations
+    # the AVERAGE copy count is bounded by a small constant whatever
+    # the interval scale (pinned ≤ 3 for these tail-bounded uniforms).
+    durs = np.array([
+        (r["fin"] - r["start"]).total_seconds() * 1e6
+        for r in left.unionByName(
+            right.withColumnRenamed("start2", "start")
+            .withColumnRenamed("fin2", "fin")
+            .withColumnRenamed("k2", "k")
+            .withColumnRenamed("rid2", "rid")
+        ).collect()
+    ])
+    width = max(int(np.percentile(durs, 75)), 1)
+    copies = durs // width + 1
+    assert copies.mean() <= 3.0
+    assert copies.max() <= durs.max() / width + 1
