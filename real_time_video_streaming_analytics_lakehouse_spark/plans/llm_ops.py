@@ -848,9 +848,56 @@ WHERE lang <> 'en'
 
 
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return label_centroid_norms(_emb(spark, sf_dir))
+    """Two stacked arms over the embeddings table:
+
+    * ``label_centroid`` — per-label centroid L2 norms (posexplode →
+      per-dim mean → re-reduce), the original arm.
+    * ``kmeans_assign`` — :func:`..operators.clustering.assign_clusters`
+      (the Arrow-batched nearest-centroid scorer the k-means trainer
+      and IVF indexing share) over k=8 DETERMINISTICALLY seeded
+      centroids — the ``md5('kmseed|'||vec_id)``-smallest vectors,
+      clustering.py's content-hash init, so DuckDB reproduces the
+      exact centroid list. Per cluster: member count and an exact
+      integer membership hash (sum of 32-bit md5 prefixes of member
+      ids), so the FULL assignment — not just its sizes — is
+      oracle-checked closed-form. The 8-row seed collect is a
+      documented bounded read (test_plan_quality's allowlist).
+    """
+    from ..operators.clustering import _seed_rows, assign_clusters
+
+    emb = _emb(spark, sf_dir)
+    norms = label_centroid_norms(emb)
+    arm1 = norms.select(
+        F.lit("label_centroid").alias("arm"),
+        F.col("label").cast("int").alias("grp"),
+        F.col("n_vectors").cast("bigint").alias("n"),
+        F.col("centroid_norm").alias("val"),
+    )
+    seeds = _seed_rows(emb, "vec_id", "embedding", 8, "kmseed")
+    cents = [list(map(float, r[1])) for r in seeds]
+    member_key = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    arm2 = (
+        assign_clusters(emb.select("vec_id", "embedding"), cents)
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(member_key).cast("double").alias("val"),
+        )
+        .select(
+            F.lit("kmeans_assign").alias("arm"),
+            F.col("cluster").cast("int").alias("grp"),
+            "n",
+            "val",
+        )
+    )
+    return arm1.unionByName(arm2)
 
 
+# seed/cluster numbering mirrors clustering._seed_rows: the 8 vectors
+# with the smallest md5('kmseed|'||vec_id), cluster index = rank in
+# that ordering; argmin tie-break (lowest cluster) matches numpy's.
 EMBEDDING_CENTROIDS_SQL = """
 WITH flat AS (
   SELECT label, unnest(generate_series(1, 64)) AS dim,
@@ -859,9 +906,37 @@ WITH flat AS (
 cent AS (SELECT label, dim, AVG(v) AS c FROM flat GROUP BY 1, 2),
 norms AS (SELECT label, ROUND(sqrt(SUM(c * c)), 6) AS centroid_norm
           FROM cent GROUP BY 1),
-counts AS (SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY 1)
-SELECT counts.label, counts.n_vectors, norms.centroid_norm
+counts AS (SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY 1),
+seeds AS (
+  SELECT embedding::DOUBLE[] AS cvec,
+         ROW_NUMBER() OVER (
+           ORDER BY md5('kmseed|' || CAST(vec_id AS VARCHAR)), vec_id
+         ) - 1 AS cluster
+  FROM embeddings
+  ORDER BY md5('kmseed|' || CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 8),
+dists AS (
+  SELECT e.vec_id, s.cluster,
+         list_sum(list_transform(generate_series(1, 64),
+           i -> (e.embedding[i]::DOUBLE - s.cvec[i])
+              * (e.embedding[i]::DOUBLE - s.cvec[i]))) AS d2
+  FROM embeddings e CROSS JOIN seeds s),
+best AS (
+  SELECT vec_id, cluster,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
+  FROM dists),
+assign AS (
+  SELECT cluster,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                       AS BIGINT)) AS DOUBLE) AS val
+  FROM best WHERE rk = 1 GROUP BY 1)
+SELECT 'label_centroid' AS arm, counts.label AS grp,
+       CAST(counts.n_vectors AS BIGINT) AS n, norms.centroid_norm AS val
 FROM counts JOIN norms ON counts.label = norms.label
+UNION ALL
+SELECT 'kmeans_assign' AS arm, CAST(cluster AS INTEGER) AS grp, n, val
+FROM assign
 """
 
 
@@ -931,7 +1006,11 @@ QUERIES: dict[str, QuerySpec] = {
         "is a content hash, so the full sample is oracle-checked",
     ),
     "embedding_centroids": QuerySpec(
-        embedding_centroids, EMBEDDING_CENTROIDS_SQL, "per-label centroid norms"
+        embedding_centroids,
+        EMBEDDING_CENTROIDS_SQL,
+        "per-label centroid norms + assign_clusters over seeded "
+        "centroids (full membership hash-checked vs closed-form "
+        "nearest-centroid SQL)",
     ),
     "embedding_dedup_clusters": QuerySpec(
         embedding_dedup_clusters,

@@ -51,6 +51,7 @@ def test_no_unbounded_driver_collect_at_construction(spark):
     ALLOWED_BOUNDED = {
         "merge_upsert_events": 1,      # watermark read: exactly 1 row
         "ann_topk": 4096,              # IVF k-means sample: capped by limit()
+        "embedding_centroids": 8,      # k seeded centroids: limit(8)
     }
 
     real_collect = pyspark.sql.DataFrame.collect
