@@ -106,6 +106,12 @@ from .commitstore import (
     register_store,
     store_for,
 )
+from .manifest import (
+    FileManifest,
+    bounds_may_match,
+    entries_to_arrow,
+    prune_columnar,
+)
 
 _LOG_DIR = "_txlog"
 _CDC_DIR = "_change_data"
@@ -312,31 +318,19 @@ def _txn_map(root: str, version: int) -> dict:
 
 
 def _load_checkpoint(root: str, version: int):
-    """Read one parquet log checkpoint back into replay state."""
+    """Read one parquet log checkpoint into replay state — as a LAZY
+    :class:`~.manifest.FileManifest` over the parquet's Arrow table.
+    Entries are NEVER bulk-materialized to Python dicts here (the
+    round-6 driver bottleneck at ~10⁶ files); snapshot consumers
+    materialize individual entries on demand and pruning runs
+    columnar (see :mod:`.manifest`)."""
     t = checkpoint_from_bytes(store_for(root).read_checkpoint(version))
     meta = {
         k.decode(): v.decode()
         for k, v in (t.schema.metadata or {}).items()
     }
-    files: dict = {}
-    for r in t.to_pylist():
-        entry = {
-            "path": r["path"],
-            "partitionValues": json.loads(r["partitionValues"]),
-            "_schema_json": r["schema_json"],
-        }
-        if r["numRecords"] is not None:
-            entry["numRecords"] = r["numRecords"]
-        stats = json.loads(r["stats"])
-        if stats:
-            entry["stats"] = stats
-        # pre-round-6 checkpoints have no bloom column
-        bloom = json.loads(r["bloom"]) if "bloom" in r else {}
-        if bloom:
-            entry["bloom"] = bloom
-        files[entry["path"]] = entry
     return (
-        files,
+        FileManifest(t),
         meta.get("schema", ""),
         json.loads(meta.get("properties", "{}")),
         json.loads(meta.get("partition_by", "[]")),
@@ -512,6 +506,37 @@ def _validate_predicates(predicates) -> None:
             )
 
 
+def _keep_entry(f_: dict, predicates) -> bool:
+    """Scalar file-skipping decision for ONE entry dict — the same
+    semantics :func:`~.manifest.prune_columnar` evaluates columnarly
+    (bounds via :func:`~.manifest.bounds_may_match`, blooms via
+    :func:`_bloom_may_contain`); every ambiguity resolves to keep."""
+    for col, op, lit in predicates or []:
+        # probe only literal types whose str() provably matches the
+        # indexed column's Spark string cast (int/str — the same
+        # eligibility rule as _BLOOM_TYPES): a float literal on an
+        # int column would encode "2.0" vs the indexed "2" and
+        # produce a FALSE NEGATIVE, turning pruning into a filter.
+        if (
+            op == "="
+            and isinstance(lit, (int, str))
+            and not isinstance(lit, bool)
+            and not _bloom_may_contain((f_.get("bloom") or {}).get(col), lit)
+        ):
+            return False
+        pv = (f_.get("partitionValues") or {}).get(col)
+        st = (f_.get("stats") or {}).get(col)
+        if pv is not None:
+            lo = hi = pv
+        elif st is not None:
+            lo, hi = st.get("min"), st.get("max")
+        else:
+            continue
+        if not bounds_may_match(lo, hi, op, lit):
+            return False
+    return True
+
+
 def _prune(snap: Snapshot, predicates) -> list[dict]:
     """File-skipping: drop files whose partition values or min/max stats
     prove no row can match. ``predicates`` is a list of
@@ -522,50 +547,22 @@ def _prune(snap: Snapshot, predicates) -> list[dict]:
     ``bloom.columns``): min/max answers "could the range contain it",
     the bloom answers "was this VALUE probably written here" — the
     point-lookup skipper that stats can't provide once values
-    interleave across files."""
+    interleave across files.
+
+    Checkpoint-backed snapshots evaluate the predicates COLUMNARLY
+    over the manifest's Arrow base (``pyarrow.compute``/numpy — see
+    :mod:`.manifest`) and materialize only the survivors; the few
+    tail-commit entries filter scalar-side. Dict-backed snapshots
+    (young tables, no checkpoint yet) loop entries directly."""
     _validate_predicates(predicates)
-    out = []
-    for f_ in snap.files.values():
-        keep = True
-        for col, op, lit in predicates or []:
-            # probe only literal types whose str() provably matches the
-            # indexed column's Spark string cast (int/str — the same
-            # eligibility rule as _BLOOM_TYPES): a float literal on an
-            # int column would encode "2.0" vs the indexed "2" and
-            # produce a FALSE NEGATIVE, turning pruning into a filter.
-            if (
-                op == "="
-                and isinstance(lit, (int, str))
-                and not isinstance(lit, bool)
-                and not _bloom_may_contain(
-                    (f_.get("bloom") or {}).get(col), lit
-                )
-            ):
-                keep = False
-                break
-            pv = (f_.get("partitionValues") or {}).get(col)
-            st = (f_.get("stats") or {}).get(col)
-            if pv is not None:
-                lo = hi = pv
-            elif st is not None and st.get("min") is not None:
-                lo, hi = st["min"], st["max"]
-            else:
-                continue
-            try:
-                lo, hi, lit2 = type(lit)(lo), type(lit)(hi), lit
-            except (TypeError, ValueError):
-                continue
-            if op == "=" and not (lo <= lit2 <= hi):
-                keep = False
-            elif op in ("<", "<=") and not (lo <= lit2 if op == "<=" else lo < lit2):
-                keep = False
-            elif op in (">", ">=") and not (hi >= lit2 if op == ">=" else hi > lit2):
-                keep = False
-            if not keep:
-                break
-        if keep:
-            out.append(f_)
-    return out
+    files = snap.files
+    if isinstance(files, FileManifest):
+        out = prune_columnar(files, predicates, _bloom_positions_py)
+        out += [
+            f_ for f_ in files.extra.values() if _keep_entry(f_, predicates)
+        ]
+        return out
+    return [f_ for f_ in files.values() if _keep_entry(f_, predicates)]
 
 
 # ---------------------------------------------------------------------------
@@ -812,33 +809,22 @@ class TxTable:
         O(interval) and O(history) driver work at millions of files.
         Idempotent and race-safe: concurrent writers produce identical
         content for the same version, and the store's checkpoint write
-        is an atomic whole-object replace."""
-        import pyarrow as pa
+        is an atomic whole-object replace.
 
+        The manifest is written in the v2 layout (:mod:`.manifest`):
+        the v1 JSON columns plus parsed partition-value / stats-bound
+        / bloom-bitmap sidecar columns for columnar skipping. A
+        checkpoint-backed snapshot builds the next manifest as a
+        columnar filter of its base + an Arrow slice for the tail
+        adds — entries are NOT round-tripped through Python dicts."""
         snap = _resolve(self.root, version)
-        rows = list(snap.files.values())
-        table = pa.table(
-            {
-                "path": [r["path"] for r in rows],
-                "partitionValues": [
-                    json.dumps(r.get("partitionValues") or {}) for r in rows
-                ],
-                "numRecords": [r.get("numRecords") for r in rows],
-                "stats": [json.dumps(r.get("stats") or {}) for r in rows],
-                "schema_json": [
-                    r.get("_schema_json") or snap.schema_json for r in rows
-                ],
-                "bloom": [json.dumps(r.get("bloom") or {}) for r in rows],
-            },
-            schema=pa.schema([
-                ("path", pa.string()),
-                ("partitionValues", pa.string()),
-                ("numRecords", pa.int64()),
-                ("stats", pa.string()),
-                ("schema_json", pa.string()),
-                ("bloom", pa.string()),
-            ]),
-        )
+        if isinstance(snap.files, FileManifest):
+            table = snap.files.to_arrow(snap.schema_json, snap.partition_by)
+        else:
+            table = entries_to_arrow(
+                list(snap.files.values()), snap.schema_json,
+                snap.partition_by,
+            )
         table = table.replace_schema_metadata({
             "version": str(version),
             "schema": snap.schema_json,
@@ -1217,7 +1203,12 @@ class TxTable:
         schema, so a restore across a schema evolution round-trips."""
         target = self.snapshot(version)
         current = self.snapshot()
-        add = [f_ for p, f_ in target.files.items() if p not in current.files]
+        # paths first, entries after: only the DIFF materializes (a
+        # restore touching 1% of a million-file table reads 1% of the
+        # manifest's entries, not all of them)
+        add = [
+            target.files[p] for p in target.files if p not in current.files
+        ]
         for f_ in add:  # files must still exist (not vacuumed)
             if not os.path.exists(os.path.join(self.root, f_["path"])):
                 raise VacuumedFileError(
@@ -1864,10 +1855,13 @@ class TxTable:
             for p in snap.files
             if os.path.exists(os.path.join(self.root, p))
         )
-        num_records = (
-            sum(f_.get("numRecords", 0) or 0 for f_ in snap.files.values())
-            or None
-        )
+        if isinstance(snap.files, FileManifest):
+            num_records = snap.files.total_records() or None
+        else:
+            num_records = (
+                sum(f_.get("numRecords", 0) or 0 for f_ in snap.files.values())
+                or None
+            )
         return {
             "location": self.root,
             "numFiles": len(snap.files),
