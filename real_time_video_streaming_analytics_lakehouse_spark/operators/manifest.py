@@ -173,6 +173,14 @@ def entries_to_arrow(entries: list, schema_json: str,
         "bloom": pa.array(
             [json.dumps(e.get("bloom") or {}) for e in entries], pa.string()
         ),
+        "dv": pa.array(
+            [json.dumps(e.get("dv") or {}) for e in entries], pa.string()
+        ),
+        # sidecar: deletion-vector cardinality for columnar row totals
+        "dvcard": pa.array(
+            [(e.get("dv") or {}).get("cardinality", 0) for e in entries],
+            pa.int64(),
+        ),
     }
     for c in partition_by or []:
         cols[f"pv:{c}"] = pa.array(
@@ -257,6 +265,11 @@ class FileManifest:
             bloom = json.loads(t.column("bloom")[i].as_py())
             if bloom:
                 entry["bloom"] = bloom
+        if "dv" in t.column_names:
+            v = t.column("dv")[i].as_py()
+            dv = json.loads(v) if v else {}
+            if dv:
+                entry["dv"] = dv
         return entry
 
     # - Mapping surface -
@@ -338,6 +351,21 @@ class FileManifest:
         total = pc.sum(col).as_py() or 0
         for e in self.extra.values():
             total += e.get("numRecords", 0) or 0
+        return total
+
+    def total_dv_cardinality(self) -> int:
+        """Σ deletion-vector cardinality over the live set, columnar
+        (0 for pre-DV checkpoints)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        total = 0
+        if "dvcard" in self.table.column_names:
+            mask = self._base_live_mask()
+            col = self.table.column("dvcard").filter(pa.array(mask))
+            total = pc.sum(col).as_py() or 0
+        for e in self.extra.values():
+            total += (e.get("dv") or {}).get("cardinality", 0)
         return total
 
     def to_arrow(self, schema_json: str, partition_by: list):

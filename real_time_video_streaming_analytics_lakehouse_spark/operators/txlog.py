@@ -115,6 +115,7 @@ from .manifest import (
 
 _LOG_DIR = "_txlog"
 _CDC_DIR = "_change_data"
+_DV_DIR = "_deletion_vectors"
 _LAST_CHECKPOINT = "_last_checkpoint.json"
 _STATS_TYPES = ("int", "bigint", "smallint", "tinyint", "double", "float",
                 "string", "date", "decimal", "long")
@@ -436,6 +437,41 @@ def _data_files(root: str) -> list[str]:
 _BLOOM_TYPES = ("string", "tinyint", "smallint", "int", "bigint")
 
 
+def _dv_map(files) -> dict:
+    """``{path: dv bundle path}`` for the dv-carrying entries of a
+    snapshot's file set — columnar over a manifest (two columns, no
+    entry materialization), a dict scan otherwise."""
+    if isinstance(files, FileManifest):
+        t = files.table
+        out = {}
+        if "dv" in t.column_names:
+            for p, v in zip(
+                t.column("path").to_pylist(), t.column("dv").to_pylist()
+            ):
+                if p not in files.removed and v and v != "{}":
+                    out[p] = json.loads(v).get("path")
+        for p, e in files.extra.items():
+            if e.get("dv"):
+                out[p] = e["dv"]["path"]
+            else:
+                out.pop(p, None)
+        return out
+    return {p: e["dv"]["path"] for p, e in files.items() if e.get("dv")}
+
+
+def _dv_params(properties: dict) -> tuple[bool, float]:
+    """Deletion-vector (merge-on-read) DML opt-in, per table property:
+    ``dv.enabled`` turns it on, ``dv.maxDeletedFraction`` (default 0.5)
+    is the per-file ceiling on TOTAL deleted fraction (existing DV +
+    this commit's deletes) above which the file is copy-on-write
+    rewritten instead — a file that is mostly holes should be
+    compacted, not annotated."""
+    return (
+        str(properties.get("dv.enabled", "false")).lower() == "true",
+        float(properties.get("dv.maxDeletedFraction", 0.5)),
+    )
+
+
 def _bloom_params(properties: dict) -> tuple[list[str], int, int]:
     cols = [
         c.strip()
@@ -729,18 +765,44 @@ class TxTable:
                  timestamp_ms: int | None = None) -> Snapshot:
         return _resolve(self.root, version, timestamp_ms)
 
+    #: deletion-vector sets at or below this many rows broadcast into
+    #: the scan's anti-join (per schema generation); above it the join
+    #: falls back to shuffle so a pathological DV volume can never OOM
+    #: executors — same size-gating discipline as merge's key probe.
+    dv_broadcast_rows: int = 5_000_000
+
     def _read_entries(self, entries: list[dict], schema: StructType,
-                      partition_by: list[str]) -> DataFrame:
+                      partition_by: list[str],
+                      with_position: bool = False) -> DataFrame:
         """Read a set of file entries aligned to ``schema``: files are
         grouped by the schema GENERATION they were written under, each
         group is scanned with its exact schema (so parquet types always
         match), and every group is cast/null-filled onto the target
         schema. One scan per generation — generations are few even when
-        files are millions."""
+        files are millions.
+
+        Entries carrying a deletion vector (``entry["dv"]``) have their
+        deleted positions dropped at scan: the referenced DV bundles
+        (parquet of ``(file, row_index)``) anti-join against the scan's
+        ``_metadata`` (file path + row index) — broadcast when the total
+        cardinality is bounded, shuffle otherwise. ``with_position=True``
+        appends ``_dv_rel`` (root-relative file path) and ``_dv_pos``
+        (physical row index) columns — what the DV write path uses to
+        address rows."""
         if not entries:
-            return self.spark.createDataFrame([], schema)
+            df = self.spark.createDataFrame([], schema)
+            if with_position:
+                df = df.withColumn(
+                    "_dv_rel", F.lit(None).cast("string")
+                ).withColumn("_dv_pos", F.lit(None).cast("long"))
+            return df
+        reserved = {"_dv_rel", "_dv_pos"} & {f.name for f in schema.fields}
+        if reserved:
+            raise ValueError(
+                f"table schema reserves column names {sorted(reserved)}"
+            )
         target_json = schema.json()
-        groups: dict[str, list[str]] = {}
+        groups: dict[str, list[dict]] = {}
         for f_ in entries:
             p = os.path.join(self.root, f_["path"])
             if not os.path.exists(p):
@@ -748,15 +810,76 @@ class TxTable:
                     f"data file {f_['path']} was removed by VACUUM; this "
                     f"snapshot is no longer reconstructable"
                 )
-            groups.setdefault(f_.get("_schema_json") or target_json, []).append(p)
+            dv = f_.get("dv")
+            if dv and not os.path.exists(os.path.join(self.root, dv["path"])):
+                raise VacuumedFileError(
+                    f"deletion vector {dv['path']} was removed by VACUUM; "
+                    f"this snapshot is no longer reconstructable"
+                )
+            groups.setdefault(
+                f_.get("_schema_json") or target_json, []
+            ).append(f_)
+        # matches the Spark parquet scan's _metadata.file_path rendering
+        # ("file:" + absolute path) — the same contract the
+        # input_file_name() probes rely on
+        prefix = "file:" + os.path.abspath(self.root) + "/"
         parts = []
         for sj in sorted(groups):
+            es = groups[sj]
             reader = self.spark.read
             if partition_by:
                 reader = reader.option("basePath", self.root)
             gen_schema = StructType.fromJson(json.loads(sj))
-            part = reader.schema(gen_schema).parquet(*groups[sj])
-            parts.append(_align(part, schema))
+            part = reader.schema(gen_schema).parquet(
+                *[os.path.join(self.root, e["path"]) for e in es]
+            )
+            dv_entries = [e for e in es if e.get("dv")]
+            if dv_entries or with_position:
+                part = part.select(
+                    "*",
+                    F.substring(
+                        F.col("_metadata.file_path"), len(prefix) + 1,
+                        1_000_000,
+                    ).alias("_dv_rel"),
+                    F.col("_metadata.row_index").alias("_dv_pos"),
+                )
+            if dv_entries:
+                bundles = sorted({e["dv"]["path"] for e in dv_entries})
+                dv_df = self.spark.read.parquet(
+                    *[os.path.join(self.root, b) for b in bundles]
+                )
+                rels = sorted(e["path"] for e in dv_entries)
+                if len(rels) <= 1000:
+                    # pushdown-friendly for the common bounded case;
+                    # omitting the filter is CORRECT regardless (a
+                    # bundle's stale rows reference rels no longer in
+                    # the scan, or a subset of a newer referenced
+                    # bundle's rows — see the DV commit invariants)
+                    dv_df = dv_df.filter(F.col("file").isin(rels))
+                total_card = sum(
+                    e["dv"].get("cardinality", 0) for e in dv_entries
+                )
+                right = dv_df.select(
+                    F.col("file").alias("_dv_rel2"),
+                    F.col("row_index").alias("_dv_pos2"),
+                )
+                if total_card <= self.dv_broadcast_rows:
+                    right = F.broadcast(right)
+                part = part.join(
+                    right,
+                    (F.col("_dv_rel") == F.col("_dv_rel2"))
+                    & (F.col("_dv_pos") == F.col("_dv_pos2")),
+                    "left_anti",
+                )
+            have = set(part.columns)
+            cols = [
+                (F.col(f.name).cast(f.dataType) if f.name in have
+                 else F.lit(None).cast(f.dataType)).alias(f.name)
+                for f in schema.fields
+            ]
+            if with_position:
+                cols += [F.col("_dv_rel"), F.col("_dv_pos")]
+            parts.append(part.select(*cols))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -1205,14 +1328,27 @@ class TxTable:
         current = self.snapshot()
         # paths first, entries after: only the DIFF materializes (a
         # restore touching 1% of a million-file table reads 1% of the
-        # manifest's entries, not all of them)
+        # manifest's entries, not all of them). A path live in BOTH
+        # snapshots still needs re-adding when its deletion-vector
+        # reference differs (merge-on-read DML changes an entry's DV
+        # without changing its path) — compared via the cheap dv-ref
+        # maps, not entry materialization.
+        cur_dv, tgt_dv = _dv_map(current.files), _dv_map(target.files)
         add = [
-            target.files[p] for p in target.files if p not in current.files
+            target.files[p]
+            for p in target.files
+            if p not in current.files or tgt_dv.get(p) != cur_dv.get(p)
         ]
-        for f_ in add:  # files must still exist (not vacuumed)
+        for f_ in add:  # files (and their DV bundles) must still exist
             if not os.path.exists(os.path.join(self.root, f_["path"])):
                 raise VacuumedFileError(
                     f"cannot restore to {version}: {f_['path']} was vacuumed"
+                )
+            dv = f_.get("dv")
+            if dv and not os.path.exists(os.path.join(self.root, dv["path"])):
+                raise VacuumedFileError(
+                    f"cannot restore to {version}: deletion vector "
+                    f"{dv['path']} was vacuumed"
                 )
         removes = sorted(p for p in current.files if p not in target.files)
 
@@ -1248,29 +1384,76 @@ class TxTable:
         live = set(self.snapshot().files)
         removed_at: dict[str, int] = {}
         cdc_at: dict[str, int] = {}
+        # deletion-vector bundle lifecycle: a bundle is collectable
+        # once NO live entry references it and the commit that dropped
+        # its last reference is past retention (same trade as
+        # tombstoned data files — time travel into the retained window
+        # keeps working). Reference counts replay from the log;
+        # RESTORE re-adding a dv-carrying entry resurrects its bundle.
+        dv_ref: dict[str, str] = {}       # data path -> bundle
+        dv_count: dict[str, int] = {}     # bundle -> live references
+        dv_removed_at: dict[str, int] = {}
+        dv_tracked: set = set()
         for v in _list_versions(self.root):
             c = _read_commit(self.root, v)
+            ts = c["timestamp_ms"]
+            for b in c.get("dvc", []):
+                dv_tracked.add(b)
+
+            def _drop_ref(path: str) -> None:
+                b = dv_ref.pop(path, None)
+                if b is not None:
+                    dv_count[b] -= 1
+                    if dv_count[b] == 0:
+                        dv_removed_at[b] = ts
             for rm in c.get("remove", []):
-                removed_at[rm] = c["timestamp_ms"]
+                removed_at[rm] = ts
+                _drop_ref(rm)
             for ad in c.get("add", []):
                 removed_at.pop(ad["path"], None)  # re-added by RESTORE
+                b = (ad.get("dv") or {}).get("path")
+                if dv_ref.get(ad["path"]) != b:
+                    _drop_ref(ad["path"])
+                if b is not None:
+                    dv_ref[ad["path"]] = b
+                    dv_count[b] = dv_count.get(b, 0) + 1
+                    dv_removed_at.pop(b, None)
+                    dv_tracked.add(b)
             for cd in c.get("cdc", []):
-                cdc_at[cd] = c["timestamp_ms"]
+                cdc_at[cd] = ts
+        live_dv = set(dv_ref.values())
         tracked = set(removed_at) | set(cdc_at) | live
         doomed = [
             p for p, ts in removed_at.items()
             if p not in live and ts <= cutoff_ms
         ]
         doomed += [p for p, ts in cdc_at.items() if ts <= cutoff_ms]
+        doomed_dv = [
+            b for b, ts in dv_removed_at.items()
+            if b not in live_dv and ts <= cutoff_ms
+        ]
+        # crash leftovers: bundle dirs no surviving commit references
+        dv_dir = os.path.join(self.root, _DV_DIR)
+        if os.path.isdir(dv_dir):
+            for entry in sorted(os.listdir(dv_dir)):
+                rel = os.path.join(_DV_DIR, entry)
+                if rel in dv_tracked or rel in live_dv:
+                    continue
+                full = os.path.join(dv_dir, entry)
+                if os.path.getmtime(full) * 1000 <= cutoff_ms:
+                    doomed_dv.append(rel)
         for p in sorted(
             str(q.relative_to(self.root))
             for q in pathlib.Path(self.root).rglob("*.parquet")
         ):
-            if p not in tracked and not p.startswith(_LOG_DIR):
+            if p not in tracked and not p.startswith((_LOG_DIR, _DV_DIR)):
+                # DV bundle part files are covered by the bundle-level
+                # lifecycle above, never by the per-file stray scan
                 mtime_ms = os.path.getmtime(os.path.join(self.root, p)) * 1000
                 if mtime_ms <= cutoff_ms:
                     doomed.append(p)
         doomed = sorted(set(doomed))
+        doomed_dv = sorted(set(doomed_dv))
         # Crashed staging directories live as SIBLINGS of the table
         # root (`<root>__stage_v*_*` — outside the root so snapshot
         # reads can't see them), so the in-root stray scan above never
@@ -1285,13 +1468,20 @@ class TxTable:
         # catch-IsADirectoryError dance is Linux-specific (macOS raises
         # PermissionError for unlink-on-dir).
         stage_dirs = []
+        stage_prefixes = tuple(
+            f"{base}{kind}" for kind in ("__stage_", "__cdcstage_",
+                                         "__dvstage_")
+        )
         for entry in sorted(os.listdir(parent)):
-            if not entry.startswith(f"{base}__stage_"):
+            if not entry.startswith(stage_prefixes):
                 continue
             full = os.path.join(parent, entry)
             if os.path.isdir(full) and os.path.getmtime(full) * 1000 <= cutoff_ms:
                 stage_dirs.append(full)
         if not dry_run:
+            for rel in doomed_dv:
+                shutil.rmtree(os.path.join(self.root, rel),
+                              ignore_errors=True)
             for p in doomed:
                 full = os.path.join(self.root, p)
                 try:
@@ -1300,7 +1490,7 @@ class TxTable:
                     pass
             for full in stage_dirs:
                 shutil.rmtree(full, ignore_errors=True)
-        return doomed + stage_dirs
+        return doomed + doomed_dv + stage_dirs
 
     def cleanup_log(self, retention_hours: float = 168.0,
                     dry_run: bool = False) -> list[int]:
@@ -1378,10 +1568,15 @@ class TxTable:
         )
         versions = [v for v in all_versions if from_version <= v <= hi]
 
-        # one driver-side walk for schema generations: the effective
-        # schema at each commit, and each file's write-time generation.
+        # One driver-side walk tracking the effective schema AND each
+        # live file's lite state ({schema generation, dv ref}) — the
+        # remove-side of a reconstructed commit must serve the rows
+        # that were LIVE at removal time (deletion-vectored rows were
+        # already gone), and a re-adding commit (RESTORE) serves its
+        # adds under their own DV.
         schema_at: dict[int, str] = {}
-        gen_of: dict[str, str] = {}
+        live: dict[str, dict] = {}
+        state_at: dict[int, tuple[list[dict], list[dict]]] = {}
         sj = ""
         for v in all_versions:
             if v > hi:
@@ -1391,23 +1586,32 @@ class TxTable:
                 sj = c["schema"]
             schema_at[v] = sj
             fs = c.get("fileSchema") or sj
+            removed_entries = [
+                live[rm] for rm in c.get("remove", []) if rm in live
+            ]
+            for rm in c.get("remove", []):
+                live.pop(rm, None)
+            added_entries = []
             for ad in c.get("add", []):
-                gen_of[ad["path"]] = ad.get("_schema_json") or fs
+                lite = {
+                    "path": ad["path"],
+                    "_schema_json": ad.get("_schema_json") or fs,
+                }
+                if ad.get("dv"):
+                    lite["dv"] = ad["dv"]
+                live[ad["path"]] = lite
+                added_entries.append(lite)
+            state_at[v] = (added_entries, removed_entries)
         final_schema = StructType.fromJson(json.loads(schema_at.get(hi, sj)))
 
         snap = self.snapshot()
 
-        def read_rels(rels: list[str]) -> DataFrame | None:
-            entries = []
-            for rel in rels:
-                p = os.path.join(self.root, rel)
-                if not os.path.exists(p):
+        def read_lites(entries: list[dict]) -> DataFrame | None:
+            for e in entries:
+                if not os.path.exists(os.path.join(self.root, e["path"])):
                     raise VacuumedFileError(
-                        f"change feed needs vacuumed file {rel}"
+                        f"change feed needs vacuumed file {e['path']}"
                     )
-                entries.append(
-                    {"path": rel, "_schema_json": gen_of.get(rel)}
-                )
             if not entries:
                 return None
             return self._read_entries(entries, final_schema,
@@ -1442,11 +1646,12 @@ class TxTable:
                 raw = self.spark.read.parquet(*cdc_paths)
                 parts.append(stamp(_align(raw, with_type)))
                 continue
-            for kind, rels in (
-                ("insert", [a["path"] for a in c.get("add", [])]),
-                ("delete", c.get("remove", [])),
+            added_entries, removed_entries = state_at.get(v, ([], []))
+            for kind, entries in (
+                ("insert", added_entries),
+                ("delete", removed_entries),
             ):
-                df = read_rels(rels)
+                df = read_lites(entries)
                 if df is not None:
                     parts.append(
                         stamp(df.withColumn("_change_type", F.lit(kind)))
@@ -1467,44 +1672,172 @@ class TxTable:
     # -- copy-on-write DML -------------------------------------------------
 
     def _touched_files(self, cond,
-                       predicates=None) -> tuple[list[str], Snapshot]:
-        """Relative paths of live files containing >=1 row matching
-        ``cond`` — ONE filtered aggregate over the snapshot, grouped by
-        ``input_file_name``. ``predicates`` (the caller's log-prunable
+                       predicates=None) -> tuple[dict, Snapshot]:
+        """``{relative path: matching-row count}`` of live files
+        containing >=1 row matching ``cond`` — ONE filtered aggregate
+        over the snapshot, grouped by ``input_file_name`` (DV-deleted
+        rows are already excluded by the snapshot read, so counts are
+        of LIVE matches). ``predicates`` (the caller's log-prunable
         ``[(col, op, lit)]`` hints) shrink the probed FILE LIST via
         partition values + min/max stats before Spark opens anything —
         at scale this is what keeps a partition-scoped DELETE from
         scanning the whole table."""
         snap = self.snapshot()
         if not snap.files:
-            return [], snap
-        df = self.read(predicates=predicates)
+            return {}, snap
+        _validate_predicates(predicates)
+        files = _prune(snap, predicates)
+        # _dv_rel (the scan's root-relative _metadata.file_path), not
+        # input_file_name(): the latter is undefined on a multi-source
+        # plan, which every DV-applying read is (scan ⟕ anti bundle)
+        df = self._read_entries(files, snap.schema, snap.partition_by,
+                                with_position=True)
+        _OPS = {
+            "=": lambda c, v: c == v,
+            "<": lambda c, v: c < v,
+            "<=": lambda c, v: c <= v,
+            ">": lambda c, v: c > v,
+            ">=": lambda c, v: c >= v,
+        }
+        for col, op, lit in predicates or []:
+            df = df.filter(_OPS[op](F.col(col), F.lit(lit)))
         hits = (
             df.filter(cond)
-            .groupBy(F.input_file_name().alias("_f"))
+            .groupBy("_dv_rel")
             .count()
             .collect()  # bounded: one row per touched file
         )
-        touched = []
-        for r in hits:
-            abs_p = r["_f"].removeprefix("file:")
-            touched.append(os.path.relpath(abs_p, self.root))
-        return sorted(touched), snap
+        return {r["_dv_rel"]: r["count"] for r in hits}, snap
+
+    def _dv_split(self, snap: Snapshot,
+                  counts: dict) -> tuple[list[str], list[str]]:
+        """Partition the touched files into (dv_route, rewrite_route):
+        a file takes the merge-on-read route when DVs are enabled and
+        its TOTAL deleted fraction (existing DV cardinality + this
+        commit's matches) stays at or under ``dv.maxDeletedFraction``;
+        files without a row count always rewrite."""
+        dv_on, dv_frac = _dv_params(snap.properties)
+        dv_set, rw_set = [], []
+        for p in sorted(counts):
+            e = snap.files[p]
+            nrec = e.get("numRecords")
+            old = (e.get("dv") or {}).get("cardinality", 0)
+            if dv_on and nrec and (old + counts[p]) / nrec <= dv_frac:
+                dv_set.append(p)
+            else:
+                rw_set.append(p)
+        return dv_set, rw_set
+
+    def _stage_dv(self, dv_df: DataFrame, version: int,
+                  dv_rels: list[str]) -> tuple[str, dict]:
+        """Write one deletion-vector BUNDLE — a parquet directory of
+        ``(file, row_index)`` under ``_deletion_vectors/`` holding, for
+        every file on this commit's DV route, the UNION of its previous
+        DV positions and the newly deleted ones (bundles are immutable;
+        accumulation copies forward, exactly how Delta rewrites a
+        file's DV). Returns ``(bundle rel path, {file: cardinality})``.
+
+        Invariants the readers rely on: within one snapshot every
+        dv-carrying entry references a bundle whose rows for that file
+        are the COMPLETE deleted set, and any other referenced bundle's
+        rows for the same file are a subset (accumulation) or reference
+        rel paths no longer live (rewrite) — so applying the UNION of
+        referenced bundles is exact."""
+        token = uuid.uuid4().hex[:8]
+        rel = os.path.join(_DV_DIR, f"dv-{version:010d}-{token}")
+        stage = self.root + f"__dvstage_{token}"
+        shutil.rmtree(stage, ignore_errors=True)
+        dv_df.write.mode("overwrite").parquet(stage)
+        counts = {
+            r["file"]: r["n"]
+            for r in self.spark.read.parquet(stage)
+            .groupBy("file").agg(F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: one row per dv'd file
+        }
+        missing = [p for p in dv_rels if p not in counts]
+        if missing:
+            raise RuntimeError(
+                f"deletion-vector stage lost files {missing[:3]}..."
+            )
+        os.makedirs(os.path.join(self.root, _DV_DIR), exist_ok=True)
+        os.rename(stage, os.path.join(self.root, rel))
+        return rel, counts
+
+    def _dv_adds(self, snap: Snapshot, dv_set: list[str], bundle: str,
+                 counts: dict) -> list[dict]:
+        """Re-add entries for the DV-route files: same data file, new
+        DV reference (the file's bytes are untouched — its entry keeps
+        its stats, bloom, and schema generation)."""
+        out = []
+        for p in dv_set:
+            e = dict(snap.files[p])
+            e["dv"] = {"path": bundle, "cardinality": int(counts[p])}
+            out.append(e)
+        return out
+
+    def _build_dv_rows(self, matches_pos: DataFrame, snap: Snapshot,
+                       dv_set: list[str]) -> DataFrame:
+        """(file, row_index) rows for the new bundle: this commit's
+        matches plus the carried-forward positions from the bundles the
+        DV-route files currently reference."""
+        new_rows = matches_pos.select(
+            F.col("_dv_rel").alias("file"), F.col("_dv_pos").alias("row_index")
+        )
+        old_bundles = sorted({
+            snap.files[p]["dv"]["path"]
+            for p in dv_set
+            if snap.files[p].get("dv")
+        })
+        if not old_bundles:
+            return new_rows
+        rels_df = self.spark.createDataFrame(
+            [(p,) for p in dv_set], "file string"
+        )
+        old_rows = (
+            self.spark.read.parquet(
+                *[os.path.join(self.root, b) for b in old_bundles]
+            )
+            .join(F.broadcast(rels_df), "file", "left_semi")
+            .select("file", "row_index")
+        )
+        # distinct: two referenced bundles can both carry (subset) rows
+        # for one dv_set file — cardinality must count positions once
+        return new_rows.unionByName(old_rows).dropDuplicates(
+            ["file", "row_index"]
+        )
 
     def _rewrite(self, touched: list[str], snap: Snapshot,
-                 remaining: DataFrame, operation: str, params: dict,
+                 remaining: DataFrame | None, operation: str, params: dict,
                  extra_df: DataFrame | None = None,
                  cdc_df: DataFrame | None = None,
                  schema_json: str | None = None,
-                 file_schema: StructType | None = None) -> int:
-        """Shared copy-on-write tail for DELETE/UPDATE/MERGE: stage the
-        survivors (+ merge inserts) of the touched files, stage the
-        explicit change rows, publish with disjoint-rewrite retry."""
+                 file_schema: StructType | None = None,
+                 dv_adds: list[dict] | None = None,
+                 dv_bundle: str | None = None) -> int:
+        """Shared DML tail for DELETE/UPDATE/MERGE: stage the survivors
+        (+ merge inserts) of the rewritten files, stage the explicit
+        change rows, re-add the DV-route entries with their new bundle,
+        publish with disjoint-rewrite retry. ``remaining=None`` skips
+        data staging entirely (a pure merge-on-read commit writes only
+        a DV bundle + change files — the rewrite-amplification win).
+
+        ``touched`` lists EVERY logically modified file (both routes):
+        they all appear in ``remove`` so concurrent-writer conflict
+        detection covers DV updates too; the DV-route paths re-add in
+        the same commit, which replay and VACUUM's re-add tracking
+        already understand (the RESTORE pattern)."""
         version = snap.version + 1
         if extra_df is not None:
-            remaining = remaining.unionByName(extra_df)
-        adds = self._stage_files(remaining, version, snap.partition_by, None,
-                                 snap.properties)
+            remaining = (
+                extra_df if remaining is None
+                else remaining.unionByName(extra_df)
+            )
+        adds = (
+            self._stage_files(remaining, version, snap.partition_by, None,
+                              snap.properties)
+            if remaining is not None else []
+        )
+        adds = adds + (dv_adds or [])
         cdc = self._stage_cdc(cdc_df, version) if cdc_df is not None else []
 
         def action(v: int) -> dict:
@@ -1519,6 +1852,8 @@ class TxTable:
             }
             if cdc:
                 a["cdc"] = cdc
+            if dv_bundle:
+                a["dvc"] = [dv_bundle]
             if schema_json is not None:
                 a["schema"] = schema_json
             return a
@@ -1540,19 +1875,56 @@ class TxTable:
         log-prunable ``[(col, op, lit)]`` hints implied by ``cond`` —
         skip files from the touched-file probe via partition values +
         stats (they must be IMPLIED by cond: a file they skip must hold
-        no matching row)."""
-        touched, snap = self._touched_files(cond, predicates)
+        no matching row).
+
+        With ``dv.enabled`` (merge-on-read), files whose total deleted
+        fraction stays under ``dv.maxDeletedFraction`` are NOT
+        rewritten: the commit re-adds them with a deletion-vector
+        bundle marking the deleted row positions, and readers drop
+        those rows at scan — a 1-row delete in a 1 GB file writes a
+        KB-scale bundle instead of re-copying the gigabyte (the cost
+        center of copy-on-write at 100 TB). Change feed, time travel,
+        RESTORE, and VACUUM contracts are unchanged."""
+        counts, snap = self._touched_files(cond, predicates)
+        touched = sorted(counts)
         if not touched:
             return snap.version
-        tdf = self._touched_df(snap, touched)
-        cdc = tdf.filter(cond).withColumn("_change_type", F.lit("delete"))
-        # Survivors = rows where cond is NOT TRUE (Delta DELETE
-        # semantics): plain ~cond is NULL for NULL-condition rows, so
-        # they would be neither kept nor recorded as deletes — silent
-        # row loss on e.g. x > 5 over a NULL x.
+        dv_set, rw_set = self._dv_split(snap, counts)
+        params = {"predicate": str(cond)}
+        if not dv_set:
+            tdf = self._touched_df(snap, touched)
+            cdc = tdf.filter(cond).withColumn("_change_type", F.lit("delete"))
+            # Survivors = rows where cond is NOT TRUE (Delta DELETE
+            # semantics): plain ~cond is NULL for NULL-condition rows,
+            # so they would be neither kept nor recorded as deletes —
+            # silent row loss on e.g. x > 5 over a NULL x.
+            return self._rewrite(
+                touched, snap, tdf.filter(~cond | cond.isNull()),
+                "DELETE", params, cdc_df=cdc,
+            )
+        data_cols = [f.name for f in snap.schema.fields]
+        dv_pos = self._read_entries(
+            [snap.files[p] for p in dv_set], snap.schema, snap.partition_by,
+            with_position=True,
+        ).filter(cond).localCheckpoint(eager=False)
+        cdc = dv_pos.select(*data_cols).withColumn(
+            "_change_type", F.lit("delete")
+        )
+        remaining = None
+        if rw_set:
+            tdf_rw = self._touched_df(snap, rw_set)
+            cdc = cdc.unionByName(
+                tdf_rw.filter(cond).withColumn("_change_type", F.lit("delete"))
+            )
+            remaining = tdf_rw.filter(~cond | cond.isNull())
+        bundle, card = self._stage_dv(
+            self._build_dv_rows(dv_pos, snap, dv_set),
+            snap.version + 1, dv_set,
+        )
         return self._rewrite(
-            touched, snap, tdf.filter(~cond | cond.isNull()),
-            "DELETE", {"predicate": str(cond)}, cdc_df=cdc,
+            touched, snap, remaining, "DELETE", params, cdc_df=cdc,
+            dv_adds=self._dv_adds(snap, dv_set, bundle, card),
+            dv_bundle=bundle,
         )
 
     def update(self, cond, assignments: dict, predicates=None) -> int:
@@ -1562,29 +1934,67 @@ class TxTable:
         ``update_preimage`` / ``update_postimage`` pairs — Delta's CDF
         row types for UPDATE. ``predicates`` — log-prunable hints
         implied by ``cond`` — skip files from the touched-file probe
-        (see :meth:`delete`)."""
-        touched, snap = self._touched_files(cond, predicates)
+        (see :meth:`delete`).
+
+        Merge-on-read (``dv.enabled``): for files under the DV
+        threshold, the matched rows' positions go into a deletion
+        vector and their UPDATED images append as new files — the
+        unmatched rows of those files are never rewritten."""
+        counts, snap = self._touched_files(cond, predicates)
+        touched = sorted(counts)
         if not touched:
             return snap.version
-        tdf = self._touched_df(snap, touched)
+        dv_set, rw_set = self._dv_split(snap, counts)
+        params = {"predicate": str(cond)}
 
         def apply(df: DataFrame) -> DataFrame:
             for col, expr in assignments.items():
                 df = df.withColumn(col, F.when(cond, expr).otherwise(F.col(col)))
             return df
 
-        pre = tdf.filter(cond)
+        if not dv_set:
+            tdf = self._touched_df(snap, touched)
+            pre = tdf.filter(cond)
+            cdc = (
+                pre.withColumn("_change_type", F.lit("update_preimage"))
+                .unionByName(
+                    apply(pre).withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
+                )
+            )
+            return self._rewrite(
+                touched, snap, apply(tdf), "UPDATE", params, cdc_df=cdc,
+            )
+        data_cols = [f.name for f in snap.schema.fields]
+        dv_pos = self._read_entries(
+            [snap.files[p] for p in dv_set], snap.schema, snap.partition_by,
+            with_position=True,
+        ).filter(cond).localCheckpoint(eager=False)
+        pre = dv_pos.select(*data_cols)
+        remaining = None
+        if rw_set:
+            tdf_rw = self._touched_df(snap, rw_set)
+            pre = pre.unionByName(tdf_rw.filter(cond))
+            remaining = apply(tdf_rw)
+        post = apply(pre)
         cdc = (
             pre.withColumn("_change_type", F.lit("update_preimage"))
             .unionByName(
-                apply(pre).withColumn(
-                    "_change_type", F.lit("update_postimage")
-                )
+                post.withColumn("_change_type", F.lit("update_postimage"))
             )
         )
+        bundle, card = self._stage_dv(
+            self._build_dv_rows(dv_pos, snap, dv_set),
+            snap.version + 1, dv_set,
+        )
+        # the DV-route files' updated rows land as NEW files
+        extra = apply(dv_pos.select(*data_cols))
         return self._rewrite(
-            touched, snap, apply(tdf), "UPDATE",
-            {"predicate": str(cond)}, cdc_df=cdc,
+            touched, snap, remaining, "UPDATE", params,
+            extra_df=extra, cdc_df=cdc,
+            dv_adds=self._dv_adds(snap, dv_set, bundle, card),
+            dv_bundle=bundle,
         )
 
     def merge(self, source: DataFrame, keys: list[str],
@@ -1664,44 +2074,65 @@ class TxTable:
                 cond = c if cond is None else cond & c
             return left.join(right, cond, how)
 
-        # Capture the source file BEFORE the join: input_file_name() is
-        # only defined in the scan stage — evaluated above a shuffle
-        # (the sort-merge path of the size gate) it returns "".
-        tgt = _align(self.read(), target_schema)
+        # Probe with the positional read (_dv_rel = the scan's
+        # root-relative _metadata.file_path, captured at scan level):
+        # input_file_name() is undefined both above shuffles and on the
+        # multi-source plans every DV-applying read produces.
+        target_fields = [f.name for f in target_schema.fields]
+        tgt_pos = self._read_entries(
+            list(snap.files.values()), target_schema, snap.partition_by,
+            with_position=True,
+        )
         hits = (
-            ns_join(
-                tgt.withColumn("_f", F.input_file_name()),
-                gate(keys_df),
-                "left_semi",
-            )
-            .groupBy("_f")
+            ns_join(tgt_pos, gate(keys_df), "left_semi")
+            .groupBy("_dv_rel")
             .count()
             .collect()
         )
-        touched = sorted(
-            os.path.relpath(r["_f"].removeprefix("file:"), self.root)
-            for r in hits
-        )
+        counts = {r["_dv_rel"]: r["count"] for r in hits}
+        touched = sorted(counts)
         if not touched:
             v = self._commit_insert_only(src, snap, params, schema_json,
                                          target_schema)
             return v
 
-        tdf = _align(self._touched_df(snap, touched), target_schema)
+        # Merge-on-read split (see delete()): files under the DV
+        # threshold get their MATCHED rows deletion-vectored and the
+        # updated images appended as new files — their unmatched rows
+        # are never rewritten, which is the whole cost story for the
+        # reference's frequent-MERGE pipelines at 100 TB.
+        dv_set, rw_set = self._dv_split(snap, counts)
+        matched_dv = None
+        if dv_set:
+            tpos_dv = self._read_entries(
+                [snap.files[p] for p in dv_set], target_schema,
+                snap.partition_by, with_position=True,
+            )
+            matched_dv = ns_join(
+                tpos_dv, gate(keys_df), "left_semi"
+            ).localCheckpoint(eager=False)
         # Probe the TOUCHED files, not the full table: every target row
         # with a matched key is by construction in a touched file (the
         # hits probe found the files holding them), so this yields the
         # identical key set while reading only the touched files —
         # dropping the merge's second full-table scan.
+        pre = None
+        survivors = None
+        if rw_set:
+            tdf = self._read_entries(
+                [snap.files[p] for p in rw_set], target_schema,
+                snap.partition_by,
+            )
+            pre = ns_join(tdf, gate(keys_df), "left_semi")
+            survivors = ns_join(tdf, gate(keys_df), "left_anti")
+        if matched_dv is not None:
+            mdv = matched_dv.select(*target_fields)
+            pre = mdv if pre is None else pre.unionByName(mdv)
         matched_keys = (
-            ns_join(tdf, gate(keys_df), "left_semi")
-            .select(*keys).distinct().localCheckpoint(eager=False)
+            pre.select(*keys).distinct().localCheckpoint(eager=False)
         )
         upd_src = ns_join(src, gate(matched_keys), "left_semi")
         inserts = ns_join(src, gate(matched_keys), "left_anti")
-
-        survivors = ns_join(tdf, gate(keys_df), "left_anti")
-        pre = ns_join(tdf, gate(keys_df), "left_semi")
         # Columns the ORIGINAL source doesn't carry must keep the
         # TARGET's values on matched rows (Delta updateAll +
         # schema.autoMerge leaves them unchanged) — _align's null-fill
@@ -1709,7 +2140,7 @@ class TxTable:
         # matched target rows, one row per key (ties under duplicate
         # target keys follow the engine's documented keep-one merge
         # semantics).
-        missing = [c for c in tgt.columns if c not in src_cols]
+        missing = [c for c in target_fields if c not in src_cols]
         if missing:
             # Aliased keys + null-safe condition: a matched NULL-key
             # row must still pick up its carried columns (a plain
@@ -1724,28 +2155,37 @@ class TxTable:
             updates = (
                 upd_src.drop(*missing)
                 .join(gate(carried), ccond)
-                .select(*tgt.columns)
+                .select(*target_fields)
             )
         else:
             updates = upd_src
-        extra = updates.unionByName(inserts).select(*tgt.columns)
+        extra = updates.unionByName(inserts).select(*target_fields)
         cdc = (
             pre.withColumn("_change_type", F.lit("update_preimage"))
             .unionByName(
-                updates.select(*tgt.columns).withColumn(
+                updates.select(*target_fields).withColumn(
                     "_change_type", F.lit("update_postimage")
                 )
             )
             .unionByName(
-                inserts.select(*tgt.columns).withColumn(
+                inserts.select(*target_fields).withColumn(
                     "_change_type", F.lit("insert")
                 )
             )
         )
+        dv_adds = None
+        bundle = None
+        if dv_set:
+            bundle, card = self._stage_dv(
+                self._build_dv_rows(matched_dv, snap, dv_set),
+                snap.version + 1, dv_set,
+            )
+            dv_adds = self._dv_adds(snap, dv_set, bundle, card)
         return self._rewrite(
             touched, snap, survivors, "MERGE",
             {"keys": keys, **(params or {})}, extra_df=extra, cdc_df=cdc,
             schema_json=schema_json, file_schema=target_schema,
+            dv_adds=dv_adds, dv_bundle=bundle,
         )
 
     def _commit_insert_only(self, src: DataFrame, snap: Snapshot,
@@ -1841,6 +2281,51 @@ class TxTable:
 
         return self._commit(snap.version, action, removes=removes)
 
+    def purge_deletion_vectors(self, target_files: int | None = None) -> int:
+        """Rewrite ONLY the files carrying deletion vectors, compacting
+        their holes away (Delta's ``REORG TABLE ... APPLY (PURGE)``).
+        The rewrite reads through the DVs (so row content is the live
+        set), commits with ``dataChange=false`` (no logical change),
+        and the dropped bundles become VACUUM-collectable once past
+        retention. Returns the current version when nothing carries a
+        DV."""
+        snap = self.snapshot()
+        files = snap.files
+        if isinstance(files, FileManifest):
+            import numpy as np
+
+            scope = []
+            if "dv" in files.table.column_names:
+                col = files.table.column("dv").to_pylist()
+                mask = files._base_live_mask()
+                for i in np.flatnonzero(mask):
+                    if col[i] and col[i] != "{}":
+                        scope.append(files._entry(i))
+            scope += [e for e in files.extra.values() if e.get("dv")]
+        else:
+            scope = [e for e in files.values() if e.get("dv")]
+        if not scope:
+            return snap.version
+        df = self._read_entries(scope, snap.schema, snap.partition_by)
+        n = target_files or max(1, len(scope))
+        adds = self._stage_files(df.coalesce(n), snap.version + 1,
+                                 snap.partition_by, None, snap.properties)
+        removes = sorted(e["path"] for e in scope)
+
+        def action(v: int) -> dict:
+            return {
+                "version": v,
+                "timestamp_ms": int(time.time() * 1000),
+                "operation": "PURGE DV",
+                "operationParameters": {"numFiles": len(scope)},
+                "dataChange": False,
+                "fileSchema": snap.schema_json,
+                "add": adds,
+                "remove": removes,
+            }
+
+        return self._commit(snap.version, action, removes=removes)
+
     # -- detail / metrics --------------------------------------------------
 
     def detail(self) -> dict:
@@ -1856,17 +2341,24 @@ class TxTable:
             if os.path.exists(os.path.join(self.root, p))
         )
         if isinstance(snap.files, FileManifest):
-            num_records = snap.files.total_records() or None
+            physical = snap.files.total_records()
+            dv_card = snap.files.total_dv_cardinality()
         else:
-            num_records = (
-                sum(f_.get("numRecords", 0) or 0 for f_ in snap.files.values())
-                or None
+            physical = sum(
+                f_.get("numRecords", 0) or 0 for f_ in snap.files.values()
             )
+            dv_card = sum(
+                (f_.get("dv") or {}).get("cardinality", 0)
+                for f_ in snap.files.values()
+            )
+        # logical rows: physical minus deletion-vectored
+        num_records = (physical - dv_card) if physical else None
         return {
             "location": self.root,
             "numFiles": len(snap.files),
             "sizeInBytes": size,
             "numRecords": num_records,
+            "numDeletedRecords": dv_card,
             "partitionColumns": snap.partition_by,
             "properties": snap.properties,
             "latest_version": snap.version,

@@ -450,6 +450,17 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       executes end-to-end. The memory-compression operating point
       (small ``refine``, codes-only scan) is the same code path,
       recall-pinned in tests/test_similarity.py.
+    * ``ivfpq_persisted`` (round 7): the same top-k answered from the
+      PERSISTED index (:mod:`..operators.ann_index` — model + codes as
+      native-log tables, maintained incrementally by
+      ``run_ann_index_stream``), at full probe + full refine — so this
+      arm shares the brute-force oracle too, while proving the
+      maintained-state path end-to-end (build → persisted tables →
+      bucket-join query). The index is built ONCE per (process,
+      sf_dir) and re-queried on subsequent invocations — persisted
+      state, not a per-query computation; at 100 TB only the encode
+      stream runs per batch and queries touch the compressed codes
+      table plus ``refine`` raw vectors per query.
     """
     from ..operators.similarity import ann_ivf_topk, pq_topk
 
@@ -459,11 +470,44 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                        n_probe=16)
     pq = pq_topk(emb, F.col("vec_id") < 5, k=5, n_subspaces=8,
                  n_codes=16, refine=1 << 30)
+    from ..operators.ann_index import ann_index_topk
+
+    persisted = ann_index_topk(
+        spark, _ann_index_for(spark, sf_dir), emb, F.col("vec_id") < 5,
+        k=5, n_probe=16, refine=1 << 30,
+    )
     return (
         brute.select(F.lit("brute").alias("method"), "*")
         .unionByName(ivf.select(F.lit("ivf_full_probe").alias("method"), "*"))
         .unionByName(pq.select(F.lit("pq_full_refine").alias("method"), "*"))
+        .unionByName(
+            persisted.select(F.lit("ivfpq_persisted").alias("method"), "*")
+        )
     )
+
+
+#: one persisted ANN index per (process, sf_dir): the first ann_topk
+#: invocation builds it into a temp root; later invocations (bench
+#: passes 2..N, repeated driver checks in one process) query the
+#: MAINTAINED tables — which is the point of a persisted index.
+_ANN_INDEX_CACHE: dict[str, str] = {}
+
+
+def _ann_index_for(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    key = os.path.realpath(sf_dir)
+    path = _ANN_INDEX_CACHE.get(key)
+    if path is None or not os.path.isdir(os.path.join(path, "codes")):
+        from ..operators.ann_index import build_ann_index
+
+        path = tempfile.mkdtemp(prefix="real_time_video_streaming_analytics_annidx_")
+        build_ann_index(spark, _emb(spark, sf_dir), os.path.join(path, "i"),
+                        n_clusters=16, n_subspaces=8, n_codes=16)
+        _ANN_INDEX_CACHE[key] = os.path.join(path, "i")
+        path = _ANN_INDEX_CACHE[key]
+    return path
 
 
 ANN_COSINE_TOPK_SQL = """
@@ -488,9 +532,10 @@ SELECT query_id, vec_id, label, cosine, CAST(rk AS INTEGER) AS rk FROM (
 WHERE rk <= 5
 """
 
-# all three methods are exact (IVF at full probe and PQ at full refine
-# are provably ≡ brute force), so the stacked oracle is the brute-force
-# top-k emitted once per method tag
+# all four methods are exact (IVF at full probe, PQ at full refine,
+# and the persisted IVF-PQ index at both, are provably ≡ brute force),
+# so the stacked oracle is the brute-force top-k emitted once per
+# method tag
 ANN_TOPK_SQL = f"""
 WITH topk AS ({ANN_COSINE_TOPK_SQL})
 SELECT 'brute' AS method, * FROM topk
@@ -498,6 +543,8 @@ UNION ALL
 SELECT 'ivf_full_probe' AS method, * FROM topk
 UNION ALL
 SELECT 'pq_full_refine' AS method, * FROM topk
+UNION ALL
+SELECT 'ivfpq_persisted' AS method, * FROM topk
 """
 
 
