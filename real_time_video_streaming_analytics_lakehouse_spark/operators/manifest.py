@@ -52,18 +52,22 @@ import json
 
 def to_num(v):
     """Numeric view of a stored bound: ints/floats pass through,
-    numeric strings parse (``float`` — exact for every int the stats
-    pipeline emits), everything else is ``None`` (= bound unusable,
-    keep the file)."""
+    numeric strings parse — integer-looking strings via ``int`` so
+    bigint bounds beyond 2**53 stay exact (Python compares int vs
+    float exactly), the rest via ``float``. Everything else is
+    ``None`` (= bound unusable, keep the file)."""
     if isinstance(v, bool):
         return None
     if isinstance(v, (int, float)):
         return v
     if isinstance(v, str):
         try:
-            return float(v)
+            return int(v)
         except ValueError:
-            return None
+            try:
+                return float(v)
+            except ValueError:
+                return None
     return None
 
 
@@ -201,7 +205,11 @@ def entries_to_arrow(entries: list, schema_json: str,
         for e in entries:
             bl = (e.get("bloom") or {}).get(c)
             if bl and bl.get("mask"):
-                masks.append(bytes.fromhex(bl["mask"]))
+                # a bloom.bits whose hex width (bits+3)//4 is odd would
+                # crash fromhex — left-pad; zero-extending the most-
+                # significant side preserves every bit position.
+                h = bl["mask"]
+                masks.append(bytes.fromhex("0" + h if len(h) % 2 else h))
                 ks.append(int(bl.get("k", 3)))
                 bits.append(int(bl.get("bits", len(bl["mask"]) * 4)))
             else:
@@ -404,10 +412,17 @@ def _parse_numeric(strings):
     import pandas as pd
 
     codes, uniques = pd.factorize(pd.Series(strings, dtype="object"))
-    parsed = np.array(
-        [to_num(u) if u is not None else None for u in uniques],
-        dtype="object",
-    )
+
+    def _safe(u):
+        # ints beyond float53 would round in the float64 output array;
+        # emit None (= NaN = keep) — conservative, the scalar path does
+        # the exact comparison (never less conservative than scalar).
+        v = to_num(u) if u is not None else None
+        if isinstance(v, int) and float(v) != v:
+            return None
+        return v
+
+    parsed = np.array([_safe(u) for u in uniques], dtype="object")
     out = np.full(len(codes), np.nan)
     ok = codes >= 0
     vals = parsed[codes[ok]]

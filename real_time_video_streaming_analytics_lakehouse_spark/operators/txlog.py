@@ -90,6 +90,7 @@ import os
 import pathlib
 import shutil
 import time
+import urllib.parse
 import uuid
 from dataclasses import dataclass, field
 
@@ -459,6 +460,46 @@ def _dv_map(files) -> dict:
     return {p: e["dv"]["path"] for p, e in files.items() if e.get("dv")}
 
 
+def _lite_map(files) -> dict:
+    """``{path: lite entry}`` (path + schema generation + dv ref) for a
+    snapshot's file set — columnar over a manifest (three columns, no
+    full entry materialization). Seeds ``change_feed``'s state walk
+    when ``cleanup_log`` has pruned the commits below the latest
+    checkpoint."""
+    if isinstance(files, FileManifest):
+        t = files.table
+        names = t.column_names
+        dvs = (
+            t.column("dv").to_pylist()
+            if "dv" in names else [None] * t.num_rows
+        )
+        out = {}
+        for p, s, v in zip(
+            t.column("path").to_pylist(),
+            t.column("schema_json").to_pylist(),
+            dvs,
+        ):
+            if p in files.removed:
+                continue
+            lite = {"path": p, "_schema_json": s}
+            if v and v != "{}":
+                lite["dv"] = json.loads(v)
+            out[p] = lite
+        for p, e in files.extra.items():
+            lite = {"path": p, "_schema_json": e.get("_schema_json")}
+            if e.get("dv"):
+                lite["dv"] = e["dv"]
+            out[p] = lite
+        return out
+    out = {}
+    for p, e in files.items():
+        lite = {"path": p, "_schema_json": e.get("_schema_json")}
+        if e.get("dv"):
+            lite["dv"] = e["dv"]
+        out[p] = lite
+    return out
+
+
 def _dv_params(properties: dict) -> tuple[bool, float]:
     """Deletion-vector (merge-on-read) DML opt-in, per table property:
     ``dv.enabled`` turns it on, ``dv.maxDeletedFraction`` (default 0.5)
@@ -819,10 +860,21 @@ class TxTable:
             groups.setdefault(
                 f_.get("_schema_json") or target_json, []
             ).append(f_)
-        # matches the Spark parquet scan's _metadata.file_path rendering
-        # ("file:" + absolute path) — the same contract the
-        # input_file_name() probes rely on
+        # _metadata.file_path renders as a Hadoop URI ("file:" +
+        # percent-encoded absolute path) — a root or partition dir
+        # with spaces / non-ASCII would make a raw prefix strip
+        # mis-count. Decode the URI first (pre-encoding literal '+' so
+        # url_decode is a pure percent-decode, not form-decoding),
+        # THEN strip the plain-path prefix — exact for any root.
         prefix = "file:" + os.path.abspath(self.root) + "/"
+
+        def _rel_expr():
+            decoded = F.url_decode(
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), r"\+", "%2B"
+                )
+            )
+            return F.substring(decoded, len(prefix) + 1, 1_000_000)
         parts = []
         for sj in sorted(groups):
             es = groups[sj]
@@ -837,10 +889,7 @@ class TxTable:
             if dv_entries or with_position:
                 part = part.select(
                     "*",
-                    F.substring(
-                        F.col("_metadata.file_path"), len(prefix) + 1,
-                        1_000_000,
-                    ).alias("_dv_rel"),
+                    _rel_expr().alias("_dv_rel"),
                     F.col("_metadata.row_index").alias("_dv_pos"),
                 )
             if dv_entries:
@@ -1186,7 +1235,12 @@ class TxTable:
         )
         out = {}
         for r in rows:
-            rel = os.path.relpath(r["_f"].removeprefix("file:"), stage)
+            # input_file_name() renders a percent-encoded URI; decode
+            # so staged paths with spaces/non-ASCII keep exact rels
+            # (urllib.parse.unquote leaves literal '+' alone).
+            rel = os.path.relpath(
+                urllib.parse.unquote(r["_f"].removeprefix("file:")), stage
+            )
             stats = {
                 c: {"min": r[f"_min_{c}"], "max": r[f"_max_{c}"]} for c in cols
             }
@@ -1381,7 +1435,8 @@ class TxTable:
         :class:`VacuumedFileError` afterwards — the same trade Delta
         makes."""
         cutoff_ms = (time.time() - retention_hours * 3600) * 1000
-        live = set(self.snapshot().files)
+        snap = self.snapshot()
+        live = set(snap.files)
         removed_at: dict[str, int] = {}
         cdc_at: dict[str, int] = {}
         # deletion-vector bundle lifecycle: a bundle is collectable
@@ -1394,9 +1449,30 @@ class TxTable:
         dv_count: dict[str, int] = {}     # bundle -> live references
         dv_removed_at: dict[str, int] = {}
         dv_tracked: set = set()
-        for v in _list_versions(self.root):
+        versions = _list_versions(self.root)
+        seed_version = None
+        if versions and versions[0] > 0:
+            # cleanup_log pruned the log prefix below the latest
+            # checkpoint, so reference counts cannot replay from
+            # genesis: a bundle whose only add-reference lives in the
+            # checkpoint would look like an untracked crash leftover
+            # and be rmtree'd while the CURRENT snapshot still reads
+            # it (bricking the table). Seed the replay from the
+            # resolved checkpoint state at the first surviving version
+            # — its commit's own DV bookkeeping is then skipped below
+            # (the checkpoint already reflects it).
+            seed_version = versions[0]
+            for p, b in _dv_map(
+                self.snapshot(version=seed_version).files
+            ).items():
+                if b:
+                    dv_ref[p] = b
+                    dv_count[b] = dv_count.get(b, 0) + 1
+                    dv_tracked.add(b)
+        for v in versions:
             c = _read_commit(self.root, v)
             ts = c["timestamp_ms"]
+            seeded = v == seed_version
             for b in c.get("dvc", []):
                 dv_tracked.add(b)
 
@@ -1408,9 +1484,12 @@ class TxTable:
                         dv_removed_at[b] = ts
             for rm in c.get("remove", []):
                 removed_at[rm] = ts
-                _drop_ref(rm)
+                if not seeded:  # seed state already reflects this commit
+                    _drop_ref(rm)
             for ad in c.get("add", []):
                 removed_at.pop(ad["path"], None)  # re-added by RESTORE
+                if seeded:
+                    continue
                 b = (ad.get("dv") or {}).get("path")
                 if dv_ref.get(ad["path"]) != b:
                     _drop_ref(ad["path"])
@@ -1422,6 +1501,15 @@ class TxTable:
             for cd in c.get("cdc", []):
                 cdc_at[cd] = ts
         live_dv = set(dv_ref.values())
+        # The replay above covers only commits that survived
+        # cleanup_log; a bundle whose last add-reference lives in the
+        # checkpoint (its commit JSON pruned) would otherwise look like
+        # an untracked crash leftover and be deleted while the CURRENT
+        # snapshot still reads it. Seed from the snapshot itself —
+        # mirrors how `live` protects data files.
+        snap_dv = {b for b in _dv_map(snap.files).values() if b}
+        live_dv |= snap_dv
+        dv_tracked |= snap_dv
         tracked = set(removed_at) | set(cdc_at) | live
         doomed = [
             p for p, ts in removed_at.items()
@@ -1578,6 +1666,18 @@ class TxTable:
         live: dict[str, dict] = {}
         state_at: dict[int, tuple[list[dict], list[dict]]] = {}
         sj = ""
+        seed_version = None
+        if all_versions and all_versions[0] > 0:
+            # cleanup_log pruned the log prefix: files added below the
+            # latest checkpoint have no surviving add commit, so a
+            # later remove would find nothing in `live` and its delete
+            # rows would be silently dropped. Seed the walk from the
+            # checkpoint state at the first surviving version (lite
+            # entries incl. each file's schema generation + dv ref).
+            seed_version = all_versions[0]
+            seed_snap = self.snapshot(version=seed_version)
+            live = _lite_map(seed_snap.files)
+            sj = seed_snap.schema.json()
         for v in all_versions:
             if v > hi:
                 break
@@ -1586,9 +1686,22 @@ class TxTable:
                 sj = c["schema"]
             schema_at[v] = sj
             fs = c.get("fileSchema") or sj
-            removed_entries = [
-                live[rm] for rm in c.get("remove", []) if rm in live
-            ]
+            removed_entries = []
+            for rm in c.get("remove", []):
+                if rm in live:
+                    # the seed state already reflects the seed commit's
+                    # own removes — don't double-serve them
+                    if v != seed_version:
+                        removed_entries.append(live[rm])
+                else:
+                    # add commit pruned AND absent from the seed state
+                    # (the seed commit itself removed it): serve the
+                    # file under the effective schema — conservative
+                    # (a checkpoint-era DV would be ignored), never a
+                    # silent drop; vacuumed files raise in read_lites.
+                    removed_entries.append(
+                        {"path": rm, "_schema_json": fs}
+                    )
             for rm in c.get("remove", []):
                 live.pop(rm, None)
             added_entries = []

@@ -331,3 +331,102 @@ def test_json_commit_roundtrip_carries_dv(spark, tmp_path):
     c = _read_commit(t.root, v)
     assert json.loads(json.dumps(c)) == c  # plain-JSON commit action
     assert c["dvc"][0] == c["add"][0]["dv"]["path"]
+
+
+def test_vacuum_after_cleanup_log_keeps_live_dv_bundle(spark, tmp_path):
+    """Round-8 advice (high): after cleanup_log prunes the commits
+    below the latest checkpoint, a bundle referenced only by
+    checkpoint-era entries must NOT be collected as a crash leftover —
+    vacuum seeds the live set from the resolved checkpoint state."""
+    t = _mk(spark, str(tmp_path / "t"), dv=True, interval=2)
+    t.write(_df(spark, [(i, "a", i) for i in range(10)]).coalesce(1))
+    t.delete(F.col("id") == 0)                      # v2: DV commit (+ckpt)
+    t.write(_df(spark, [(100, "b", 1)]))            # v3
+    t.write(_df(spark, [(101, "b", 2)]))            # v4: checkpoint
+    assert t.cleanup_log(retention_hours=0)         # prunes v0..v3
+    gone = t.vacuum(retention_hours=0)              # may drop CDC files
+    assert not [p for p in gone if p.startswith("_deletion_vectors/")]
+    t2 = TxTable(spark, t.root)
+    assert sorted(r.id for r in t2.read().collect()) == (
+        list(range(1, 10)) + [100, 101]
+    )
+
+
+def test_vacuum_after_cleanup_log_respects_dv_tombstone_time(
+    spark, tmp_path
+):
+    """A bundle whose last reference was dropped AFTER the checkpoint
+    (its add commit pruned) is tombstoned at the remove commit's
+    timestamp, not treated as an untracked leftover aged by mtime."""
+    import time as _time
+
+    t = _mk(spark, str(tmp_path / "t"), dv=True, interval=2)
+    t.write(_df(spark, [(i, "a", i) for i in range(10)]).coalesce(1))
+    v_dv = t.delete(F.col("id") == 0)               # v2: DV commit + ckpt
+    t.write(_df(spark, [(100, "b", 1)]))            # v3
+    t.write(_df(spark, [(101, "b", 2)]))            # v4: checkpoint
+    t.purge_deletion_vectors()                      # v5: drops the DV ref
+    assert t.cleanup_log(retention_hours=0)
+    # age the bundle file itself far past any retention horizon
+    dv_dir = pathlib.Path(t.root, "_deletion_vectors")
+    old = _time.time() - 10 * 3600
+    for p in dv_dir.rglob("*"):
+        os.utime(p, (old, old))
+    for p in dv_dir.iterdir():
+        os.utime(p, (old, old))
+    # the DROP is recent -> retained at a 1h horizon (time travel works)
+    assert not [
+        p for p in t.vacuum(retention_hours=1)
+        if p.startswith("_deletion_vectors/")
+    ]
+    assert t.read(version=v_dv).count() == 9
+    # and collected once the horizon passes the drop
+    gone = t.vacuum(retention_hours=0)
+    assert any(p.startswith("_deletion_vectors/") for p in gone)
+    with pytest.raises(VacuumedFileError):
+        t.read(version=v_dv).count()
+
+
+def test_change_feed_serves_deletes_for_pruned_add_commits(
+    spark, tmp_path
+):
+    """Round-8 advice (medium): an overwrite that removes files whose
+    add commit was pruned by cleanup_log must still emit their delete
+    rows (reconstructed from the checkpoint-seeded state), never
+    silently drop them."""
+    t = _mk(spark, str(tmp_path / "t"), dv=False, interval=2)
+    t.write(_df(spark, [(i, "a", i) for i in range(5)]).coalesce(1))
+    t.write(_df(spark, [(10, "b", 1)]).coalesce(1))  # v2: checkpoint
+    assert t.cleanup_log(retention_hours=0)          # prunes v0..v1
+    v_ow = t.write(
+        _df(spark, [(99, "c", 9)]).coalesce(1), mode="overwrite"
+    )
+    feed = t.change_feed(v_ow, v_ow)
+    by_type = {
+        k: sorted(r["id"] for r in rows)
+        for k, rows in (
+            ("insert", feed.filter(F.col("_change_type") == "insert")
+             .collect()),
+            ("delete", feed.filter(F.col("_change_type") == "delete")
+             .collect()),
+        )
+    }
+    assert by_type["insert"] == [99]
+    assert by_type["delete"] == [0, 1, 2, 3, 4, 10]
+
+
+def test_dv_read_from_root_with_spaces_and_unicode(spark, tmp_path):
+    """Round-8 advice (low): _metadata.file_path renders a percent-
+    encoded URI, so a root with spaces / non-ASCII must still strip to
+    exact relative paths for the DV anti-join and DML probes."""
+    root = tmp_path / "sp ace" / "täble"
+    root.parent.mkdir(parents=True, exist_ok=True)
+    t = _mk(spark, str(root), dv=True)
+    t.write(_df(spark, [(i, "a", i) for i in range(10)]).coalesce(1))
+    t.delete(F.col("id").isin([0, 3]))
+    assert sorted(r.id for r in t.read().collect()) == (
+        [1, 2, 4, 5, 6, 7, 8, 9]
+    )
+    t.update(F.col("id") == 4, {"v": F.lit(400)})
+    got = {(r["id"], r["v"]) for r in t.read().collect()}
+    assert (4, 400) in got and (4, 4) not in got and len(got) == 8

@@ -296,3 +296,108 @@ def test_bounds_may_match_semantics():
     assert bounds_may_match(1, 9, ">=", 9)
     assert not bounds_may_match(5, 9, "<", 5)
     assert bounds_may_match(5, 9, "<=", 5)
+
+
+def test_bigint_bounds_beyond_float53_do_not_false_prune(tmp_path):
+    """Round-8 advice (medium): string bounds (hive partition values)
+    parsed with float() round past 2**53 — an exact int literal then
+    falsely pruned a file containing matching rows. Scalar parsing is
+    now int-exact; the columnar path keeps such files (conservative,
+    never less conservative than scalar)."""
+    big = 9007199254740993  # 2**53 + 1; float(big) == 2**53 != big
+    assert bounds_may_match(str(big), str(big), "=", big)
+    assert not bounds_may_match(str(big), str(big), "=", big - 1)
+    assert bounds_may_match(str(big - 2), str(big), ">", big - 1)
+
+    entries = [
+        {
+            "path": f"pid={v}/part-0.parquet",
+            "partitionValues": {"pid": str(v)},
+            "numRecords": 1,
+            "_schema_json": SCHEMA_JSON,
+        }
+        for v in (big, big - 1, 12345)
+    ]
+    root = str(tmp_path / "t")
+    import os
+
+    os.makedirs(os.path.join(root, "_txlog"), exist_ok=True)
+    table = entries_to_arrow(entries, SCHEMA_JSON, ["pid"])
+    table = table.replace_schema_metadata({
+        "version": "0",
+        "schema": SCHEMA_JSON,
+        "properties": json.dumps({}),
+        "partition_by": json.dumps(["pid"]),
+        "txns": json.dumps({}),
+    })
+    store = LocalFileCommitStore(root)
+    store.write_checkpoint(0, checkpoint_to_bytes(table))
+    store.write_pointer({"version": 0})
+
+    snap = _resolve(root)
+    got = {e["path"] for e in _prune(snap, [("pid", "=", big)])}
+    # the matching file always survives; the columnar evaluator may
+    # conservatively keep its float-indistinguishable sibling
+    assert f"pid={big}/part-0.parquet" in got
+    assert "pid=12345/part-0.parquet" not in got
+    scalar = {
+        e["path"] for e in entries if _keep_entry(e, [("pid", "=", big)])
+    }
+    assert got >= scalar and f"pid={big - 1}/part-0.parquet" not in scalar
+
+
+def test_odd_hex_width_bloom_checkpoints(tmp_path):
+    """Round-8 advice (low): bloom.bits whose hex width (bits+3)//4 is
+    odd (e.g. 1012) crashed bytes.fromhex at checkpoint-write time.
+    The mask is now left-padded; probes agree with the scalar path."""
+    bits, k = 1012, 3
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.txlog import (
+        _bloom_positions_py as pos,
+    )
+
+    def bloom_for(values):
+        mask = 0
+        for v in values:
+            for p in pos(v, k, bits):
+                mask |= 1 << p
+        return {"k": k, "bits": bits,
+                "mask": format(mask, f"0{(bits + 3) // 4}x")}
+
+    entries = []
+    for i in range(50):
+        entries.append({
+            "path": f"part-{i:04d}.parquet",
+            "partitionValues": {},
+            "numRecords": 2,
+            "_schema_json": SCHEMA_JSON,
+            "bloom": {"name": bloom_for([f"v{i}", f"w{i}"])},
+        })
+    table = entries_to_arrow(entries, SCHEMA_JSON, [])  # no crash
+    root = str(tmp_path / "t")
+    import os
+
+    os.makedirs(os.path.join(root, "_txlog"), exist_ok=True)
+    table = table.replace_schema_metadata({
+        "version": "0",
+        "schema": SCHEMA_JSON,
+        "properties": json.dumps(
+            {"bloom.columns": "name", "bloom.bits": bits,
+             "bloom.hashes": k}
+        ),
+        "partition_by": json.dumps([]),
+        "txns": json.dumps({}),
+    })
+    store = LocalFileCommitStore(root)
+    store.write_checkpoint(0, checkpoint_to_bytes(table))
+    store.write_pointer({"version": 0})
+    snap = _resolve(root)
+    for lit in ["v7", "w33", "nowhere"]:
+        got = {e["path"] for e in _prune(snap, [("name", "=", lit)])}
+        scalar = {
+            e["path"] for e in entries
+            if _keep_entry(e, [("name", "=", lit)])
+        }
+        assert got == scalar
+    assert {e["path"] for e in _prune(snap, [("name", "=", "v7")])} == {
+        "part-0007.parquet"
+    }
