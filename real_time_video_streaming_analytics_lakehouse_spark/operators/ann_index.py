@@ -149,12 +149,26 @@ def _model_table(spark: SparkSession, centroids, books) -> DataFrame:
     )
 
 
+#: per-process model cache: {model table root: (log version, model)}.
+#: Round-7 review: ann_index_topk re-collected + re-broadcast the model
+#: on every invocation. The cache key is the model TABLE VERSION (one
+#: cheap driver-side snapshot resolution), so an explicit rebuild
+#: (build_ann_index overwrite) invalidates naturally while repeat
+#: queries skip the collect entirely.
+_MODEL_CACHE: dict[str, tuple[int, tuple]] = {}
+
+
 def _load_model(spark: SparkSession, index_path: str):
     import numpy as np
 
     from .txlog import TxTable
 
-    rows = TxTable(spark, os.path.join(index_path, "model")).read().collect()
+    t = TxTable(spark, os.path.join(index_path, "model"))
+    version = t.snapshot().version
+    cached = _MODEL_CACHE.get(t.root)
+    if cached is not None and cached[0] == version:
+        return cached[1]
+    rows = t.read().collect()
     # bounded: n_clusters + n_subspaces*n_codes rows
     cents = sorted(
         (r for r in rows if r["component"] == "centroid"),
@@ -171,6 +185,7 @@ def _load_model(spark: SparkSession, index_path: str):
             key=lambda r: r["idx"],
         )
         books.append(np.array([r["vals"] for r in bk]))
+    _MODEL_CACHE[t.root] = (version, (centroids, books))
     return centroids, books
 
 

@@ -93,6 +93,27 @@ class CommitStore:
     def log_exists(self) -> bool:
         return bool(self.list_commits() or self.list_checkpoints())
 
+    # -- data plane ---------------------------------------------------------
+    # The commit plane above is fully pluggable; the DATA plane (data
+    # files, CDC change files, deletion-vector bundles) must land under
+    # the table root where Spark's readers can scan it. PUBLICATION of
+    # staged output into the root routes through these two hooks so a
+    # store backed by an object store can substitute its own move/copy
+    # instead of inheriting a POSIX-rename assumption. Publication is
+    # not the atomicity point (the commit PUT is): a half-published
+    # file is an untracked stray until its commit lands, and VACUUM's
+    # stray scan collects orphans.
+
+    def publish_file(self, src: str, dest: str) -> None:
+        """Move one staged file at absolute path ``src`` to absolute
+        path ``dest`` (under the table root), creating parents."""
+        raise NotImplementedError
+
+    def publish_dir(self, src: str, dest: str) -> None:
+        """Move a staged directory tree ``src`` to ``dest`` (under the
+        table root), creating parents."""
+        raise NotImplementedError
+
 
 class LocalFileCommitStore(CommitStore):
     """Commit log as files under ``<root>/_txlog`` (the native layout).
@@ -189,6 +210,14 @@ class LocalFileCommitStore(CommitStore):
         except (FileNotFoundError, NotADirectoryError):
             return None
 
+    def publish_file(self, src: str, dest: str) -> None:
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        os.rename(src, dest)
+
+    def publish_dir(self, src: str, dest: str) -> None:
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        os.rename(src, dest)
+
 
 class InMemoryCommitStore(CommitStore):
     """Conditional-PUT commit store with object-store semantics.
@@ -263,6 +292,18 @@ class InMemoryCommitStore(CommitStore):
     def read_pointer(self) -> dict | None:
         with self._lock:
             return None if self._pointer is None else json.loads(self._pointer)
+
+    # Data plane: in this sandbox the staged parquet lives on the local
+    # FS regardless of the commit plane (Spark must scan it), so the
+    # publication hooks delegate to POSIX rename — a real object-store
+    # implementation replaces these with its multipart copy + delete.
+    def publish_file(self, src: str, dest: str) -> None:
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        os.rename(src, dest)
+
+    def publish_dir(self, src: str, dest: str) -> None:
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        os.rename(src, dest)
 
 
 # ---------------------------------------------------------------------------

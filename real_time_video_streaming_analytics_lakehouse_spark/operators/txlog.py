@@ -1147,13 +1147,13 @@ class TxTable:
         # file; don't commit those (Delta doesn't either).
         staged = [rel for rel in staged if rel in per_file]
         adds = []
+        store = store_for(self.root)
         for i, rel in enumerate(staged):
             sub = os.path.dirname(rel)
             final_rel = os.path.join(
                 sub, f"part-{version:010d}-{token}-{i:05d}.parquet"
             )
-            os.makedirs(os.path.join(self.root, sub), exist_ok=True)
-            os.rename(
+            store.publish_file(
                 os.path.join(stage, rel), os.path.join(self.root, final_rel)
             )
             pv = {}
@@ -1289,7 +1289,6 @@ class TxTable:
         stage = self.root + f"__cdcstage_{token}"
         shutil.rmtree(stage, ignore_errors=True)
         cdc_df.write.mode("overwrite").parquet(stage)
-        os.makedirs(os.path.join(self.root, _CDC_DIR), exist_ok=True)
         out = []
         staged = sorted(
             str(p.relative_to(stage))
@@ -1297,6 +1296,7 @@ class TxTable:
         )
         import pyarrow.parquet as pq
 
+        store = store_for(self.root)
         for i, rel in enumerate(staged):
             src = os.path.join(stage, rel)
             if pq.ParquetFile(src).metadata.num_rows == 0:
@@ -1304,7 +1304,7 @@ class TxTable:
             final_rel = os.path.join(
                 _CDC_DIR, f"cdc-{version:010d}-{token}-{i:05d}.parquet"
             )
-            os.rename(src, os.path.join(self.root, final_rel))
+            store.publish_file(src, os.path.join(self.root, final_rel))
             out.append(final_rel)
         shutil.rmtree(stage, ignore_errors=True)
         return out
@@ -1872,8 +1872,10 @@ class TxTable:
             raise RuntimeError(
                 f"deletion-vector stage lost files {missing[:3]}..."
             )
-        os.makedirs(os.path.join(self.root, _DV_DIR), exist_ok=True)
-        os.rename(stage, os.path.join(self.root, rel))
+        # bundle publication goes through the store's data-plane hook
+        # (round-7 review: a bare os.rename assumed a rename-capable
+        # filesystem even when the commit plane was object-store-backed)
+        store_for(self.root).publish_dir(stage, os.path.join(self.root, rel))
         return rel, counts
 
     def _dv_adds(self, snap: Snapshot, dv_set: list[str], bundle: str,
