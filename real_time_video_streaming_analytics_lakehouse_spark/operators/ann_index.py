@@ -154,8 +154,14 @@ def _model_table(spark: SparkSession, centroids, books) -> DataFrame:
 #: on every invocation. The cache key is the model TABLE VERSION (one
 #: cheap driver-side snapshot resolution), so an explicit rebuild
 #: (build_ann_index overwrite) invalidates naturally while repeat
-#: queries skip the collect entirely.
-_MODEL_CACHE: dict[str, tuple[int, tuple]] = {}
+#: queries skip the collect entirely. LRU-capped (a driver touching
+#: many index roots can't grow it without bound) and the cached numpy
+#: arrays are frozen read-only — they are returned BY REFERENCE, so a
+#: mutating caller would otherwise corrupt every later query.
+from collections import OrderedDict
+
+_MODEL_CACHE: "OrderedDict[str, tuple[int, tuple]]" = OrderedDict()
+_MODEL_CACHE_MAX = 8
 
 
 def _load_model(spark: SparkSession, index_path: str):
@@ -167,6 +173,7 @@ def _load_model(spark: SparkSession, index_path: str):
     version = t.snapshot().version
     cached = _MODEL_CACHE.get(t.root)
     if cached is not None and cached[0] == version:
+        _MODEL_CACHE.move_to_end(t.root)
         return cached[1]
     rows = t.read().collect()
     # bounded: n_clusters + n_subspaces*n_codes rows
@@ -185,7 +192,12 @@ def _load_model(spark: SparkSession, index_path: str):
             key=lambda r: r["idx"],
         )
         books.append(np.array([r["vals"] for r in bk]))
+    centroids.setflags(write=False)
+    for b in books:
+        b.setflags(write=False)
     _MODEL_CACHE[t.root] = (version, (centroids, books))
+    while len(_MODEL_CACHE) > _MODEL_CACHE_MAX:
+        _MODEL_CACHE.popitem(last=False)
     return centroids, books
 
 

@@ -417,9 +417,15 @@ def _parse_numeric(strings):
         # ints beyond float53 would round in the float64 output array;
         # emit None (= NaN = keep) — conservative, the scalar path does
         # the exact comparison (never less conservative than scalar).
+        # Ints beyond float64 range make float() RAISE rather than
+        # round — same verdict (None = keep), never a planning crash.
         v = to_num(u) if u is not None else None
-        if isinstance(v, int) and float(v) != v:
-            return None
+        if isinstance(v, int):
+            try:
+                if float(v) != v:
+                    return None
+            except OverflowError:
+                return None
         return v
 
     parsed = np.array([_safe(u) for u in uniques], dtype="object")

@@ -1678,6 +1678,16 @@ class TxTable:
             seed_snap = self.snapshot(version=seed_version)
             live = _lite_map(seed_snap.files)
             sj = seed_snap.schema.json()
+        # immutable copy of the seed state keyed by path (round-9
+        # advice): a remove that misses `live` (the path was already
+        # popped by an earlier surviving commit) still reconstructs
+        # from the ORIGINAL lite entry — schema generation and DV ref
+        # intact — instead of synthesizing one. Removes by the seed
+        # commit itself stay on the synthesized fallback below: their
+        # pre-seed lite state is unrecoverable (checkpoints store live
+        # entries only), pinned as over-delivery in
+        # test_change_feed_seed_commit_removal_over_delivers_dv_rows.
+        seed_lites = dict(live)
         for v in all_versions:
             if v > hi:
                 break
@@ -1694,13 +1704,18 @@ class TxTable:
                     if v != seed_version:
                         removed_entries.append(live[rm])
                 else:
-                    # add commit pruned AND absent from the seed state
-                    # (the seed commit itself removed it): serve the
-                    # file under the effective schema — conservative
-                    # (a checkpoint-era DV would be ignored), never a
-                    # silent drop; vacuumed files raise in read_lites.
+                    # add commit pruned AND absent from `live`: prefer
+                    # the seed state's original lite entry (schema
+                    # generation + DV ref) when the path was in the
+                    # seed state at all; only a file the seed commit
+                    # itself removed falls back to the effective
+                    # schema — conservative (its checkpoint-era DV is
+                    # unrecoverable, so its delete rows over-deliver),
+                    # never a silent drop; vacuumed files raise in
+                    # read_lites.
                     removed_entries.append(
-                        {"path": rm, "_schema_json": fs}
+                        seed_lites.get(rm)
+                        or {"path": rm, "_schema_json": fs}
                     )
             for rm in c.get("remove", []):
                 live.pop(rm, None)

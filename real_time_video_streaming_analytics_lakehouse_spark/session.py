@@ -33,6 +33,19 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # File-listing parallelism for reads that pass explicit file lists
+    # (the native txtable read hands Spark one path per live entry).
+    # Spark's default is 10000 TASKS whenever >32 paths are listed —
+    # at 20k files that is 10000 near-empty tasks whose scheduling
+    # overhead alone costs ~20 s on local[32] (measured,
+    # tools/maintenance_probe.py round 9: plan construction 23.2 s at
+    # 20k files, ~21 s of it the listing job). 4×cores tasks keep the
+    # listing distributed (object stores still hide per-stat latency)
+    # without drowning in scheduler overhead; a 1000-executor
+    # deployment should raise it along with cluster size.
+    "spark.sql.sources.parallelPartitionDiscovery.parallelism": str(
+        max(4 * int(os.environ.get("SPARK_GRAFT_CPUS", "32")), 64)
+    ),
 }
 
 

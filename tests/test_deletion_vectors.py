@@ -415,6 +415,44 @@ def test_change_feed_serves_deletes_for_pruned_add_commits(
     assert by_type["delete"] == [0, 1, 2, 3, 4, 10]
 
 
+def test_change_feed_seed_commit_removal_over_delivers_dv_rows(
+    spark, tmp_path
+):
+    """Round-9 pin of the documented CONSERVATIVE edge
+    (``txlog.change_feed``): when cleanup_log pruned a DV'd file's add
+    commit AND the file is absent from the checkpoint-seeded state
+    because the SEED COMMIT ITSELF removed it, its delete rows are
+    reconstructed without the (unrecoverable — checkpoints store live
+    entries only) DV reference. Contract: rows the DV had already
+    deleted are RE-delivered as deletes (over-delivery), the
+    still-live rows are never dropped.
+
+    v1 writes one file, v2 DV-deletes ids {0, 3}, v3 overwrites —
+    removing the DV'd file — and lands the checkpoint (interval=3), so
+    after cleanup_log the walk's seed commit is the remover."""
+    t = _mk(spark, str(tmp_path / "t"), dv=True, interval=3)
+    t.write(_df(spark, [(i, "a", i) for i in range(5)]).coalesce(1))
+    t.delete(F.col("id").isin([0, 3]))                # v2: DV route
+    assert len(_read_commit(t.root, 2)["add"][0].get("dv", "")) > 0
+    v_ow = t.write(
+        _df(spark, [(99, "c", 9)]).coalesce(1), mode="overwrite"
+    )  # v3 = checkpoint = seed commit
+    assert t.cleanup_log(retention_hours=0) == [0, 1, 2]
+    feed = t.change_feed(v_ow, v_ow)
+    inserts = sorted(
+        r["id"] for r in
+        feed.filter(F.col("_change_type") == "insert").collect()
+    )
+    deletes = sorted(
+        r["id"] for r in
+        feed.filter(F.col("_change_type") == "delete").collect()
+    )
+    assert inserts == [99]
+    # live rows 1/2/4 present (never silently dropped); DV-deleted
+    # rows 0/3 over-delivered — the pinned conservative semantics
+    assert deletes == [0, 1, 2, 3, 4]
+
+
 def test_dv_read_from_root_with_spaces_and_unicode(spark, tmp_path):
     """Round-8 advice (low): _metadata.file_path renders a percent-
     encoded URI, so a root with spaces / non-ASCII must still strip to

@@ -346,7 +346,47 @@ def test_bigint_bounds_beyond_float53_do_not_false_prune(tmp_path):
     assert got >= scalar and f"pid={big - 1}/part-0.parquet" not in scalar
 
 
-def test_odd_hex_width_bloom_checkpoints(tmp_path):
+def test_int_bounds_beyond_float64_range_keep_not_crash(tmp_path):
+    """Round-9 advice (low): an integer partition value past float64
+    RANGE (~1e308; think a 400-digit key) made the columnar parser's
+    float(v) raise OverflowError and crash planning. Both evaluators
+    must treat the bound as unusable (keep the file) instead."""
+    huge = 10 ** 400
+    # scalar path: exact int compare, no crash
+    assert bounds_may_match(str(huge), str(huge), "=", huge)
+    assert not bounds_may_match(str(huge), str(huge), "=", huge - 1)
+
+    entries = [
+        {
+            "path": f"pid={v}/part-0.parquet",
+            "partitionValues": {"pid": str(v)},
+            "numRecords": 1,
+            "_schema_json": SCHEMA_JSON,
+        }
+        for v in (huge, 12345)
+    ]
+    root = str(tmp_path / "t")
+    import os
+
+    os.makedirs(os.path.join(root, "_txlog"), exist_ok=True)
+    table = entries_to_arrow(entries, SCHEMA_JSON, ["pid"])
+    table = table.replace_schema_metadata({
+        "version": "0",
+        "schema": SCHEMA_JSON,
+        "properties": json.dumps({}),
+        "partition_by": json.dumps(["pid"]),
+        "txns": json.dumps({}),
+    })
+    store = LocalFileCommitStore(root)
+    store.write_checkpoint(0, checkpoint_to_bytes(table))
+    store.write_pointer({"version": 0})
+
+    snap = _resolve(root)
+    # columnar planning survives; the overflow-bound file is KEPT
+    # (conservative), the comparable one is pruned normally
+    got = {e["path"] for e in _prune(snap, [("pid", "=", 99999)])}
+    assert f"pid={huge}/part-0.parquet" in got
+    assert "pid=12345/part-0.parquet" not in got
     """Round-8 advice (low): bloom.bits whose hex width (bits+3)//4 is
     odd (e.g. 1012) crashed bytes.fromhex at checkpoint-write time.
     The mask is now left-padded; probes agree with the scalar path."""

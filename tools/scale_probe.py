@@ -50,31 +50,53 @@ SF_DIRS = [
 #: clearing 12 despite the cushion means genuinely super-linear.
 FLAG_RATIO = 12.0
 
-#: the documents/embeddings-heavy queries that dominate the bench —
-#: the ones worth one synthetic tier above sf0.1 (--extra-tier).
-HEAVY = [
-    "doc_dedup_fingerprints",
-    "hash_dedup_candidates",
-    "ngram_jaccard_top_pairs",
-    "embedding_dedup_clusters_lsh",
-    "embedding_dedup_clusters",
-]
+#: id offset between the three copies in the synthetic 3x tier —
+#: far above any real key, so copies never collide and joins stay
+#: exactly as selective as in the base data.
+_X3_OFF = 100_000_000
+
+#: per-table key columns shifted by copy-index × _X3_OFF. Foreign keys
+#: shift with their primary keys (orders.o_custkey with
+#: customer.c_custkey, lineitem.l_*key with their parents,
+#: events.user_id with c_custkey) so every join keeps 1:N fan-out and
+#: selectivity; nation/region are NOT in the map — like TPC-H they do
+#: not scale with SF, so the tier keeps one copy and fact→dim joins
+#: fan out 3× onto the same dimension rows, exactly as real growth
+#: would.
+_X3_KEYS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
 
 
 def _materialize_x3(spark, base_dir: str, out_dir: str) -> str:
-    """A 3× (sf0.3-equivalent) documents+embeddings tier under /tmp.
+    """A 3× (sf0.3-equivalent) FULL-SCHEMA tier under /tmp — every
+    catalog query has a one-tier-up input, not just the five
+    documents/embeddings-heavy ones (round-9; carried from the r6/r7
+    briefs).
 
     /root/testdata is read-only and tops out at sf0.1, so the tier is
-    derived: three copies with offset ids and PERTURBED content —
-    copy 1 reverses the text / flips the embedding sign, copy 2
-    upper-cases the text / reverses the vector — so the copies are NOT
-    near-duplicates of each other. Naive exact copies would be
+    derived: three copies of each scaling table with key columns
+    offset per :data:`_X3_KEYS` (join-consistent — FKs shift with
+    their PKs). The similarity-sensitive content columns are
+    PERTURBED — copy 1 reverses the text / flips the embedding sign,
+    copy 2 upper-cases the text / reverses the vector — so the copies
+    are NOT near-duplicates of each other. Naive exact copies would be
     dishonest for exactly the queries this probes: every LSH band
     bucket would triple-collide and the in-bucket verify would grow
     quadratically BY CONSTRUCTION, masking (or faking) a plan problem.
-    Content statistics (lengths, token counts, vector norms) are
-    preserved, which is what throughput linearity is measured against.
-    """
+    Exact copies ARE honest for the relational tables: keys are
+    disjoint, so group-by cardinalities and join fan-outs grow the way
+    real data growth grows them. Content statistics (lengths, token
+    counts, vector norms, value distributions) are preserved, which is
+    what throughput linearity is measured against. nation/region ship
+    unchanged (fixed-size dimensions, as in TPC-H)."""
     import pyspark.sql.functions as F
 
     done = os.path.join(out_dir, "_READY")
@@ -83,32 +105,37 @@ def _materialize_x3(spark, base_dir: str, out_dir: str) -> str:
     os.makedirs(out_dir, exist_ok=True)
     from real_time_video_streaming_analytics_lakehouse_spark.sources.readers import load_table
 
-    docs = load_table(spark, base_dir, "documents")
-    emb = load_table(spark, base_dir, "embeddings")
-    doc_variants = [
-        docs,
-        docs.withColumn("text", F.reverse(F.col("text"))),
-        docs.withColumn("text", F.upper(F.col("text"))),
-    ]
-    doc3 = None
-    for i, v in enumerate(doc_variants):
-        v = v.withColumn(
-            "doc_id", F.col("doc_id") + F.lit(i * 100_000_000)
+    def _perturb(name, df, i):
+        if i == 0:
+            return df
+        if name == "documents":
+            return df.withColumn(
+                "text",
+                F.reverse(F.col("text")) if i == 1 else F.upper(F.col("text")),
+            )
+        if name == "embeddings":
+            return df.withColumn(
+                "embedding",
+                F.transform(F.col("embedding"), lambda x: -x)
+                if i == 1 else F.reverse(F.col("embedding")),
+            )
+        return df
+
+    for name in ("region", "nation"):
+        load_table(spark, base_dir, name).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{name}.parquet")
         )
-        doc3 = v if doc3 is None else doc3.unionByName(v)
-    emb_variants = [
-        emb,
-        emb.withColumn(
-            "embedding", F.transform(F.col("embedding"), lambda x: -x)
-        ),
-        emb.withColumn("embedding", F.reverse(F.col("embedding"))),
-    ]
-    emb3 = None
-    for i, v in enumerate(emb_variants):
-        v = v.withColumn("vec_id", F.col("vec_id") + F.lit(i * 100_000_000))
-        emb3 = v if emb3 is None else emb3.unionByName(v)
-    doc3.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
-    emb3.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+    for name, keys in _X3_KEYS.items():
+        base = load_table(spark, base_dir, name)
+        out = None
+        for i in range(3):
+            v = _perturb(name, base, i)
+            for k in keys:
+                v = v.withColumn(k, F.col(k) + F.lit(i * _X3_OFF))
+            out = v if out is None else out.unionByName(v)
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{name}.parquet")
+        )
     with open(done, "w") as f:
         f.write("ok\n")
     return out_dir
@@ -120,8 +147,8 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     ap.add_argument(
         "--extra-tier", action="store_true",
-        help="also time the HEAVY queries on a synthetic 3x (sf0.3) "
-             "documents/embeddings tier derived from sf0.1",
+        help="also time every selected query on a synthetic 3x "
+             "(sf0.3) full-schema tier derived from sf0.1",
     )
     ap.add_argument("queries", nargs="*", help="subset of catalog names")
     args = ap.parse_args()
@@ -154,11 +181,10 @@ def main() -> None:
     extra: dict[str, float] = {}
     if args.extra_tier:
         tier_dir = _materialize_x3(
-            spark, SF_DIRS[-1][1], "/tmp/spark_graft_sf0.3"
+            spark, SF_DIRS[-1][1], "/tmp/spark_graft_sf0.3_full"
         )
-        heavy = [n for n in HEAVY if n in names]
         for _ in range(args.runs):
-            for name in heavy:
+            for name in names:
                 start = time.perf_counter()
                 CATALOG[name].fn(spark, tier_dir).write.format("noop").mode(
                     "overwrite"
