@@ -81,6 +81,121 @@ def add_text_features(
     )
 
 
+def repetition_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Gopher-style repetition quality signals (round 9; the
+    repetition-filter family of Rae et al. 2021 §A1.1 / Dolma's
+    quality taggers, standard in training-data curation and absent
+    from the reference): per-document
+
+    * ``n_distinct_tokens`` / ``dup_token_frac`` — duplicated-token
+      mass (``1 - distinct/total``), the coarse boilerplate signal;
+    * ``top_token_count`` — occurrences of the single most frequent
+      token (mode count);
+    * ``top_bigram_count`` — occurrences of the most frequent token
+      bigram, the classic "top n-gram fraction" numerator.
+
+    A curation pipeline thresholds these (e.g. drop docs whose top
+    bigram exceeds 18% of bigrams); the operator emits the raw
+    integer surfaces so thresholds stay caller policy and the DuckDB
+    oracle can recompute them exactly.
+
+    Scale shape: distinct/size are per-row array expressions (no
+    shuffle); each mode is a two-level aggregate over exploded
+    (id, gram) — map-side combinable, shuffles only the gram keys.
+    Pass ``tokens_col`` to reuse an already-projected token array
+    (the text_quality fold shares ONE scan's arrays across language
+    ID, the bigram LM, and this)."""
+    w = F.col(tokens_col) if tokens_col else tokens(text_col)
+    base = df.select(F.col(id_col), w.alias("_rw"))
+    proj = base.select(
+        id_col,
+        F.size("_rw").alias("_rn"),
+        F.size(F.array_distinct("_rw")).alias("n_distinct_tokens"),
+    )
+    tok_mode = (
+        base.select(id_col, F.explode("_rw").alias("_t"))
+        .groupBy(id_col, "_t").count()
+        .groupBy(id_col).agg(F.max("count").alias("top_token_count"))
+    )
+    big_mode = (
+        base.select(
+            id_col,
+            F.explode(
+                F.when(
+                    F.size("_rw") >= 2,
+                    F.zip_with(
+                        F.slice("_rw", 1, F.size("_rw") - 1),
+                        F.slice("_rw", 2, F.size("_rw") - 1),
+                        lambda a, b: F.concat(a, F.lit(" "), b),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("_g"),
+        )
+        .groupBy(id_col, "_g").count()
+        .groupBy(id_col).agg(F.max("count").alias("top_bigram_count"))
+    )
+    return (
+        proj
+        .join(tok_mode, id_col, "left_outer")
+        .join(big_mode, id_col, "left_outer")
+        .select(
+            id_col,
+            "n_distinct_tokens",
+            (
+                (F.col("_rn") - F.col("n_distinct_tokens"))
+                / F.col("_rn").cast("double")
+            ).alias("dup_token_frac"),
+            F.coalesce(
+                "top_token_count", F.lit(0).cast("long")
+            ).alias("top_token_count"),
+            F.coalesce(
+                "top_bigram_count", F.lit(0).cast("long")
+            ).alias("top_bigram_count"),
+        )
+    )
+
+
+#: PII surface patterns, ordered — :func:`redact_pii` applies them in
+#: declaration order, so the order is part of the contract (an email's
+#: digits must not be half-eaten by the ipv4 rule first). Deliberately
+#: in the Java-regex ∩ RE2 common subset (char classes, bounded
+#: repeats, \b) so Spark and the DuckDB oracle match identically;
+#: deployment-specific rules (IBANs, national ID formats) append here.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "[EMAIL]"),
+    ("phone", r"\+\d{1,3}-\d{3}-\d{3}-\d{4}", "[PHONE]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+)
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-pattern match counts (``{name: Column<int>}``) — the
+    detection surface a curation pipeline aggregates for audit
+    ("N docs contain emails") or thresholds for routing. JVM-side
+    ``regexp_count``; no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        name: F.regexp_count(c, F.lit(pat))
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Text with every :data:`PII_PATTERNS` match replaced by its
+    placeholder — chained JVM ``regexp_replace`` in declaration order
+    (one projection, no UDF, codegen-friendly)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
 def shingles(text: Column | str, size: int = 3) -> Column:
     """Distinct character n-gram shingles of ``text`` (array<string>).
 

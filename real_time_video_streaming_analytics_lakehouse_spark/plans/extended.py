@@ -21,7 +21,19 @@ from .catalog import QuerySpec
 def clean_standardize_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dirty columns are derived deterministically from ``customer`` in
     BOTH engines (padding, lowercasing, injected bad IPs), then cleaned
-    with the reference's pipeline (etl_framework.py:337-365)."""
+    with the reference's pipeline (etl_framework.py:337-365).
+
+    Round 9 adds the PII arm (``operators/text.py::pii_counts`` /
+    ``redact_pii``): a deterministic ``notes_raw`` contact blob is
+    synthesized per customer — one email always, a second on every 4th
+    key, a phone on every 2nd, an IP always (the real corpus contains
+    no PII, so the arm PLANTS it, the same anchor technique as
+    hash_dedup_candidates' injected duplicates) — then the per-pattern
+    detection counts and the fully redacted text are emitted and
+    hash-compared against DuckDB's RE2 recomputation, pinning the
+    Java-regex ∩ RE2 pattern-subset parity end-to-end."""
+    from ..operators.text import pii_counts, redact_pii
+
     cust = load_table(spark, sf_dir, "customer")
     k = F.col("c_custkey")
     dirty = cust.select(
@@ -32,7 +44,33 @@ def clean_standardize_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(k % 3 == 0, F.concat(F.lit("192.168.1."), (k % 256).cast("string")))
         .when(k % 3 == 1, F.lit("999.999.1.1"))
         .alias("ip_raw"),
+        F.concat(
+            F.lit("reach "),
+            F.regexp_replace(F.lower(F.col("c_name")), "#", "."),
+            F.lit("@example.com ip 10."),
+            (k % 200).cast("string"),
+            F.lit(".0."),
+            (k % 250).cast("string"),
+            F.when(
+                k % 2 == 0,
+                F.concat(
+                    F.lit(" tel +1-555-"),
+                    F.lpad((k % 1000).cast("string"), 3, "0"),
+                    F.lit("-"),
+                    F.lpad((k % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                k % 4 == 0,
+                F.concat(
+                    F.lit(" cc ops+"),
+                    (k % 97).cast("string"),
+                    F.lit("@mail.example.org"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("notes_raw"),
     )
+    counts = pii_counts("notes_raw")
     return clean_and_standardize(
         dirty,
         text_cols=["name_raw", "segment_raw"],
@@ -44,6 +82,10 @@ def clean_standardize_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("segment_raw").alias("segment_clean"),
         F.col("country_raw").alias("country_clean"),
         F.col("ip_raw").alias("ip_clean"),
+        counts["email"].alias("n_pii_email"),
+        counts["phone"].alias("n_pii_phone"),
+        counts["ipv4"].alias("n_pii_ip"),
+        redact_pii("notes_raw").alias("notes_redacted"),
     )
 
 
@@ -56,7 +98,19 @@ WITH dirty AS (
          CASE WHEN c_custkey % 3 = 0
               THEN '192.168.1.' || CAST(c_custkey % 256 AS VARCHAR)
               WHEN c_custkey % 3 = 1 THEN '999.999.1.1'
-         END AS ip_raw
+         END AS ip_raw,
+         'reach ' || regexp_replace(lower(c_name), '#', '.', 'g')
+           || '@example.com ip 10.' || CAST(c_custkey % 200 AS VARCHAR)
+           || '.0.' || CAST(c_custkey % 250 AS VARCHAR)
+           || CASE WHEN c_custkey % 2 = 0
+                THEN ' tel +1-555-'
+                  || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+                  || '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END
+           || CASE WHEN c_custkey % 4 = 0
+                THEN ' cc ops+' || CAST(c_custkey % 97 AS VARCHAR)
+                  || '@mail.example.org'
+                ELSE '' END AS notes_raw
   FROM customer)
 SELECT c_custkey,
        NULLIF(regexp_replace(name_raw, '^\s+|\s+$', '', 'g'), '') AS name_clean,
@@ -64,7 +118,20 @@ SELECT c_custkey,
        upper(country_raw) AS country_clean,
        CASE WHEN regexp_matches(ip_raw,
               '^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$')
-            THEN ip_raw END AS ip_clean
+            THEN ip_raw END AS ip_clean,
+       CAST(len(regexp_extract_all(notes_raw,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
+            AS n_pii_email,
+       CAST(len(regexp_extract_all(notes_raw,
+            '\+\d{1,3}-\d{3}-\d{3}-\d{4}')) AS INTEGER) AS n_pii_phone,
+       CAST(len(regexp_extract_all(notes_raw,
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER)
+            AS n_pii_ip,
+       regexp_replace(regexp_replace(regexp_replace(notes_raw,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+            '\+\d{1,3}-\d{3}-\d{3}-\d{4}', '[PHONE]', 'g'),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')
+            AS notes_redacted
 FROM dirty
 """
 

@@ -27,6 +27,7 @@ from ..operators.text import (
     ngram_jaccard_pairs,
     pack_chunks,
     predict_language_from_words,
+    repetition_features,
     rolling_hash_col,
     tokens,
 )
@@ -107,7 +108,14 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-prob/perplexity path of the same operator is pinned closed-form
     in tests/test_lm.py (ln/exp are not bit-portable across engines).
     Both stages reuse the checkpointed token arrays — no extra scan or
-    tokenize."""
+    tokenize.
+
+    Round 9 adds the REPETITION arm
+    (:func:`..operators.text.repetition_features` — Gopher-style
+    duplicated-token mass and top-token/top-bigram mode counts, the
+    standard curation repetition filters): ``n_distinct_tokens``,
+    ``dup_token_frac``, ``top_token_count``, ``top_bigram_count``,
+    again reusing the same checkpointed token arrays."""
     from ..operators.lm import score_documents, train_bigram_lm
 
     d = _docs(spark, sf_dir)
@@ -126,6 +134,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lm_hits",
         "lm_hit_weight",
     )
+    rep = repetition_features(feat, id_col="doc_id", tokens_col="_w")
     # LEFT join: a doc with no profile overlap (or NULL/empty text)
     # gets predicted_lang NULL — the quality surface must still emit
     # EVERY doc, exactly like the pre-fold per-doc query did.
@@ -133,6 +142,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         feat.drop("_w")
         .join(pred, "doc_id", "left_outer")
         .join(lm, "doc_id", "left_outer")
+        .join(rep, "doc_id", "left_outer")
         .select(
             "doc_id", "n_tokens", "n_chars_measured", "avg_token_len",
             "vowel_ratio", "punct_ratio", "stopword_ratio", "quality",
@@ -143,6 +153,13 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("lm_hits", F.lit(0).cast("long")).alias("lm_hits"),
             F.coalesce("lm_hit_weight", F.lit(0).cast("long")).alias(
                 "lm_hit_weight"
+            ),
+            "n_distinct_tokens", "dup_token_frac",
+            F.coalesce("top_token_count", F.lit(0).cast("long")).alias(
+                "top_token_count"
+            ),
+            F.coalesce("top_bigram_count", F.lit(0).cast("long")).alias(
+                "top_bigram_count"
             ),
         )
     )
@@ -186,7 +203,16 @@ pred AS (
   SELECT doc_id, cand_lang AS predicted_lang FROM (
     SELECT doc_id, cand_lang, ROW_NUMBER() OVER (
         PARTITION BY doc_id ORDER BY overlap DESC, cand_lang) AS prk
-    FROM overlap) WHERE prk = 1)
+    FROM overlap) WHERE prk = 1),
+tokmode AS (
+  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_token_count FROM (
+    SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+  GROUP BY 1),
+bigmode AS (
+  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_count FROM (
+    SELECT doc_id, w1 || ' ' || w2 AS g, COUNT(*) AS c FROM big2
+    GROUP BY 1, 2)
+  GROUP BY 1)
 SELECT d.doc_id,
        CAST(len(string_split_regex(trim(d.text), '\s+')) AS INTEGER) AS n_tokens,
        CAST(length(d.text) AS INTEGER) AS n_chars_measured,
@@ -210,10 +236,20 @@ SELECT d.doc_id,
        p.predicted_lang,
        COALESCE(lm.lm_bigrams, 0) AS lm_bigrams,
        COALESCE(lm.lm_hits, 0) AS lm_hits,
-       COALESCE(lm.lm_hit_weight, 0) AS lm_hit_weight
+       COALESCE(lm.lm_hit_weight, 0) AS lm_hit_weight,
+       CAST(len(list_distinct(string_split_regex(trim(d.text), '\s+')))
+            AS INTEGER) AS n_distinct_tokens,
+       (len(string_split_regex(trim(d.text), '\s+'))
+            - len(list_distinct(string_split_regex(trim(d.text), '\s+'))))
+            / CAST(len(string_split_regex(trim(d.text), '\s+')) AS DOUBLE)
+            AS dup_token_frac,
+       COALESCE(tm.top_token_count, 0) AS top_token_count,
+       COALESCE(bm.top_bigram_count, 0) AS top_bigram_count
 FROM documents d
 LEFT JOIN pred p ON d.doc_id = p.doc_id
 LEFT JOIN lm ON d.doc_id = lm.doc_id
+LEFT JOIN tokmode tm ON d.doc_id = tm.doc_id
+LEFT JOIN bigmode bm ON d.doc_id = bm.doc_id
 """
 
 

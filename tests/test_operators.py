@@ -456,3 +456,75 @@ def test_fingerprint_null_text_is_null_not_empty_hash(spark):
     got = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprint(df).collect()}
     assert got[1] is None
     assert got[2] is not None
+
+
+def test_repetition_features_hand_computed(spark):
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.text import (
+        repetition_features,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),      # 5 tokens, 2 distinct; top tok a=3;
+                                   # bigrams: ab, ba, ab, ba -> top 2
+            (2, "x y z"),          # all distinct; every count 1
+            (3, "w"),              # 1 token: no bigrams
+            (4, None),             # NULL text
+            (5, ""),               # '' -> [''] single empty token
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {r["doc_id"]: r for r in repetition_features(df).collect()}
+    assert got[1]["n_distinct_tokens"] == 2
+    assert got[1]["dup_token_frac"] == (5 - 2) / 5
+    assert got[1]["top_token_count"] == 3
+    assert got[1]["top_bigram_count"] == 2
+    assert got[2]["n_distinct_tokens"] == 3
+    assert got[2]["dup_token_frac"] == 0.0
+    assert got[2]["top_token_count"] == 1
+    assert got[2]["top_bigram_count"] == 1
+    assert got[3]["top_bigram_count"] == 0   # single token: no bigram
+    assert got[4]["n_distinct_tokens"] is None
+    assert got[4]["dup_token_frac"] is None
+    assert got[4]["top_token_count"] == 0
+    assert got[5]["n_distinct_tokens"] == 1
+    assert got[5]["top_token_count"] == 1
+
+
+def test_pii_counts_and_redaction(spark):
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-1.example.com and d@e.org now"),
+            (2, "call +44-123-456-7890 or visit 10.0.0.1 today"),
+            (3, "no pii here at all"),
+            (4, "ver 1.2.3 is not an ip, 1.2.3.4 is"),
+            (5, None),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    c = pii_counts("text")
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            c["email"].alias("e"),
+            c["phone"].alias("p"),
+            c["ipv4"].alias("i"),
+            redact_pii("text").alias("red"),
+        ).collect()
+    }
+    assert (got[1]["e"], got[1]["p"], got[1]["i"]) == (2, 0, 0)
+    assert got[1]["red"] == "mail [EMAIL] and [EMAIL] now"
+    assert (got[2]["e"], got[2]["p"], got[2]["i"]) == (0, 1, 1)
+    assert got[2]["red"] == "call [PHONE] or visit [IP] today"
+    assert (got[3]["e"], got[3]["p"], got[3]["i"]) == (0, 0, 0)
+    assert got[3]["red"] == "no pii here at all"
+    # dotted version numbers need all four octets to count as an IP
+    assert got[4]["i"] == 1
+    assert got[4]["red"] == "ver 1.2.3 is not an ip, [IP] is"
+    assert got[5]["red"] is None
