@@ -528,3 +528,68 @@ def test_pii_counts_and_redaction(spark):
     assert got[4]["i"] == 1
     assert got[4]["red"] == "ver 1.2.3 is not an ip, [IP] is"
     assert got[5]["red"] is None
+
+
+def test_pii_patterns_cross_engine_fuzz(spark):
+    """Seeded fuzz of the Java-regex vs RE2 (DuckDB) parity the PII
+    arm's oracle depends on: 200 composed strings mixing real emails /
+    phones / IPs with near-misses (missing octets, bad TLDs, '@' with
+    no domain, version numbers) must produce identical match counts
+    AND identical redacted text in both engines."""
+    import random
+
+    import duckdb
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.text import (
+        PII_PATTERNS,
+        pii_counts,
+        redact_pii,
+    )
+
+    rng = random.Random(99)
+    frags = [
+        lambda: f"u{rng.randint(0, 99)}.x+tag@ex{rng.randint(0, 9)}.org",
+        lambda: f"bad@nodot{rng.randint(0, 9)}",
+        lambda: f"+{rng.randint(1, 999)}-{rng.randint(100, 999)}-"
+                f"{rng.randint(100, 999)}-{rng.randint(1000, 9999)}",
+        lambda: f"+{rng.randint(1, 9)}-12-34-5678",
+        lambda: ".".join(str(rng.randint(0, 999)) for _ in range(4)),
+        lambda: f"v{rng.randint(1, 9)}.{rng.randint(0, 9)}.{rng.randint(0, 9)}",
+        lambda: f"word{rng.randint(0, 999)}",
+        lambda: "a@b.co cc",
+        lambda: "10.0.0.1:8080",
+        lambda: "@@..--",
+    ]
+    rows = [
+        (i, " ".join(rng.choice(frags)() for _ in range(rng.randint(1, 8))))
+        for i in range(200)
+    ]
+
+    c = pii_counts("s")
+    got = (
+        spark.createDataFrame(rows, "i BIGINT, s STRING")
+        .select(
+            "i", c["email"].alias("e"), c["phone"].alias("p"),
+            c["ipv4"].alias("v"), redact_pii("s").alias("red"),
+        )
+        .collect()
+    )
+    spark_rows = {r["i"]: (r["e"], r["p"], r["v"], r["red"]) for r in got}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    pats = {name: pat for name, pat, _ in PII_PATTERNS}
+    red = "s"
+    for _, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    duck = con.execute(
+        f"""SELECT i,
+              len(regexp_extract_all(s, '{pats['email']}')),
+              len(regexp_extract_all(s, '{pats['phone']}')),
+              len(regexp_extract_all(s, '{pats['ipv4']}')),
+              {red}
+            FROM t"""
+    ).fetchall()
+    for i, e, p, v, r in duck:
+        assert spark_rows[i] == (e, p, v, r), (i, rows[i][1])
