@@ -195,7 +195,14 @@ def _load_model(spark: SparkSession, index_path: str):
     centroids.setflags(write=False)
     for b in books:
         b.setflags(write=False)
+    # tuple, not list: the cached container is returned by reference
+    # too, so a caller's books[0] = ... must be rejected like element
+    # writes are
+    books = tuple(books)
     _MODEL_CACHE[t.root] = (version, (centroids, books))
+    # a version-refresh reinsert must land at the MRU end, not keep the
+    # stale key's old position (it would be next in line for eviction)
+    _MODEL_CACHE.move_to_end(t.root)
     while len(_MODEL_CACHE) > _MODEL_CACHE_MAX:
         _MODEL_CACHE.popitem(last=False)
     return centroids, books

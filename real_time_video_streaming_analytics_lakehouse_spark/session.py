@@ -23,6 +23,17 @@ import os
 
 from pyspark.sql import SparkSession
 
+
+def _env_cpus(default: int = 32) -> int:
+    """$SPARK_GRAFT_CPUS, tolerating unset/empty/garbage — this runs
+    at module import (RUNTIME_CONFS below), where a malformed env var
+    must not break `import` for tools that never start Spark."""
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS") or default)
+    except ValueError:
+        return default
+
+
 # Runtime-settable confs applied to ANY session (including driver-provided
 # ones) before reading the test tables. nanosAsLong lets Spark read
 # parquet TIMESTAMP(NANOS) columns (events.ts) as raw int64 nanoseconds;
@@ -44,7 +55,7 @@ RUNTIME_CONFS: dict[str, str] = {
     # without drowning in scheduler overhead; a 1000-executor
     # deployment should raise it along with cluster size.
     "spark.sql.sources.parallelPartitionDiscovery.parallelism": str(
-        max(4 * int(os.environ.get("SPARK_GRAFT_CPUS", "32")), 64)
+        max(4 * _env_cpus(), 64)
     ),
 }
 
@@ -73,7 +84,7 @@ def get_spark(
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32).
     """
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    cpus = _env_cpus()
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)

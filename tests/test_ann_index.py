@@ -234,11 +234,15 @@ def test_model_cache_is_bounded_and_mutation_safe(spark, index_path):
 
     cent, books = _load_model(spark, index_path)
     want_cent = cent.copy()
-    # a mutating caller is rejected, not silently absorbed
+    # a mutating caller is rejected, not silently absorbed — element
+    # writes on the frozen arrays AND container-level replacement (the
+    # books container is an immutable tuple, round-9 review)
     with pytest.raises(ValueError):
         cent[0, 0] = 999.0
     with pytest.raises(ValueError):
         books[0][0, 0] = 999.0
+    with pytest.raises(TypeError):
+        books[0] = None
     # the next query reads the intact model — both from cache ...
     cent2, _ = _load_model(spark, index_path)
     assert cent2 is cent

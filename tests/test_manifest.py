@@ -387,6 +387,9 @@ def test_int_bounds_beyond_float64_range_keep_not_crash(tmp_path):
     got = {e["path"] for e in _prune(snap, [("pid", "=", 99999)])}
     assert f"pid={huge}/part-0.parquet" in got
     assert "pid=12345/part-0.parquet" not in got
+
+
+def test_odd_hex_width_bloom_checkpoints(tmp_path):
     """Round-8 advice (low): bloom.bits whose hex width (bits+3)//4 is
     odd (e.g. 1012) crashed bytes.fromhex at checkpoint-write time.
     The mask is now left-padded; probes agree with the scalar path."""

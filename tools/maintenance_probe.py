@@ -136,7 +136,21 @@ def build_synthetic_table(root: str, n_files: int) -> None:
     store.write_checkpoint(0, checkpoint_to_bytes(table))
     store.write_pointer({"version": 0})
     with open(os.path.join(root, "_PROBE_READY"), "w") as f:
-        f.write("ok\n")
+        f.write(_build_stamp() + "\n")
+
+
+def _build_stamp() -> str:
+    """Identifies the builder's parameters/layout — a cached /tmp tier
+    from an OLDER probe version (different row counts, DV layout, or
+    schema) must be rebuilt, not silently reused against the current
+    `want` arithmetic."""
+    return json.dumps({
+        "rows_per_file": ROWS_PER_FILE,
+        "dv_every": DV_EVERY,
+        "dv_rows_per_file": DV_ROWS_PER_FILE,
+        "schema": SCHEMA_JSON,
+        "layout": 2,  # bump when the on-disk construction changes
+    }, sort_keys=True)
 
 
 def probe_tier(spark, root: str, n_files: int, runs: int = 3) -> dict:
@@ -208,8 +222,15 @@ def main() -> None:
     results = []
     for n in tiers:
         root = f"/tmp/spark_graft_maintprobe_{n}"
-        if not os.path.exists(os.path.join(root, "_PROBE_READY")):
-            # a crashed partial build must not masquerade as a table
+        ready = os.path.join(root, "_PROBE_READY")
+        try:
+            with open(ready) as f:
+                reusable = f.read().strip() == _build_stamp()
+        except OSError:
+            reusable = False
+        if not reusable:
+            # a crashed partial build, or a tier built by an older
+            # probe version, must not masquerade as a current table
             shutil.rmtree(root, ignore_errors=True)
             build_synthetic_table(root, n)
         r = probe_tier(spark, root, n, runs=args.runs)
