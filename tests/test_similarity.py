@@ -343,3 +343,44 @@ def test_lsh_params_scale_with_corpus():
         assert recall >= 0.85
     # more data -> strictly wider bands (the anti-quadratic knob)
     assert widths == sorted(widths) and widths[-1] > widths[0]
+
+
+def test_lsh_params_compose_end_to_end_with_planted_recall(spark):
+    """The corpus-size-derived parameters must COMPOSE with
+    lsh_cosine_pairs: at the near-dup operating point (threshold 0.9),
+    params from lsh_params_for(n) still recall every planted
+    near-duplicate while staying a subset of the exact pairs — i.e.
+    the anti-quadratic knob does not cost the recall the fixed
+    defaults delivered."""
+    import numpy as np
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.similarity import (
+        cosine_pairs,
+        lsh_cosine_pairs,
+        lsh_params_for,
+    )
+
+    rng = np.random.RandomState(23)
+    n, d = 200, 32
+    base = rng.randn(n, d)
+    planted = [(3, 180), (41, 99), (77, 150), (10, 11)]
+    for i, j in planted:
+        base[j] = base[i] + 0.01 * rng.randn(d)
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+
+    k, b = lsh_params_for(n, threshold=0.9)
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in lsh_cosine_pairs(
+            df, threshold=0.9, num_hyperplanes=k, num_bands=b, dim=d
+        ).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_pairs(df, threshold=0.9, num_blocks=4).collect()
+    }
+    assert set(got) <= set(exact)
+    for key, v in got.items():
+        assert v == exact[key]
+    assert set(planted) <= set(got)
