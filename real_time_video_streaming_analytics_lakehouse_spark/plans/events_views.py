@@ -181,7 +181,17 @@ def event_type_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V_TOP_CONTENT rank analog, plus the exact interpolated value
     percentiles (formerly the separate ``value_percentiles`` query,
     folded here so the catalog fits the driver's 50-query check
-    window — same grouping, one aggregation pass)."""
+    window — same grouping, one aggregation pass).
+
+    Scale note (exact ``F.percentile``): Spark's exact percentile
+    buffers a value→count map per group (map-side combined), so its
+    memory is O(distinct values per group), NOT O(rows). ``value`` is
+    two-decimal money in a bounded range (~56k possible values), so
+    the buffer is bounded at ANY corpus size and the exact aggregate
+    is 100 TB-safe for this column. For genuinely continuous columns
+    (unbounded distinct values) use ``percentile_approx`` — the
+    sketch path already used by the quantile-gating operator
+    (operators/text.py::filter_by_quantile)."""
     e = _events(spark, sf_dir)
     agg = e.groupBy("event_type").agg(
         F.count("*").alias("events_cnt"),
