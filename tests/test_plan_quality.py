@@ -29,6 +29,15 @@ def test_top_revenue_orders_pushes_all_three_filters(spark):
     assert "GreaterThan(l_shipdate" in plan
 
 
+def test_top_revenue_orders_uses_take_ordered_not_global_window(spark):
+    """Round-9 audit: the top-10 must come from a parallel
+    TakeOrdered (per-partition top-k + merge), never a global rank
+    window — that would funnel every order's revenue through ONE
+    partition's sort at scale."""
+    plan = _plan(spark, "top_revenue_orders")
+    assert "TakeOrdered" in plan
+
+
 def test_region_rollup_broadcasts_bounded_dims(spark):
     plan = _plan(spark, "region_revenue_rollup")
     assert "BroadcastHashJoin" in plan
