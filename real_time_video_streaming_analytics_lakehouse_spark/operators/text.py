@@ -196,6 +196,83 @@ def redact_pii(col: Column | str) -> Column:
     return c
 
 
+def tfidf_scores(
+    words: DataFrame,
+    n_docs: int,
+    id_col: str = "doc_id",
+    term_col: str = "w",
+) -> DataFrame:
+    """Per-(doc, term) TF-IDF over an exploded ``(id, term)`` frame:
+    ``tf`` (in-doc occurrences), ``df`` (docs containing the term) and
+    ``score = tf * ln(n_docs / df)`` — the relevance/keyword-extraction
+    surface a curation pipeline uses for domain scoring and DSIR-style
+    importance weighting (absent from the reference, whose text surface
+    stops at raw counts; cf. /root/reference/spark-jobs/batch_analytics.py).
+
+    ``n_docs`` is an explicit parameter, not a hidden ``count()`` —
+    catalog plans must stay collect/action-free at construction time
+    (tests/test_plan_quality.py), and the caller usually already knows
+    the corpus size or carries it from an earlier stage.
+
+    Scale shape: two map-side-combinable aggregates — (id, term) tf then
+    term df — and one equi-join on the term key (vocabulary-sized right
+    side; AQE broadcasts it when small, hash-shuffles otherwise). No
+    window, no driver action, no Python in the hot path."""
+    tf = words.groupBy(id_col, term_col).agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy(term_col).agg(F.count("*").alias("df"))
+    return tf.join(dfreq, term_col).select(
+        id_col,
+        term_col,
+        "tf",
+        "df",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias(
+            "score"
+        ),
+    )
+
+
+def top_tfidf_term(
+    words: DataFrame,
+    id_col: str = "doc_id",
+    term_col: str = "w",
+) -> DataFrame:
+    """Each document's single most corpus-distinctive term, ranked by
+    raw inverse document frequency ``tf / df`` (ties broken by the
+    lexicographically GREATEST term, so the winner is a deterministic
+    struct-max in both engines).
+
+    The raw ``tf/df`` rank deliberately avoids ``ln``: the catalog
+    oracle compares value hashes across Spark and DuckDB, and libm
+    transcendentals are not bit-portable (same reason text_quality's
+    bigram-LM arm emits integer surfaces). ``tf/df`` is one IEEE
+    division of exact integers — bit-identical everywhere — and for the
+    single-constant-corpus top-1 the log variant
+    (:func:`tfidf_scores`, pinned closed-form in tests/test_text.py)
+    agrees whenever one term dominates both tf and rarity.
+
+    Output: ``(id, top_tfidf_term, top_tfidf_tf, top_tfidf_df)``. A
+    struct-max AGGREGATE, not a row_number window — max is map-side
+    combinable, so the per-doc reduction partially aggregates before
+    the shuffle instead of sorting whole partitions."""
+    tf = words.groupBy(id_col, term_col).agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy(term_col).agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, term_col)
+    best = F.max(
+        F.struct(
+            (F.col("tf") / F.col("df")).alias("s"),
+            F.col(term_col).alias("t"),
+            F.col("tf").alias("tf"),
+            F.col("df").alias("df"),
+        )
+    ).alias("_m")
+    return scored.groupBy(id_col).agg(best).select(
+        id_col,
+        F.col("_m.t").alias("top_tfidf_term"),
+        F.col("_m.tf").alias("top_tfidf_tf"),
+        F.col("_m.df").alias("top_tfidf_df"),
+    )
+
+
 def shingles(text: Column | str, size: int = 3) -> Column:
     """Distinct character n-gram shingles of ``text`` (array<string>).
 

@@ -30,6 +30,7 @@ from ..operators.text import (
     repetition_features,
     rolling_hash_col,
     tokens,
+    top_tfidf_term,
 )
 from ..sources.readers import load_table
 from .catalog import QuerySpec
@@ -115,7 +116,16 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated-token mass and top-token/top-bigram mode counts, the
     standard curation repetition filters): ``n_distinct_tokens``,
     ``dup_token_frac``, ``top_token_count``, ``top_bigram_count``,
-    again reusing the same checkpointed token arrays."""
+    again reusing the same checkpointed token arrays.
+
+    Round 9 also adds the TF-IDF arm
+    (:func:`..operators.text.top_tfidf_term`): each doc's most
+    corpus-distinctive term by raw inverse document frequency
+    ``tf/df`` with its integer tf/df surfaces — struct-max aggregate
+    over the SAME exploded words, no window, no extra scan; the
+    ``ln``-scored variant (:func:`..operators.text.tfidf_scores`) is
+    pinned closed-form in tests/test_text.py because libm
+    transcendentals are not hash-portable across engines."""
     from ..operators.lm import score_documents, train_bigram_lm
 
     d = _docs(spark, sf_dir)
@@ -135,6 +145,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lm_hit_weight",
     )
     rep = repetition_features(feat, id_col="doc_id", tokens_col="_w")
+    tfidf = top_tfidf_term(words.select("doc_id", "w"))
     # LEFT join: a doc with no profile overlap (or NULL/empty text)
     # gets predicted_lang NULL — the quality surface must still emit
     # EVERY doc, exactly like the pre-fold per-doc query did.
@@ -143,6 +154,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(pred, "doc_id", "left_outer")
         .join(lm, "doc_id", "left_outer")
         .join(rep, "doc_id", "left_outer")
+        .join(tfidf, "doc_id", "left_outer")
         .select(
             "doc_id", "n_tokens", "n_chars_measured", "avg_token_len",
             "vowel_ratio", "punct_ratio", "stopword_ratio", "quality",
@@ -160,6 +172,13 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.coalesce("top_bigram_count", F.lit(0).cast("long")).alias(
                 "top_bigram_count"
+            ),
+            "top_tfidf_term",
+            F.coalesce("top_tfidf_tf", F.lit(0).cast("long")).alias(
+                "top_tfidf_tf"
+            ),
+            F.coalesce("top_tfidf_df", F.lit(0).cast("long")).alias(
+                "top_tfidf_df"
             ),
         )
     )
@@ -212,7 +231,20 @@ bigmode AS (
   SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_count FROM (
     SELECT doc_id, w1 || ' ' || w2 AS g, COUNT(*) AS c FROM big2
     GROUP BY 1, 2)
-  GROUP BY 1)
+  GROUP BY 1),
+tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM words GROUP BY 1, 2),
+dfreq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+tfidf AS (
+  SELECT doc_id, w AS top_tfidf_term, tf AS top_tfidf_tf,
+         df AS top_tfidf_df
+  FROM (SELECT t.doc_id, t.w, t.tf, f.df,
+               ROW_NUMBER() OVER (
+                 PARTITION BY t.doc_id
+                 ORDER BY CAST(t.tf AS DOUBLE) / f.df DESC, t.w DESC
+               ) AS rk
+        FROM tf t JOIN dfreq f USING (w))
+  WHERE rk = 1)
 SELECT d.doc_id,
        CAST(len(string_split_regex(trim(d.text), '\s+')) AS INTEGER) AS n_tokens,
        CAST(length(d.text) AS INTEGER) AS n_chars_measured,
@@ -244,12 +276,16 @@ SELECT d.doc_id,
             / CAST(len(string_split_regex(trim(d.text), '\s+')) AS DOUBLE)
             AS dup_token_frac,
        COALESCE(tm.top_token_count, 0) AS top_token_count,
-       COALESCE(bm.top_bigram_count, 0) AS top_bigram_count
+       COALESCE(bm.top_bigram_count, 0) AS top_bigram_count,
+       ti.top_tfidf_term,
+       COALESCE(ti.top_tfidf_tf, 0) AS top_tfidf_tf,
+       COALESCE(ti.top_tfidf_df, 0) AS top_tfidf_df
 FROM documents d
 LEFT JOIN pred p ON d.doc_id = p.doc_id
 LEFT JOIN lm ON d.doc_id = lm.doc_id
 LEFT JOIN tokmode tm ON d.doc_id = tm.doc_id
 LEFT JOIN bigmode bm ON d.doc_id = bm.doc_id
+LEFT JOIN tfidf ti ON d.doc_id = ti.doc_id
 """
 
 

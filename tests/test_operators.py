@@ -491,6 +491,51 @@ def test_repetition_features_hand_computed(spark):
     assert got[5]["top_token_count"] == 1
 
 
+def test_top_tfidf_term_hand_computed(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.text import (
+        tfidf_scores,
+        tokens,
+        top_tfidf_term,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana the"),   # apple tf2/df1 wins
+            (2, "banana cherry the the"),    # cherry 1/1 beats the 2/3
+            (3, "the zebra"),                # zebra 1/1
+            (4, "kiwi mango"),               # 1/1 tie -> greatest term
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    words = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("w")
+    )
+    got = {r["doc_id"]: r for r in top_tfidf_term(words).collect()}
+    assert (got[1]["top_tfidf_term"], got[1]["top_tfidf_tf"],
+            got[1]["top_tfidf_df"]) == ("apple", 2, 1)
+    assert got[2]["top_tfidf_term"] == "cherry"
+    assert got[3]["top_tfidf_term"] == "zebra"
+    # exact tf/df tie: deterministic lexicographically-greatest term
+    assert got[4]["top_tfidf_term"] == "mango"
+
+    # log-idf scoring: closed-form tf * ln(N/df) (N passed explicitly —
+    # no hidden count() action)
+    scores = {
+        (r["doc_id"], r["w"]): r
+        for r in tfidf_scores(words, n_docs=4).collect()
+    }
+    apple = scores[(1, "apple")]
+    assert (apple["tf"], apple["df"]) == (2, 1)
+    assert abs(apple["score"] - 2 * math.log(4 / 1)) < 1e-12
+    the = scores[(2, "the")]
+    assert (the["tf"], the["df"]) == (2, 3)
+    assert abs(the["score"] - 2 * math.log(4 / 3)) < 1e-12
+
+
 def test_pii_counts_and_redaction(spark):
     from real_time_video_streaming_analytics_lakehouse_spark.operators.text import (
         pii_counts,
