@@ -4,11 +4,19 @@ from .quality import dq_summary
 from .sessionize import gap_sessionize
 from .temporal import asof_join, interval_join, scd2_from_history
 from .similarity import cosine_topk, label_centroid_norms
-from .text import add_text_features, doc_fingerprint, shingles
+from .text import (
+    add_text_features,
+    bm25_scores,
+    doc_fingerprint,
+    shingles,
+    tfidf_scores,
+    top_tfidf_term,
+)
 
 __all__ = [
     "add_text_features",
     "asof_join",
+    "bm25_scores",
     "cosine_topk",
     "dedup_keep_latest",
     "doc_fingerprint",
@@ -21,4 +29,6 @@ __all__ = [
     "minhash_lsh_candidates",
     "scd2_from_history",
     "shingles",
+    "tfidf_scores",
+    "top_tfidf_term",
 ]

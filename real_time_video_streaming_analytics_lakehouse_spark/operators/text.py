@@ -231,6 +231,56 @@ def tfidf_scores(
     )
 
 
+def bm25_scores(
+    words: DataFrame,
+    n_docs: int,
+    id_col: str = "doc_id",
+    term_col: str = "w",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-(doc, term) Okapi BM25 weights over an exploded ``(id,
+    term)`` frame — the doc-length-normalized relevance score a
+    curation pipeline uses for query-driven domain selection (join a
+    broadcast query-term list on ``term`` and sum per doc).
+
+    ``score = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`` with
+    the Lucene-style smoothed ``idf = ln(1 + (N - df + 0.5)/(df +
+    0.5))``. ``n_docs`` is explicit for the same reason as
+    :func:`tfidf_scores`; ``avgdl`` is NOT a parameter — it is the
+    one-row global mean of per-doc lengths, attached as a broadcast
+    cross join so the whole plan stays lazy (no driver action at
+    construction, the 1x1-KPI attach pattern).
+
+    Scale shape: tf/df aggregates as in :func:`tfidf_scores`, plus one
+    (id)-keyed length aggregate re-joined on the id key and a 1-row
+    broadcast. Floats stay caller-facing (thresholds/top-k), not
+    catalog-hash-facing — ``ln`` is not hash-portable across engines.
+    """
+    tf = words.groupBy(id_col, term_col).agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy(term_col).agg(F.count("*").alias("df"))
+    dl = words.groupBy(id_col).agg(F.count("*").alias("dl"))
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    return (
+        tf.join(dfreq, term_col)
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(avgdl))
+        .select(
+            id_col,
+            term_col,
+            "tf",
+            "df",
+            "dl",
+            (idf * F.col("tf") * (k1 + 1) / norm).alias("score"),
+        )
+    )
+
+
 def top_tfidf_term(
     words: DataFrame,
     id_col: str = "doc_id",

@@ -536,6 +536,59 @@ def test_top_tfidf_term_hand_computed(spark):
     assert abs(the["score"] - 2 * math.log(4 / 3)) < 1e-12
 
 
+def test_bm25_scores_match_closed_form(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.text import (
+        bm25_scores,
+        tokens,
+    )
+
+    corpus = {
+        1: "apple apple banana the",
+        2: "banana cherry the the",
+        3: "the zebra",
+    }
+    docs = spark.createDataFrame(
+        list(corpus.items()), "doc_id BIGINT, text STRING"
+    )
+    words = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    n, k1, b = 3, 1.2, 0.75
+    got = {
+        (r["doc_id"], r["w"]): r
+        for r in bm25_scores(words, n_docs=n, k1=k1, b=b).collect()
+    }
+
+    toks = {d: t.split() for d, t in corpus.items()}
+    dls = {d: len(t) for d, t in toks.items()}
+    avgdl = sum(dls.values()) / len(dls)
+    dfs: dict[str, int] = {}
+    for t in toks.values():
+        for w in set(t):
+            dfs[w] = dfs.get(w, 0) + 1
+    for (d, w), r in got.items():
+        tf = toks[d].count(w)
+        assert (r["tf"], r["df"], r["dl"]) == (tf, dfs[w], dls[d])
+        idf = math.log(1 + (n - dfs[w] + 0.5) / (dfs[w] + 0.5))
+        want = idf * tf * (k1 + 1) / (
+            tf + k1 * (1 - b + b * dls[d] / avgdl)
+        )
+        assert abs(r["score"] - want) < 1e-12, (d, w)
+    # rare repeated term wins overall (apple: df=1, tf=2); the
+    # ubiquitous 'the' (df=3) scores below every df=1 term
+    top = max(got.values(), key=lambda r: r["score"])
+    assert (top["doc_id"], top["w"]) == (1, "apple")
+    worst_rare = min(
+        r["score"] for r in got.values() if r["df"] == 1
+    )
+    best_the = max(
+        r["score"] for (d, w), r in got.items() if w == "the"
+    )
+    assert best_the < worst_rare
+
+
 def test_pii_counts_and_redaction(spark):
     from real_time_video_streaming_analytics_lakehouse_spark.operators.text import (
         pii_counts,
