@@ -7,6 +7,7 @@ from .similarity import cosine_topk, label_centroid_norms
 from .text import (
     add_text_features,
     bm25_scores,
+    bm25_select,
     doc_fingerprint,
     shingles,
     tfidf_scores,
@@ -17,6 +18,7 @@ __all__ = [
     "add_text_features",
     "asof_join",
     "bm25_scores",
+    "bm25_select",
     "cosine_topk",
     "dedup_keep_latest",
     "doc_fingerprint",

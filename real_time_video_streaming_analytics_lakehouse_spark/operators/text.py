@@ -281,6 +281,40 @@ def bm25_scores(
     )
 
 
+def bm25_select(
+    words: DataFrame,
+    query_terms: list[str],
+    n_docs: int,
+    top_k: int,
+    id_col: str = "doc_id",
+    term_col: str = "w",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``top_k`` documents by summed BM25 relevance to
+    ``query_terms`` — the query-driven domain-selection step
+    (DSIR-style "pick the corpus slice that looks like my target
+    domain"). Returns ``(id, bm25)`` ordered by score descending,
+    ties broken by ascending id (deterministic).
+
+    Corpus statistics (df, avgdl) are computed over the FULL corpus
+    before the query filter — filtering first would inflate idf and
+    change avgdl. The query-term filter is a literal ``isin`` (JVM
+    in-set predicate, pushed below the per-doc sum); the final top-k
+    is a ``sort().limit()`` which Spark executes as TakeOrdered —
+    per-partition heaps, no global sort shuffle."""
+    scores = bm25_scores(
+        words, n_docs, id_col=id_col, term_col=term_col, k1=k1, b=b
+    )
+    return (
+        scores.filter(F.col(term_col).isin(*query_terms))
+        .groupBy(id_col)
+        .agg(F.sum("score").alias("bm25"))
+        .sort(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(top_k)
+    )
+
+
 def top_tfidf_term(
     words: DataFrame,
     id_col: str = "doc_id",

@@ -589,6 +589,42 @@ def test_bm25_scores_match_closed_form(spark):
     assert best_the < worst_rare
 
 
+def test_bm25_select_ranks_by_summed_query_relevance(spark):
+    from pyspark.sql import functions as F
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.text import (
+        bm25_scores,
+        bm25_select,
+        tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana the"),
+            (2, "banana cherry the the"),
+            (3, "the zebra"),
+            (4, "kiwi mango"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    words = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    query = ["apple", "banana"]
+    got = bm25_select(words, query, n_docs=4, top_k=2).collect()
+    # reference ranking: sum the full-corpus per-term scores directly
+    per_term = bm25_scores(words, n_docs=4).collect()
+    want: dict[int, float] = {}
+    for r in per_term:
+        if r["w"] in query:
+            want[r["doc_id"]] = want.get(r["doc_id"], 0.0) + r["score"]
+    order = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    assert [(r["doc_id"]) for r in got] == [d for d, _ in order]
+    for r in got:
+        assert abs(r["bm25"] - want[r["doc_id"]]) < 1e-12
+    # doc 4 shares no query term: never selected even at large k
+    ids = {r["doc_id"] for r in bm25_select(words, query, 4, 10).collect()}
+    assert 4 not in ids
+
+
 def test_pii_counts_and_redaction(spark):
     from real_time_video_streaming_analytics_lakehouse_spark.operators.text import (
         pii_counts,
