@@ -302,7 +302,13 @@ def bm25_select(
     change avgdl. The query-term filter is a literal ``isin`` (JVM
     in-set predicate, pushed below the per-doc sum); the final top-k
     is a ``sort().limit()`` which Spark executes as TakeOrdered —
-    per-partition heaps, no global sort shuffle."""
+    per-partition heaps, no global sort shuffle. Catalyst pushes the
+    term filter through both aggregate branches (safe: a term's df is
+    unaffected by dropping OTHER terms' rows), so the per-term work
+    runs over query terms only; the dl/avgdl branch has no term
+    column and stays full-corpus, as the formula requires."""
+    if not query_terms:
+        raise ValueError("bm25_select: query_terms must be non-empty")
     scores = bm25_scores(
         words, n_docs, id_col=id_col, term_col=term_col, k1=k1, b=b
     )
