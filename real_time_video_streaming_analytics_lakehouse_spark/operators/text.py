@@ -337,7 +337,7 @@ def top_tfidf_term(
     bigram-LM arm emits integer surfaces). ``tf/df`` is one IEEE
     division of exact integers — bit-identical everywhere — and for the
     single-constant-corpus top-1 the log variant
-    (:func:`tfidf_scores`, pinned closed-form in tests/test_text.py)
+    (:func:`tfidf_scores`, pinned closed-form in tests/test_operators.py)
     agrees whenever one term dominates both tf and rarity.
 
     Output: ``(id, top_tfidf_term, top_tfidf_tf, top_tfidf_df)``. A

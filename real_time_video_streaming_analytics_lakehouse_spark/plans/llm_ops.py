@@ -124,7 +124,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``tf/df`` with its integer tf/df surfaces — struct-max aggregate
     over the SAME exploded words, no window, no extra scan; the
     ``ln``-scored variant (:func:`..operators.text.tfidf_scores`) is
-    pinned closed-form in tests/test_text.py because libm
+    pinned closed-form in tests/test_operators.py because libm
     transcendentals are not hash-portable across engines."""
     from ..operators.lm import score_documents, train_bigram_lm
 
