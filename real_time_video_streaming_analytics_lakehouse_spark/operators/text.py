@@ -206,8 +206,9 @@ def tfidf_scores(
     ``tf`` (in-doc occurrences), ``df`` (docs containing the term) and
     ``score = tf * ln(n_docs / df)`` — the relevance/keyword-extraction
     surface a curation pipeline uses for domain scoring and DSIR-style
-    importance weighting (absent from the reference, whose text surface
-    stops at raw counts; cf. /root/reference/spark-jobs/batch_analytics.py).
+    importance weighting (absent from the reference, whose analytics
+    surface stops at raw event counts/aggregates; cf.
+    /root/reference/spark-jobs/etl_framework.py:26,128).
 
     ``n_docs`` is an explicit parameter, not a hidden ``count()`` —
     catalog plans must stay collect/action-free at construction time
