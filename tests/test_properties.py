@@ -110,3 +110,49 @@ def test_floor_div_matches_python_everywhere(spark, vals, divisor):
     }
     for v in vals:
         assert got[v] == v // divisor, (v, divisor)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "dd", "ee", "zz"]),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_top_tfidf_term_matches_python_reference(spark, docs):
+    """top_tfidf_term must pick, for every doc, the term maximizing
+    tf/df with the lexicographically greatest term on exact ties —
+    for ANY corpus, matching a pure-Python recomputation (the same
+    contract the DuckDB oracle pins at catalog scale)."""
+    import pyspark.sql.functions as F
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.text import (
+        top_tfidf_term,
+    )
+
+    rows = [(i, w) for i, ws in enumerate(docs) for w in ws]
+    words = spark.createDataFrame(rows, "doc_id BIGINT, w STRING")
+    got = {
+        r["doc_id"]: (r["top_tfidf_term"], r["top_tfidf_tf"], r["top_tfidf_df"])
+        for r in top_tfidf_term(words).collect()
+    }
+
+    dfs: dict[str, int] = {}
+    for ws in docs:
+        for w in set(ws):
+            dfs[w] = dfs.get(w, 0) + 1
+    for i, ws in enumerate(docs):
+        tfs = {w: ws.count(w) for w in set(ws)}
+        best = max(
+            tfs, key=lambda w: (tfs[w] / dfs[w], w)
+        )
+        assert got[i] == (best, tfs[best], dfs[best]), (i, ws)
