@@ -156,3 +156,55 @@ def test_top_tfidf_term_matches_python_reference(spark, docs):
             tfs, key=lambda w: (tfs[w] / dfs[w], w)
         )
         assert got[i] == (best, tfs[best], dfs[best]), (i, ws)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "dd", "ee", "zz"]),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_bm25_scores_match_python_reference(spark, docs):
+    """bm25_scores must equal the Okapi formula (Lucene-smoothed idf,
+    corpus avgdl) recomputed in pure Python, for ANY corpus, to 1e-12."""
+    import math
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.text import (
+        bm25_scores,
+    )
+
+    k1, b = 1.2, 0.75
+    n = len(docs)
+    rows = [(i, w) for i, ws in enumerate(docs) for w in ws]
+    words = spark.createDataFrame(rows, "doc_id BIGINT, w STRING")
+    got = {
+        (r["doc_id"], r["w"]): r["score"]
+        for r in bm25_scores(words, n_docs=n, k1=k1, b=b).collect()
+    }
+
+    dfs: dict[str, int] = {}
+    for ws in docs:
+        for w in set(ws):
+            dfs[w] = dfs.get(w, 0) + 1
+    avgdl = sum(len(ws) for ws in docs) / n
+    expected_keys = set()
+    for i, ws in enumerate(docs):
+        for w in set(ws):
+            expected_keys.add((i, w))
+            tf = ws.count(w)
+            idf = math.log(1 + (n - dfs[w] + 0.5) / (dfs[w] + 0.5))
+            want = idf * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * len(ws) / avgdl)
+            )
+            assert abs(got[(i, w)] - want) < 1e-12, (i, w)
+    assert set(got) == expected_keys
