@@ -245,7 +245,24 @@ def lsh_params_for(
         pr = p ** r
         if pr >= 1.0:
             return r, 1
-        b = max(1, math.ceil(want / math.log(1.0 - pr)))
+        # Degenerate thresholds (p == 0 at threshold <= -1, or p^r
+        # underflowing to where log1p(-pr) rounds to 0.0) would divide
+        # by zero below. If narrowing the bands can still help, keep
+        # walking r down; at the r=8 floor no band count can reach the
+        # recall target, so fail with the contract, not a
+        # ZeroDivisionError. log1p keeps precision at tiny pr where
+        # log(1.0 - pr) would round to 0.0 first.
+        denom = math.log1p(-pr) if pr > 0.0 else 0.0
+        if denom == 0.0:
+            if r > 8:
+                r -= 1
+                continue
+            raise ValueError(
+                "lsh_params_for: threshold too weak for LSH banding "
+                f"(per-band match probability {p}**{r} is ~0); use the "
+                "exact block-pair join (cosine_pairs) instead"
+            )
+        b = max(1, math.ceil(want / denom))
         if b <= max_bands or r <= 8:
             # if the band cap still truncates recall at r=8, the caller
             # asked for a weak threshold at huge n — the exact

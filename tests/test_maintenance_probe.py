@@ -38,3 +38,52 @@ def test_probe_gates_hold_at_1k_files(spark, tmp_path):
     for k in ("resolve_s", "prune_s", "dv_read_construct_s",
               "dv_read_exec_s"):
         assert out[k] >= 0
+
+
+def test_scale_probe_x3_tier_stamp_invalidates_stale_cache(tmp_path,
+                                                           monkeypatch):
+    """Round-9 advice: the x3 tier's _READY flag must carry a layout
+    stamp (keys map, offset, perturbation version) so a cached /tmp
+    tier built by an older probe version is rebuilt, not silently
+    reused against the current arithmetic."""
+    import scale_probe
+
+    out = tmp_path / "x3"
+    out.mkdir()
+    (out / "stale.parquet").write_text("old tier artifact")
+
+    class _Rebuilt(Exception):
+        pass
+
+    def _boom(*a, **k):
+        raise _Rebuilt
+
+    monkeypatch.setattr(
+        "real_time_video_streaming_analytics_lakehouse_spark.sources.readers.load_table",
+        _boom,
+    )
+
+    # pre-stamp "ok" flag (rounds <= 9 format) -> stale, must rebuild
+    (out / "_READY").write_text("ok\n")
+    try:
+        scale_probe._materialize_x3(None, "unused", str(out))
+        raise AssertionError("stale tier was reused instead of rebuilt")
+    except _Rebuilt:
+        pass
+    # rebuild path cleared the stale artifacts before building
+    assert not (out / "stale.parquet").exists()
+
+    # current stamp -> reused without touching Spark or the builder
+    out.mkdir(exist_ok=True)
+    (out / "_READY").write_text(scale_probe._x3_stamp() + "\n")
+    assert scale_probe._materialize_x3(None, "unused", str(out)) == str(out)
+
+    # any parameter drift (stamp text differs) -> rebuild again
+    (out / "_READY").write_text(
+        scale_probe._x3_stamp().replace('"offset"', '"off"') + "\n"
+    )
+    try:
+        scale_probe._materialize_x3(None, "unused", str(out))
+        raise AssertionError("drifted tier was reused instead of rebuilt")
+    except _Rebuilt:
+        pass

@@ -345,6 +345,30 @@ def test_lsh_params_scale_with_corpus():
     assert widths == sorted(widths) and widths[-1] > widths[0]
 
 
+def test_lsh_params_degenerate_threshold_raises_not_zerodivision():
+    """Round-9 advice: threshold=-1 gives per-hyperplane match
+    probability p=0, so no band count can ever reach the recall
+    target — the contract is a clear ValueError pointing at the exact
+    block-pair join, not a bare ZeroDivisionError from
+    ceil(want / log(1-0))."""
+    import pytest
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.similarity import (
+        lsh_params_for,
+    )
+
+    for bad in (-1.0, -1.5):
+        with pytest.raises(ValueError, match="cosine_pairs"):
+            lsh_params_for(10**6, threshold=bad)
+    # near-degenerate-but-nonzero p does NOT raise: it resolves through
+    # the documented band-cap truncation path (weak threshold at huge
+    # n -> the caller is pointed at the exact join by the docstring),
+    # and must never ZeroDivisionError on the way
+    for near in (-0.999999999999, -0.5):
+        k, b = lsh_params_for(10**9, threshold=near)
+        assert k % b == 0 and 1 <= b <= 64
+
+
 def test_lsh_params_compose_end_to_end_with_planted_recall(spark):
     """The corpus-size-derived parameters must COMPOSE with
     lsh_cosine_pairs: at the near-dup operating point (threshold 0.9),

@@ -31,6 +31,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -101,7 +102,14 @@ def _materialize_x3(spark, base_dir: str, out_dir: str) -> str:
 
     done = os.path.join(out_dir, "_READY")
     if os.path.exists(done):
-        return out_dir
+        with open(done) as f:
+            if f.read().strip() == _x3_stamp():
+                return out_dir
+        # stale layout from an older probe version: rebuild, don't
+        # silently reuse (mirrors maintenance_probe._build_stamp)
+        shutil.rmtree(out_dir, ignore_errors=True)
+    # the pre-stamp tier dir from rounds <= 9 is dead weight if present
+    shutil.rmtree("/tmp/spark_graft_sf0.3", ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
     from real_time_video_streaming_analytics_lakehouse_spark.sources.readers import load_table
 
@@ -137,8 +145,20 @@ def _materialize_x3(spark, base_dir: str, out_dir: str) -> str:
             os.path.join(out_dir, f"{name}.parquet")
         )
     with open(done, "w") as f:
-        f.write("ok\n")
+        f.write(_x3_stamp() + "\n")
     return out_dir
+
+
+def _x3_stamp() -> str:
+    """Identifies the tier builder's parameters — a cached /tmp tier
+    built by an OLDER probe version (different key map, offset, or
+    perturbation scheme) must be rebuilt, not silently reused."""
+    return json.dumps({
+        "keys": _X3_KEYS,
+        "offset": _X3_OFF,
+        "perturbation": 1,  # bump when _perturb's scheme changes
+        "layout": 1,  # bump when the on-disk construction changes
+    }, sort_keys=True)
 
 
 def main() -> None:
