@@ -25,6 +25,8 @@ size; ``Trigger.AvailableNow`` drains a backlog with those same bounds.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -682,6 +684,72 @@ def run_quarantine_stream(
 
     return (
         result.writeStream.foreachBatch(split_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_registry_ingest(
+    raw: DataFrame,
+    registry,
+    table_root: str,
+    dlq_path: str,
+    checkpoint_path: str,
+    app_id: str | None = None,
+    value_col: str = "value",
+    topic_col: str = "topic",
+    keep_cols: tuple[str, ...] = (),
+) -> StreamingQuery:
+    """Registry-validated streaming ingest (reference
+    ``kafka-setup/topics.py:76-165,599-663`` as ONE composed surface):
+    each micro-batch is validated against the per-topic schema registry
+    (:mod:`..sources.registry` — from_json + required-field algebra,
+    one JVM projection), valid rows flatten into
+    ``{table_root}/{topic}`` typed native-log tables and every invalid
+    row — original payload + ``_dq_subject``/``_dq_errors`` — lands in
+    one dead-letter table at ``dlq_path`` for replay after producer
+    repair.
+
+    Exactly-once per TABLE via txnAppId/txnVersion, exactly like
+    :func:`run_quarantine_stream`: a crash between per-topic appends
+    resumes only the missing tables on replay.
+    """
+    from ..operators.txlog import TxTable
+    from ..operators.util import require_local_dir
+    from ..sources.registry import registry_ingest_frames
+
+    table_root = require_local_dir(table_root)
+    dlq_path = require_local_dir(dlq_path)
+    app = app_id or f"registry_ingest:{checkpoint_path}"
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        src = batch_df.localCheckpoint(eager=False)
+        # ^ every per-topic branch and the DLQ filter scan this frame;
+        # materialize so the batch's source evaluates once.
+        good, dlq = registry_ingest_frames(
+            src, registry, value_col, topic_col, keep_cols
+        )
+        params = {"txnAppId": app, "txnVersion": batch_id}
+        targets = [
+            (os.path.join(table_root, topic), frame)
+            for topic, frame in sorted(good.items())
+        ] + [(dlq_path, dlq)]
+        for path, frame in targets:
+            if not TxTable.exists(spark, path):
+                try:
+                    TxTable.create(spark, path, frame.schema)
+                except FileExistsError:
+                    TxTable.bootstrap(spark, path)
+            tx = TxTable(spark, path)
+            last = tx.txn_version(app)
+            if last is not None and batch_id <= last:
+                continue  # this table already committed before a crash
+            tx.write(frame, mode="append", params=params)
+
+    return (
+        raw.writeStream.foreachBatch(ingest_batch)
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()
