@@ -1222,9 +1222,45 @@ WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.event_id = t.event_id)
 """
 
 
+#: per-topic JSON schemas the registry arm registers (the reference's
+#: kafka-setup/topics.py:599-663 shape: required event/identity fields
+#: per topic subject).
+_REG_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "event_id": {"type": "integer"},
+        "event_type": {"type": "string"},
+        "user_id": {"type": "integer"},
+    },
+    "required": ["event_id", "event_type", "user_id"],
+}
+
+
 def dq_validation_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass DQ profile + (round 10) the SCHEMA-REGISTRY INGEST
+    arm (:mod:`..sources.registry`; reference
+    kafka-setup/topics.py:76-165,599-663): events are re-serialized as
+    per-topic Kafka-style JSON payloads with DETERMINISTICALLY planted
+    producer defects (event_id % 31 == 3 → truncated JSON, event_id %
+    23 == 0 → required ``user_id`` omitted; to_json drops null fields,
+    so a genuinely-null user_id routes the same way), pushed through
+    ``annotate_against_registry`` (click/view → ``video_events``,
+    signup/purchase → ``user_interactions``, both registered; error →
+    ``ad_events``, unregistered → DLQ), and the routing counts fold
+    into the same 1-row summary via 1×1 cross joins (the
+    executive_kpis precedent). ``reg_parsed_event_id_sum`` totals the
+    PARSED payload ids over the typed good frames (pins that from_json
+    really extracted values, not just routed rows);
+    ``reg_dlq_repair_event_id_sum`` re-parses the quarantined
+    missing-field payloads the way a repair job would (their ids are
+    still extractable — nothing was dropped). The DuckDB oracle
+    re-derives every count ARITHMETICALLY from the source columns
+    (never building JSON), so the whole parse→validate→route→flatten
+    pipeline is checked against an independent derivation."""
+    from ..sources.registry import SchemaRegistry, registry_ingest_frames
+
     e = _events(spark, sf_dir)
-    return dq_summary(
+    base = dq_summary(
         e,
         not_null_cols=["user_id", "value", "event_type"],
         id_col="event_id",
@@ -1232,18 +1268,120 @@ def dq_validation_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_of=AS_OF_TS,
     )
 
+    reg = SchemaRegistry()
+    reg.register("video_events-value", _REG_SCHEMA)
+    reg.register("user_interactions-value", _REG_SCHEMA)
+    raw = e.select(
+        F.when(F.col("event_type").isin("click", "view"), "video_events")
+        .when(
+            F.col("event_type").isin("signup", "purchase"),
+            "user_interactions",
+        )
+        .otherwise("ad_events")
+        .alias("topic"),
+        F.when(F.col("event_id") % 31 == 3, F.lit('{"event_id":'))
+        .when(
+            F.col("event_id") % 23 == 0,
+            F.to_json(F.struct("event_id", "event_type")),
+        )
+        .otherwise(F.to_json(F.struct("event_id", "event_type", "user_id")))
+        .alias("value"),
+    )
+    good, dlq = registry_ingest_frames(raw, reg)
+
+    def routed(topic, errors):
+        hit = (F.col("topic") == topic) & (F.col("_dq_errors") == errors)
+        return F.count(F.when(hit, F.lit(1)))
+
+    routes = dlq.agg(
+        routed("video_events", "missing:user_id").alias("reg_video_missing"),
+        routed("video_events", "malformed_json").alias("reg_video_malformed"),
+        routed("user_interactions", "missing:user_id").alias(
+            "reg_ui_missing"
+        ),
+        routed("user_interactions", "malformed_json").alias(
+            "reg_ui_malformed"
+        ),
+        F.count(F.when(F.col("_dq_errors") == "unregistered_topic", 1)).alias(
+            "reg_unregistered"
+        ),
+        F.sum(
+            F.when(
+                F.col("_dq_errors") == "missing:user_id",
+                F.get_json_object("value", "$.event_id").cast("long"),
+            )
+        ).alias("reg_dlq_repair_event_id_sum"),
+    )
+    gv = good["video_events"].agg(
+        F.count("*").alias("reg_video_valid"),
+        F.sum("event_id").alias("_gv_sum"),
+    )
+    gu = good["user_interactions"].agg(
+        F.count("*").alias("reg_ui_valid"),
+        F.sum("event_id").alias("_gu_sum"),
+    )
+    return (
+        base.crossJoin(gv)
+        .crossJoin(gu)
+        .crossJoin(routes)
+        .withColumn(
+            "reg_parsed_event_id_sum", F.col("_gv_sum") + F.col("_gu_sum")
+        )
+        .drop("_gv_sum", "_gu_sum")
+    )
+
 
 DQ_VALIDATION_EVENTS_SQL = f"""
-SELECT COUNT(*) AS total_rows,
-       COUNT(CASE WHEN user_id IS NULL THEN 1 END) AS null_user_id,
-       COUNT(CASE WHEN value IS NULL THEN 1 END) AS null_value,
-       COUNT(CASE WHEN event_type IS NULL THEN 1 END) AS null_event_type,
-       COUNT(CASE WHEN ts > TIMESTAMP '{AS_OF_TS}' THEN 1 END) AS future_ts,
-       COUNT(*) - COUNT(DISTINCT event_id) AS duplicate_ids,
-       ROUND((COUNT(*) - COUNT(CASE WHEN user_id IS NULL OR value IS NULL
-                                      OR event_type IS NULL THEN 1 END))
-             * 100.0 / COUNT(*), 4) AS valid_pct
-FROM events
+WITH reg AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_type IN ('click', 'view') THEN 'video_events'
+              WHEN event_type IN ('signup', 'purchase')
+                THEN 'user_interactions'
+              ELSE 'ad_events' END AS topic,
+         CASE WHEN event_id % 31 = 3 THEN 'malformed'
+              WHEN event_id % 23 = 0 OR user_id IS NULL THEN 'missing'
+              ELSE 'valid' END AS st
+  FROM events),
+reg_agg AS (
+  SELECT CAST(COUNT(CASE WHEN topic = 'video_events' AND st = 'valid'
+                         THEN 1 END) AS BIGINT) AS reg_video_valid,
+         CAST(COUNT(CASE WHEN topic = 'user_interactions' AND st = 'valid'
+                         THEN 1 END) AS BIGINT) AS reg_ui_valid,
+         CAST(COUNT(CASE WHEN topic = 'video_events' AND st = 'missing'
+                         THEN 1 END) AS BIGINT) AS reg_video_missing,
+         CAST(COUNT(CASE WHEN topic = 'video_events' AND st = 'malformed'
+                         THEN 1 END) AS BIGINT) AS reg_video_malformed,
+         CAST(COUNT(CASE WHEN topic = 'user_interactions' AND st = 'missing'
+                         THEN 1 END) AS BIGINT) AS reg_ui_missing,
+         CAST(COUNT(CASE WHEN topic = 'user_interactions'
+                          AND st = 'malformed'
+                         THEN 1 END) AS BIGINT) AS reg_ui_malformed,
+         CAST(COUNT(CASE WHEN topic = 'ad_events' THEN 1 END) AS BIGINT)
+           AS reg_unregistered,
+         CAST(SUM(CASE WHEN topic <> 'ad_events' AND st = 'missing'
+                       THEN event_id END) AS BIGINT)
+           AS reg_dlq_repair_event_id_sum,
+         CAST(SUM(CASE WHEN topic <> 'ad_events' AND st = 'valid'
+                       THEN event_id END) AS BIGINT)
+           AS reg_parsed_event_id_sum
+  FROM reg)
+SELECT total_rows, null_user_id, null_value, null_event_type, future_ts,
+       duplicate_ids, valid_pct,
+       reg_video_valid, reg_ui_valid, reg_video_missing,
+       reg_video_malformed, reg_ui_missing, reg_ui_malformed,
+       reg_unregistered, reg_dlq_repair_event_id_sum,
+       reg_parsed_event_id_sum
+FROM (
+  SELECT COUNT(*) AS total_rows,
+         COUNT(CASE WHEN user_id IS NULL THEN 1 END) AS null_user_id,
+         COUNT(CASE WHEN value IS NULL THEN 1 END) AS null_value,
+         COUNT(CASE WHEN event_type IS NULL THEN 1 END) AS null_event_type,
+         COUNT(CASE WHEN ts > TIMESTAMP '{AS_OF_TS}' THEN 1 END) AS future_ts,
+         COUNT(*) - COUNT(DISTINCT event_id) AS duplicate_ids,
+         ROUND((COUNT(*) - COUNT(CASE WHEN user_id IS NULL OR value IS NULL
+                                        OR event_type IS NULL THEN 1 END))
+               * 100.0 / COUNT(*), 4) AS valid_pct
+  FROM events) CROSS JOIN reg_agg
 """
 
 
