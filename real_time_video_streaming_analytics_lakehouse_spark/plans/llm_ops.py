@@ -22,6 +22,7 @@ from ..operators.dedup import (
 from ..operators.similarity import cosine_topk, label_centroid_norms
 from ..operators.text import (
     add_text_features,
+    bm25_scores,
     chunk_documents,
     fingerprint_col,
     ngram_jaccard_pairs,
@@ -85,6 +86,11 @@ FROM documents GROUP BY lang
 
 # --- per-doc quality features + language ID --------------------------------
 
+#: fixed query-term set for text_quality's BM25 integer arm (a
+#: DSIR-style target-domain query over the synthetic corpus vocabulary).
+_BM25_QUERY = ("spark", "query", "join")
+
+
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality features plus the corpus-trained unigram
     language ID (operators/text.py::predict_language — formerly the
@@ -125,7 +131,16 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the SAME exploded words, no window, no extra scan; the
     ``ln``-scored variant (:func:`..operators.text.tfidf_scores`) is
     pinned closed-form in tests/test_operators.py because libm
-    transcendentals are not hash-portable across engines."""
+    transcendentals are not hash-portable across engines.
+
+    Round 10 adds the BM25 arm: per-doc integer statistics for the
+    fixed query set :data:`_BM25_QUERY` (``bm25_q_hits`` distinct
+    query terms present, ``bm25_q_tf`` summed in-doc occurrences,
+    ``bm25_q_df_sum`` summed corpus document frequencies), read off
+    :func:`..operators.text.bm25_scores`' own output over the same
+    exploded words — the operator's tf/df/membership inputs are now
+    driver-oracled end-to-end while the ln-based Okapi score remains
+    property-pinned (tests/test_properties.py)."""
     from ..operators.lm import score_documents, train_bigram_lm
 
     d = _docs(spark, sf_dir)
@@ -146,6 +161,23 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rep = repetition_features(feat, id_col="doc_id", tokens_col="_w")
     tfidf = top_tfidf_term(words.select("doc_id", "w"))
+    # Round 10: the BM25 INTEGER arm — per-doc query-term statistics
+    # (distinct hits, summed tf, summed corpus df) for a fixed query
+    # set, read off :func:`..operators.text.bm25_scores`' own output
+    # (n_docs only feeds the float idf, which this arm doesn't emit) —
+    # so the operator's tf/df/membership inputs are driver-oracled
+    # while its ln-based score stays property-pinned in
+    # tests/test_properties.py (libm is not hash-portable).
+    bm = (
+        bm25_scores(words.select("doc_id", "w"), n_docs=1)
+        .filter(F.col("w").isin(*_BM25_QUERY))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("bm25_q_hits"),
+            F.sum("tf").alias("bm25_q_tf"),
+            F.sum("df").alias("bm25_q_df_sum"),
+        )
+    )
     # LEFT join: a doc with no profile overlap (or NULL/empty text)
     # gets predicted_lang NULL — the quality surface must still emit
     # EVERY doc, exactly like the pre-fold per-doc query did.
@@ -155,6 +187,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lm, "doc_id", "left_outer")
         .join(rep, "doc_id", "left_outer")
         .join(tfidf, "doc_id", "left_outer")
+        .join(bm, "doc_id", "left_outer")
         .select(
             "doc_id", "n_tokens", "n_chars_measured", "avg_token_len",
             "vowel_ratio", "punct_ratio", "stopword_ratio", "quality",
@@ -179,6 +212,15 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.coalesce("top_tfidf_df", F.lit(0).cast("long")).alias(
                 "top_tfidf_df"
+            ),
+            F.coalesce("bm25_q_hits", F.lit(0).cast("long")).alias(
+                "bm25_q_hits"
+            ),
+            F.coalesce("bm25_q_tf", F.lit(0).cast("long")).alias(
+                "bm25_q_tf"
+            ),
+            F.coalesce("bm25_q_df_sum", F.lit(0).cast("long")).alias(
+                "bm25_q_df_sum"
             ),
         )
     )
@@ -244,7 +286,15 @@ tfidf AS (
                  ORDER BY CAST(t.tf AS DOUBLE) / f.df DESC, t.w DESC
                ) AS rk
         FROM tf t JOIN dfreq f USING (w))
-  WHERE rk = 1)
+  WHERE rk = 1),
+bm25q AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS bm25_q_hits,
+         CAST(SUM(t.tf) AS BIGINT) AS bm25_q_tf,
+         CAST(SUM(f.df) AS BIGINT) AS bm25_q_df_sum
+  FROM tf t JOIN dfreq f USING (w)
+  WHERE t.w IN ('spark', 'query', 'join')
+  GROUP BY 1)
 SELECT d.doc_id,
        CAST(len(string_split_regex(trim(d.text), '\s+')) AS INTEGER) AS n_tokens,
        CAST(length(d.text) AS INTEGER) AS n_chars_measured,
@@ -279,13 +329,17 @@ SELECT d.doc_id,
        COALESCE(bm.top_bigram_count, 0) AS top_bigram_count,
        ti.top_tfidf_term,
        COALESCE(ti.top_tfidf_tf, 0) AS top_tfidf_tf,
-       COALESCE(ti.top_tfidf_df, 0) AS top_tfidf_df
+       COALESCE(ti.top_tfidf_df, 0) AS top_tfidf_df,
+       COALESCE(bq.bm25_q_hits, 0) AS bm25_q_hits,
+       COALESCE(bq.bm25_q_tf, 0) AS bm25_q_tf,
+       COALESCE(bq.bm25_q_df_sum, 0) AS bm25_q_df_sum
 FROM documents d
 LEFT JOIN pred p ON d.doc_id = p.doc_id
 LEFT JOIN lm ON d.doc_id = lm.doc_id
 LEFT JOIN tokmode tm ON d.doc_id = tm.doc_id
 LEFT JOIN bigmode bm ON d.doc_id = bm.doc_id
 LEFT JOIN tfidf ti ON d.doc_id = ti.doc_id
+LEFT JOIN bm25q bq ON d.doc_id = bq.doc_id
 """
 
 
