@@ -1,25 +1,72 @@
 """Iterative graph operators over DataFrames.
 
-:func:`connected_components` — min-label propagation until fixpoint.
-Used to turn near-duplicate PAIRS (MinHash/SimHash/cosine output) into
-duplicate CLUSTERS with one canonical id per cluster — the step that
-makes pair-wise dedup actionable in a training-data pipeline ("keep the
-canonical doc, drop the rest").
+:func:`connected_components` — alternating large-star/small-star
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SOCC'14), converging in O(log^2 n) rounds (practically ~log2 of the
+largest component). Used to turn near-duplicate PAIRS (MinHash/SimHash/
+cosine output) into duplicate CLUSTERS with one canonical id per
+cluster — the step that makes pair-wise dedup actionable in a
+training-data pipeline ("keep the canonical doc, drop the rest").
+
+:func:`connected_components_label_prop` — the naive min-label
+propagation formulation (rounds ≈ graph diameter). Kept as the
+result-identity reference: both must produce the same
+min-reachable-id labels on any input.
 
 This is the engine's one genuinely iterative algorithm: a driver loop
-over DataFrame joins with a convergence check. Scale notes:
-  * each iteration is one join + one aggregate on (node, label) — the
-    classic large-scale CC formulation; iterations needed ≈ graph
-    diameter (small for near-dup clusters, bounded by ``max_iter``).
-  * intermediate label frames are localCheckpointed every few rounds to
-    cut the growing lineage (otherwise plan size, not data, becomes
-    the bottleneck).
+over DataFrame shuffles with a convergence check. Scale notes:
+  * each round of the star algorithm is two groupBy-min shuffles over
+    the EDGE set only (never the node corpus), and the edge set only
+    shrinks or re-points — no neighbor lists are ever collected, so
+    high-degree nodes cost nothing extra.
+  * rounds are O(log n) vs O(diameter) for label propagation: a
+    chain-shaped cluster of 1M docs needs ~20 rounds, not 1M. Driver
+    job round-trips — the measured noise amplifier for this query
+    family (BASELINE.md round 9) — drop proportionally.
+  * intermediate edge frames are localCheckpointed every round to cut
+    the growing lineage (otherwise plan size, not data, becomes the
+    bottleneck; an un-checkpointed iterated self-join was measured
+    degrading 0.4s -> 39s/round by iteration 12 on Spark 4.1).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of each node to the
+    node's minimum neighborhood member (including itself)."""
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least("mv", "u").alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges large->small, then connect every smaller neighbor
+    AND the node itself to the minimum smaller neighbor."""
+    d = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        d.join(mins, "u")
+        .select(F.col("v").alias("n"), F.col("m"))
+        .unionByName(mins.select(F.col("u").alias("n"), F.col("m")))
+        .where(F.col("n") != F.col("m"))
+        .select(F.col("n").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
 
 
 def connected_components(
@@ -30,17 +77,30 @@ def connected_components(
     node_col: str = "id",
     max_iter: int = 50,
     strict: bool = True,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Assign each node min-reachable-id as its ``cluster_id``.
 
     ``edges`` is undirected input (one row per pair); isolated nodes in
     ``nodes`` become singleton clusters of themselves.
 
-    If the loop exhausts ``max_iter`` while labels are still changing,
-    the result is NOT a full closure (graphs of diameter > max_iter).
+    Algorithm: alternating large-star/small-star. Each round re-points
+    edges toward component minima; at the fixpoint the edge set is a
+    union of stars rooted at each component's minimum id (Kiveris et
+    al. SOCC'14, Thm 1-2), so labels read straight off the edges. The
+    fixpoint is reached in O(log^2 n) rounds — on near-dup cluster
+    graphs, ~log2(largest component) — vs O(diameter) for label
+    propagation (:func:`connected_components_label_prop`), which this
+    replaced after round-9 forensics showed per-round driver job
+    round-trips were the query family's dominant noise/latency source.
+
+    If the loop exhausts ``max_iter`` while edges are still re-pointing
+    (requires a pathological input far beyond the log2 bound),
     ``strict=True`` (default) raises rather than silently returning
-    wrong cluster ids; ``strict=False`` logs a warning and returns the
-    partial labels.
+    wrong cluster ids; ``strict=False`` warns and returns partial
+    labels. Pass ``stats={}`` to receive ``stats["rounds"]``, the
+    number of alternating rounds executed (tests pin the log-vs-linear
+    round count on path graphs with it).
     """
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
@@ -49,19 +109,108 @@ def connected_components(
     # expensive) upstream pair computation re-executes in every
     # iteration AND in every convergence check — measured 43 s → 5 s at
     # sf0.1 for the cosine-pair graph.
-    sym = sym.distinct().localCheckpoint(eager=True)
+    sym = sym.where(F.col("u") != F.col("v")).distinct()
+    e = (
+        sym.select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     # Propagate over the EDGE SUBGRAPH only: a node with no edges can
     # never change its label, so it never needs to enter the iteration.
     # In a near-dup corpus the components are typically a tiny fraction
-    # of the nodes — at scale this turns per-round shuffles of the
-    # whole corpus into shuffles of just the duplicate clusters;
-    # isolated nodes re-join as singleton clusters after the fixpoint.
+    # of the nodes — at scale this keeps per-round shuffles to just the
+    # duplicate clusters; isolated nodes re-join as singletons after
+    # the fixpoint.
+    all_nodes = nodes.select(F.col(node_col).alias("u"))
+    edge_nodes = all_nodes.join(
+        e.select("u").unionByName(e.select(F.col("v").alias("u"))),
+        "u",
+        "left_semi",
+    ).localCheckpoint(eager=True)
+
+    # Convergence signature: (row count, xor of row hashes) — one cheap
+    # scan of the already-checkpointed frame per round (xor is
+    # order-independent and cannot overflow under ANSI mode). A
+    # signature match is CONFIRMED with an exact exceptAll before
+    # declaring convergence, so a hash collision costs one extra
+    # check, never a wrong answer.
+    def _sig(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return int(row["c"]), int(row["h"])
+
+    prev_sig = _sig(e)
+    rounds = 0
+    for rounds in range(1, max_iter + 1):
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        new_sig = _sig(new_e)
+        if new_sig == prev_sig and new_e.exceptAll(e).limit(1).count() == 0:
+            e = new_e
+            break
+        e, prev_sig = new_e, new_sig
+    else:
+        msg = (
+            f"connected_components: edge set still re-pointing after "
+            f"{max_iter} alternating rounds — cluster ids may be "
+            f"incomplete; raise max_iter (the star algorithm needs "
+            f"~log2(component size) rounds)"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
+    if stats is not None:
+        stats["rounds"] = rounds
+
+    # At the fixpoint e is a union of min-rooted stars: every non-root
+    # node appears exactly once as u with v = its component minimum
+    # (groupBy-min tolerates a strict=False partial result); roots and
+    # isolated nodes label themselves.
+    leaf_labels = e.groupBy("u").agg(F.min("v").alias("label"))
+    root_labels = edge_nodes.join(leaf_labels, "u", "left_anti").select(
+        "u", F.col("u").alias("label")
+    )
+    singletons = all_nodes.join(edge_nodes, "u", "left_anti").select(
+        "u", F.col("u").alias("label")
+    )
+    return (
+        leaf_labels.unionByName(root_labels)
+        .unionByName(singletons)
+        .select(F.col("u").alias(node_col), F.col("label").alias("cluster_id"))
+    )
+
+
+def connected_components_label_prop(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    node_col: str = "id",
+    max_iter: int = 50,
+    strict: bool = True,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Min-label propagation until fixpoint — rounds ≈ graph diameter.
+
+    The naive formulation :func:`connected_components` replaced; kept
+    as the result-identity reference (tests assert both produce the
+    same labels) and for tiny-diameter graphs where one join per round
+    beats the star algorithm's two.
+    """
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    sym = sym.distinct().localCheckpoint(eager=True)
     all_nodes = nodes.select(F.col(node_col).alias("u"))
     edge_nodes = all_nodes.join(sym.select("u"), "u", "left_semi")
     labels = edge_nodes.select(
         "u", F.col("u").alias("label")
     ).localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    rounds = 0
+    for rounds in range(1, max_iter + 1):
         neighbor_min = (
             sym.join(labels.withColumnRenamed("u", "v2"), sym.v == F.col("v2"))
             .groupBy("u")
@@ -70,10 +219,6 @@ def connected_components(
         # One materialization per iteration carrying a `changed` flag:
         # the convergence read then scans the checkpointed result
         # instead of re-running the join.
-        # (Pointer-halving via a label(label(u)) self-join was tried and
-        # rejected: it barely cut iterations on near-dup chain graphs
-        # and the iterated self-join degraded super-linearly per round
-        # in Spark 4.1 — 0.4s → 39s by iteration 12 at sf0.1.)
         new_labels = (
             labels.join(neighbor_min, "u", "left_outer")
             .select(
@@ -93,16 +238,18 @@ def connected_components(
             break
     else:
         msg = (
-            f"connected_components: labels still changing after "
-            f"{max_iter} iterations — cluster ids may be incomplete; "
-            f"raise max_iter (label propagation needs ~graph diameter "
-            f"rounds)"
+            f"connected_components_label_prop: labels still changing "
+            f"after {max_iter} iterations — cluster ids may be "
+            f"incomplete; raise max_iter (label propagation needs "
+            f"~graph diameter rounds)"
         )
         if strict:
             raise RuntimeError(msg)
         import warnings
 
         warnings.warn(msg, stacklevel=2)
+    if stats is not None:
+        stats["rounds"] = rounds
     singletons = all_nodes.join(sym.select("u"), "u", "left_anti").select(
         "u", F.col("u").alias("label")
     )

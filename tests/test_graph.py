@@ -136,3 +136,92 @@ def test_lsh_composed_clusters_match_exact_in_near_dup_regime(spark):
     # sanity: the injected dups really did form non-trivial clusters
     assert sum(1 for v, c in exact_cc.items() if v != c) >= 40
     assert lsh_cc == exact_cc
+
+
+def _union_find(edges, nodes):
+    """Pure-Python min-id connected components (oracle)."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_star_algorithm_matches_label_prop_and_union_find(spark):
+    """Result identity: the alternating large-star/small-star default
+    must produce EXACTLY the labels of the naive label-propagation
+    reference and a Python union-find, across shapes that stress each
+    algorithm differently (chains, cycles, hubs, random blobs)."""
+    import random
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.graph import (
+        connected_components,
+        connected_components_label_prop,
+    )
+
+    rng = random.Random(13)
+    edge_list = []
+    # chain 0..19, cycle 100..109, hub 200 with 30 spokes, random blob
+    edge_list += [(i, i + 1) for i in range(19)]
+    edge_list += [(100 + i, 100 + (i + 1) % 10) for i in range(10)]
+    edge_list += [(200, 201 + i) for i in range(30)]
+    blob = list(range(300, 340))
+    edge_list += [tuple(rng.sample(blob, 2)) for _ in range(60)]
+    node_list = sorted(
+        {x for e in edge_list for x in e} | {500, 501}
+    )  # + two singletons
+    edges = spark.createDataFrame(edge_list, "id_a BIGINT, id_b BIGINT")
+    nodes = spark.createDataFrame([(n,) for n in node_list], "id BIGINT")
+    want = _union_find(edge_list, node_list)
+    star = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(edges, nodes).collect()
+    }
+    prop = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components_label_prop(edges, nodes).collect()
+    }
+    assert star == want
+    assert prop == want
+
+
+def test_star_algorithm_rounds_are_logarithmic_on_path_graph(spark):
+    """The round-9 scale fix: a 200-node path (diameter 199) must
+    converge in ~log2 alternating rounds, where label propagation
+    needs ~diameter rounds. This is the driver-job-round-trip
+    reduction the star rewrite exists for — pin it."""
+    import pytest
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.graph import (
+        connected_components,
+        connected_components_label_prop,
+    )
+
+    n = 200
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a BIGINT, id_b BIGINT"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id BIGINT")
+    stats: dict = {}
+    out = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(
+            edges, nodes, max_iter=12, stats=stats
+        ).collect()
+    }
+    assert set(out.values()) == {0} and len(out) == n
+    assert stats["rounds"] <= 10, (
+        f"star algorithm took {stats['rounds']} rounds on a {n}-path; "
+        "expected ~log2(n)"
+    )
+    # label propagation genuinely cannot do this in 12 rounds
+    with pytest.raises(RuntimeError, match="still changing"):
+        connected_components_label_prop(edges, nodes, max_iter=12)

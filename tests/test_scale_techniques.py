@@ -139,23 +139,29 @@ def test_floor_div_exact_beyond_double_mantissa(spark):
 def test_connected_components_raises_on_non_convergence(spark):
     import pytest
 
-    from real_time_video_streaming_analytics_lakehouse_spark.operators.graph import connected_components
-
-    # path graph 0-1-2-...-9: min-label needs ~diameter rounds
-    edges = spark.createDataFrame(
-        [(i, i + 1) for i in range(9)], "id_a BIGINT, id_b BIGINT"
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.graph import (
+        connected_components,
+        connected_components_label_prop,
     )
-    nodes = spark.createDataFrame([(i,) for i in range(10)], "id BIGINT")
+
+    # path graph 0-1-...-63: the star algorithm needs ~log2 rounds, so
+    # 1 round cannot reach the fixpoint; label-prop needs ~diameter.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a BIGINT, id_b BIGINT"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(64)], "id BIGINT")
+    with pytest.raises(RuntimeError, match="re-pointing"):
+        connected_components(edges, nodes, max_iter=1)
     with pytest.raises(RuntimeError, match="still changing"):
-        connected_components(edges, nodes, max_iter=2)
+        connected_components_label_prop(edges, nodes, max_iter=2)
     # warn-only mode returns partial labels
     import warnings
 
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        out = connected_components(edges, nodes, max_iter=2, strict=False)
-        assert out.count() == 10
-        assert any("still changing" in str(x.message) for x in w)
+        out = connected_components(edges, nodes, max_iter=1, strict=False)
+        assert out.count() == 64
+        assert any("re-pointing" in str(x.message) for x in w)
     # enough iterations: single cluster, no raise
     out = {
         r["id"]: r["cluster_id"]
