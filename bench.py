@@ -109,22 +109,28 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if os.environ.get("SPARK_GRAFT_BENCH_STREAMING"):
-        out["streaming_events_per_sec"] = _streaming_throughput(spark, sf_dir)
+        rates = _streaming_throughput(spark, sf_dir)
+        # key kept from rounds 5-9 (single-pipeline figure) so
+        # cross-round diffs stay mechanical
+        out["streaming_events_per_sec"] = rates["user_activity"]
+        out["streaming_events_per_sec_by_pipeline"] = rates
     print(json.dumps(out))
 
 
-def _streaming_throughput(spark, sf_dir: str) -> float:
-    """Drain the events table through the watermarked user-activity
-    pipeline (file source → window agg → noop-ish memory-free sink) via
-    Trigger.AvailableNow and report events/second. Opt-in
-    (SPARK_GRAFT_BENCH_STREAMING=1) so the driver's default bench run
-    stays fast."""
+def _streaming_throughput(spark, sf_dir: str) -> dict[str, float]:
+    """Drain the events table through each of the reference's three
+    streaming pipelines (file source → watermarked window agg →
+    parquet sink) via Trigger.AvailableNow and report events/second
+    per pipeline. Opt-in (SPARK_GRAFT_BENCH_STREAMING=1) so the
+    driver's default bench run stays fast."""
     import shutil
     import tempfile
     import time as _t
 
     from real_time_video_streaming_analytics_lakehouse_spark.sources.readers import load_table
     from real_time_video_streaming_analytics_lakehouse_spark.streaming.pipelines import (
+        anomaly_stream,
+        content_popularity_stream,
         stream_events_from_files,
         user_activity_stream,
     )
@@ -143,29 +149,38 @@ def _streaming_throughput(spark, sf_dir: str) -> float:
         # 32 files so maxFilesPerTrigger batches into multiple triggers
         events.repartition(32).write.parquet(src_dir)
         schema = spark.read.parquet(src_dir).schema
-        src = stream_events_from_files(
-            spark, src_dir, schema, max_files_per_trigger=8
-        )
-        start = _t.perf_counter()
-        q = (
-            user_activity_stream(src)
-            .writeStream.format("parquet")
-            .option("path", f"{work}/out")
-            .option("checkpointLocation", f"{work}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        finished = q.awaitTermination(600)
-        elapsed = _t.perf_counter() - start
-        if not finished:
-            # A partial drain would overstate events/s, and deleting the
-            # work dir under a live query corrupts the run — fail loud.
-            q.stop()
-            raise RuntimeError(
-                f"streaming drain did not finish within 600s "
-                f"({elapsed:.0f}s elapsed); no throughput reported"
+        rates: dict[str, float] = {}
+        for tag, build in (
+            ("user_activity", user_activity_stream),
+            ("content_popularity", content_popularity_stream),
+            ("anomaly", anomaly_stream),
+        ):
+            src = stream_events_from_files(
+                spark, src_dir, schema, max_files_per_trigger=8
             )
-        return round(n / elapsed, 1)
+            start = _t.perf_counter()
+            q = (
+                build(src)
+                .writeStream.format("parquet")
+                .option("path", f"{work}/out_{tag}")
+                .option("checkpointLocation", f"{work}/ckpt_{tag}")
+                .trigger(availableNow=True)
+                .start()
+            )
+            finished = q.awaitTermination(600)
+            elapsed = _t.perf_counter() - start
+            if not finished:
+                # A partial drain would overstate events/s, and deleting
+                # the work dir under a live query corrupts the run —
+                # fail loud.
+                q.stop()
+                raise RuntimeError(
+                    f"streaming drain ({tag}) did not finish within "
+                    f"600s ({elapsed:.0f}s elapsed); no throughput "
+                    f"reported"
+                )
+            rates[tag] = round(n / elapsed, 1)
+        return rates
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -161,6 +161,38 @@ def _x3_stamp() -> str:
     }, sort_keys=True)
 
 
+_probe_seq = 0
+
+
+def _timed_run(spark, name: str, sf_dir: str) -> tuple[float, int]:
+    """Run one catalog query to a noop sink inside a unique job group;
+    return (wall seconds, Spark JOB count).
+
+    The job count is the round-9 forensics metric: driver job
+    round-trips — not data volume — were the catalog's dominant noise
+    amplifier (iterative queries launching many tiny jobs float with
+    per-core-speed spread). A query whose job count GROWS with data
+    size has a driver loop whose trip count depends on the data
+    (e.g. diameter-bound label propagation) — the shape that multiplies
+    scheduler latency at 100×. Counted immediately after the run so
+    `spark.ui.retainedJobs` eviction can't undercount."""
+    global _probe_seq
+    _probe_seq += 1
+    group = f"scale-probe-{_probe_seq}"
+    sc = spark.sparkContext
+    sc.setJobGroup(group, f"{name} @ {sf_dir}")
+    try:
+        start = time.perf_counter()
+        CATALOG[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        el = round(time.perf_counter() - start, 3)
+    finally:
+        sc.setJobGroup("", "")
+    jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+    return el, jobs
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=3)
@@ -186,45 +218,53 @@ def main() -> None:
     ).mode("overwrite").save()
 
     timings: dict[str, dict[str, float]] = {n: {} for n in names}
+    jobs_hi: dict[str, int] = {}
     for _ in range(args.runs):
         for sf, sf_dir in SF_DIRS:
             for name in names:
-                start = time.perf_counter()
-                CATALOG[name].fn(spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                el = round(time.perf_counter() - start, 3)
+                el, jobs = _timed_run(spark, name, sf_dir)
                 cur = timings[name].get(sf)
                 if cur is None or el < cur:
                     timings[name][sf] = el
+                if sf == SF_DIRS[-1][0]:
+                    # max across runs: caching never lowers the bound
+                    jobs_hi[name] = max(jobs_hi.get(name, 0), jobs)
 
     extra: dict[str, float] = {}
+    jobs_x3: dict[str, int] = {}
     if args.extra_tier:
         tier_dir = _materialize_x3(
             spark, SF_DIRS[-1][1], "/tmp/spark_graft_sf0.3_full"
         )
         for _ in range(args.runs):
             for name in names:
-                start = time.perf_counter()
-                CATALOG[name].fn(spark, tier_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                el = round(time.perf_counter() - start, 3)
+                el, jobs = _timed_run(spark, name, tier_dir)
                 if name not in extra or el < extra[name]:
                     extra[name] = el
+                jobs_x3[name] = max(jobs_x3.get(name, 0), jobs)
 
     report: dict[str, dict] = {}
     flagged: list[str] = []
+    flagged_jobs: list[str] = []
     _, mid, hi = (sf for sf, _ in SF_DIRS)
     for name in names:
         t = timings[name]
         ratio = round(t[hi] / t[mid], 2)
         report[name] = {**t, "decade_ratio": ratio}
+        report[name]["jobs"] = jobs_hi[name]
         if name in extra:
             # 3x the sf0.1 data; linear work lands at <= ~3 (fixed
             # overhead pulls it down, skew pulls it up slightly)
             report[name]["0.3"] = extra[name]
             report[name]["x3_ratio"] = round(extra[name] / t[hi], 2)
+            report[name]["jobs_x3"] = jobs_x3[name]
+            # Job count must be ~data-size-independent: a declarative
+            # plan launches a fixed number of jobs; iterative operators
+            # (connected components) may add O(log growth) rounds — the
+            # slack of +4 jobs covers log2(3x) plus one AQE re-plan.
+            # Anything beyond means a data-bound driver loop.
+            if jobs_x3[name] > jobs_hi[name] + 4:
+                flagged_jobs.append(name)
         if ratio > FLAG_RATIO and t[hi] > 1.0:
             flagged.append(name)
 
@@ -236,12 +276,23 @@ def main() -> None:
         "flag_threshold": FLAG_RATIO,
         "queries": report,
         "flagged_superlinear": sorted(flagged),
+        "flagged_job_growth": sorted(flagged_jobs),
     }
-    text = json.dumps(out)
     if args.out:
+        # other probes merge their own top-level sections into the same
+        # file (maintenance_probe --merge-into): preserve any key this
+        # probe doesn't own instead of clobbering it
+        if os.path.exists(args.out):
+            try:
+                with open(args.out) as f:
+                    prior = json.load(f)
+                for k, v in prior.items():
+                    out.setdefault(k, v)
+            except (OSError, json.JSONDecodeError):
+                pass
         with open(args.out, "w") as f:
-            f.write(text + "\n")
-    print(text)
+            f.write(json.dumps(out) + "\n")
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
