@@ -8,6 +8,7 @@ from .text import (
     add_text_features,
     bm25_scores,
     bm25_select,
+    bm25_term_stats,
     doc_fingerprint,
     shingles,
     tfidf_scores,
@@ -19,6 +20,7 @@ __all__ = [
     "asof_join",
     "bm25_scores",
     "bm25_select",
+    "bm25_term_stats",
     "cosine_topk",
     "dedup_keep_latest",
     "doc_fingerprint",

@@ -232,6 +232,27 @@ def tfidf_scores(
     )
 
 
+def bm25_term_stats(
+    words: DataFrame,
+    id_col: str = "doc_id",
+    term_col: str = "w",
+) -> DataFrame:
+    """The integer core of :func:`bm25_scores`: per-(doc, term) term
+    frequency joined with corpus document frequency — ``(id, term, tf,
+    df)``. Factored out so integer-only consumers (the driver-oracled
+    ``text_quality`` BM25 arm) get exactly the tf/df inputs the scorer
+    uses WITHOUT the doc-length branch and its 1-row broadcast avgdl
+    attach (text_quality's plan pin forbids nested-loop joins, and an
+    arm that doesn't emit the score shouldn't pay for dl/avgdl).
+
+    Scale shape: two map-side-combinable aggregates and one
+    vocabulary-sized equi-join — identical to the tf/df stages of
+    :func:`tfidf_scores`."""
+    tf = words.groupBy(id_col, term_col).agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy(term_col).agg(F.count("*").alias("df"))
+    return tf.join(dfreq, term_col)
+
+
 def bm25_scores(
     words: DataFrame,
     n_docs: int,
@@ -258,8 +279,6 @@ def bm25_scores(
     broadcast. Floats stay caller-facing (thresholds/top-k), not
     catalog-hash-facing — ``ln`` is not hash-portable across engines.
     """
-    tf = words.groupBy(id_col, term_col).agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy(term_col).agg(F.count("*").alias("df"))
     dl = words.groupBy(id_col).agg(F.count("*").alias("dl"))
     avgdl = dl.agg(F.avg("dl").alias("avgdl"))
     idf = F.log(
@@ -268,7 +287,7 @@ def bm25_scores(
     )
     norm = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
     return (
-        tf.join(dfreq, term_col)
+        bm25_term_stats(words, id_col=id_col, term_col=term_col)
         .join(dl, id_col)
         .crossJoin(F.broadcast(avgdl))
         .select(

@@ -22,7 +22,7 @@ from ..operators.dedup import (
 from ..operators.similarity import cosine_topk, label_centroid_norms
 from ..operators.text import (
     add_text_features,
-    bm25_scores,
+    bm25_term_stats,
     chunk_documents,
     fingerprint_col,
     ngram_jaccard_pairs,
@@ -137,9 +137,11 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed query set :data:`_BM25_QUERY` (``bm25_q_hits`` distinct
     query terms present, ``bm25_q_tf`` summed in-doc occurrences,
     ``bm25_q_df_sum`` summed corpus document frequencies), read off
-    :func:`..operators.text.bm25_scores`' own output over the same
-    exploded words — the operator's tf/df/membership inputs are now
-    driver-oracled end-to-end while the ln-based Okapi score remains
+    :func:`..operators.text.bm25_term_stats` — the exact tf/df frame
+    :func:`..operators.text.bm25_scores` is built on — over the same
+    exploded words; the operator's tf/df/membership inputs are
+    driver-oracled end-to-end while the ln-based Okapi score (and its
+    dl/avgdl branch, which this arm doesn't emit) remains
     property-pinned (tests/test_properties.py)."""
     from ..operators.lm import score_documents, train_bigram_lm
 
@@ -163,13 +165,16 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     tfidf = top_tfidf_term(words.select("doc_id", "w"))
     # Round 10: the BM25 INTEGER arm — per-doc query-term statistics
     # (distinct hits, summed tf, summed corpus df) for a fixed query
-    # set, read off :func:`..operators.text.bm25_scores`' own output
-    # (n_docs only feeds the float idf, which this arm doesn't emit) —
-    # so the operator's tf/df/membership inputs are driver-oracled
-    # while its ln-based score stays property-pinned in
+    # set, read off :func:`..operators.text.bm25_term_stats` — the
+    # exact tf/df frame :func:`..operators.text.bm25_scores` is built
+    # on (the scorer adds only the dl/avgdl branch feeding the float
+    # score, which this arm doesn't emit, and whose 1-row broadcast
+    # attach would be the one nested-loop join in this query's pinned
+    # plan) — so the operator's tf/df/membership inputs are
+    # driver-oracled while its ln-based score stays property-pinned in
     # tests/test_properties.py (libm is not hash-portable).
     bm = (
-        bm25_scores(words.select("doc_id", "w"), n_docs=1)
+        bm25_term_stats(words.select("doc_id", "w"))
         .filter(F.col("w").isin(*_BM25_QUERY))
         .groupBy("doc_id")
         .agg(
