@@ -13,6 +13,10 @@ from .text import (
     shingles,
     tfidf_scores,
     top_tfidf_term,
+    winnow_containment_hits,
+    winnow_fingerprints,
+    winnow_fingerprints_col,
+    winnow_fingerprints_vec,
 )
 
 __all__ = [
@@ -34,5 +38,9 @@ __all__ = [
     "scd2_from_history",
     "shingles",
     "tfidf_scores",
+    "winnow_containment_hits",
+    "winnow_fingerprints",
+    "winnow_fingerprints_col",
+    "winnow_fingerprints_vec",
     "top_tfidf_term",
 ]

@@ -513,6 +513,188 @@ def rolling_fingerprint(
     )
 
 
+def winnow_fingerprints_col(
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    base: int = 131,
+    mod: int = 10**15,
+) -> Column:
+    """Winnowed document fingerprints (Schleimer/Wilkerson/Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03 — the MOSS sketch): the sorted distinct set of
+    window-minimum character ``k``-gram hashes, one minimum per window
+    of ``w`` consecutive k-gram positions.
+
+    The winnowing guarantee: any substring SHARED between two
+    documents of length ≥ ``w + k - 1`` contributes at least one
+    SHARED selected fingerprint — so an equi-join on fingerprints
+    detects containment/quotation/boilerplate with a sketch of
+    expected density 2/(w+1) of the k-gram positions, instead of
+    shipping every position (the rolling-hash/shingle surfaces) or
+    only whole-document hashes (:func:`fingerprint_col`). That is the
+    missing middle of the fingerprint family: order-sensitive AND
+    local, with a proven detection threshold.
+
+    Hashes are the same Rabin–Karp polynomial as
+    :func:`rolling_hash_col` (pure integer fold mod 10^15 — no
+    overflow under ANSI, bit-identical in any engine, so the DuckDB
+    oracle reproduces the selection exactly; selection depends on hash
+    VALUES, not just equality, which is why a portable hash is load-
+    bearing here). All work is JVM higher-order functions over the
+    per-doc char-code array via the SHIFTED-ZIP idiom (the same trick
+    as the O(len)/doc shingle builder): the i-th k-gram hash is built
+    by ``k`` ``zip_with`` passes over length-shifted views of the code
+    array, and the window minima by ``w`` ``least`` passes over the
+    hash array — O(len·(k+w)) flat per-element work, partition-
+    parallel, no shuffle, no UDF. (A per-position ``slice``+fold
+    nested HOF computes the same values but re-materializes an O(len)
+    slice per position — O(len²) per doc, measured minutes-vs-seconds
+    at 500 docs; don't regress to it.)
+
+    Edge semantics (mirroring the family's missing≠empty rule):
+    NULL text → NULL; fewer than one k-gram (len < k) → empty set;
+    fewer than one full window (len < k+w-1) → the single global
+    minimum (the degenerate one-window case)."""
+    text = F.col(text_col) if isinstance(text_col, str) else text_col
+    codes = F.transform(
+        F.split(text, ""), lambda ch: F.ascii(ch).cast("long")
+    )
+    # m k-gram positions; clamped so the guarded branches below can
+    # never evaluate slice() with a negative length even interpreted
+    m = F.greatest(F.length(text) - F.lit(k) + 1, F.lit(1))
+    kh = F.transform(F.slice(codes, 1, m), lambda _: F.lit(0).cast("long"))
+    for j in range(k):
+        kh = F.zip_with(
+            kh,
+            F.slice(codes, j + 1, m),
+            lambda h, c: (h * base + c) % F.lit(mod),
+        )
+    nwin = F.greatest(m - F.lit(w) + 1, F.lit(1))
+    mins = F.slice(kh, 1, nwin)
+    for j in range(1, w):
+        mins = F.zip_with(
+            mins, F.slice(kh, j + 1, nwin), lambda a, b: F.least(a, b)
+        )
+    sel = F.array_sort(F.array_distinct(mins))
+    return (
+        F.when(text.isNull(), F.lit(None).cast("array<long>"))
+        .when(F.length(text) < k, F.array().cast("array<long>"))
+        .when(F.length(text) < k + w - 1, F.array(F.array_min(kh)))
+        .otherwise(sel)
+    )
+
+
+def winnow_fingerprints_vec(
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    base: int = 131,
+    mod: int = 10**15,
+) -> Column:
+    """Arrow-vectorized sibling of :func:`winnow_fingerprints_col` —
+    the PRODUCTION path. Spark higher-order functions are
+    CodegenFallback (interpreted per element), and the k+w shifted-zip
+    passes measure ~10 s for one pass over the sf0.1 corpus; the numpy
+    formulation (UTF-32 zero-copy codepoint view, k vectorized
+    fused-multiply-mod passes, w running-minimum passes, np.unique)
+    does identical integer arithmetic at C speed — this is the same
+    sanctioned vectorized-Python carve-out as ``bpe_encode``:
+    Arrow-batched, linear work, no shuffle, value-identical output
+    (pinned against the HOF column and the Python reference in
+    tests/test_operators.py).
+
+    Caveat shared with every char-hash surface in this module (and
+    their DuckDB oracles): char codes are Basic-Multilingual-Plane
+    codepoints; astral-plane text would read as surrogate pairs via
+    JVM ``ascii`` but true codepoints here."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def _winnow(texts):
+        out: list = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            n = len(t)
+            if n < k:
+                out.append([])
+                continue
+            codes = np.frombuffer(
+                t.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            m = n - k + 1
+            h = np.zeros(m, dtype=np.int64)
+            for j in range(k):
+                h = (h * base + codes[j : j + m]) % mod
+            if m < w:
+                out.append([int(h.min())])
+                continue
+            mins = h[: m - w + 1].copy()
+            for j in range(1, w):
+                np.minimum(mins, h[j : j + m - w + 1], out=mins)
+            out.append(np.unique(mins).tolist())
+        return pd.Series(out)
+
+    return _winnow(
+        F.col(text_col) if isinstance(text_col, str) else text_col
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    vectorized: bool = True,
+) -> DataFrame:
+    """Exploded ``(id, fp)`` winnowed-fingerprint frame — the join
+    input for containment detection (NULL/too-short docs contribute
+    no rows; the set per doc is already distinct). ``vectorized``
+    picks the Arrow path (default) or the pure-JVM HOF column."""
+    col = (
+        winnow_fingerprints_vec(text_col, k=k, w=w)
+        if vectorized
+        else winnow_fingerprints_col(text_col, k=k, w=w)
+    )
+    return df.select(F.col(id_col), F.explode(col).alias("fp"))
+
+
+def winnow_containment_hits(
+    corpus: DataFrame,
+    holdout: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    vectorized: bool = True,
+) -> DataFrame:
+    """Per-doc count of winnowed fingerprints shared with ``holdout``
+    — the containment-detection surface: by the winnowing guarantee a
+    doc containing any ≥ ``w+k-1``-char passage from the holdout
+    scores ≥ 1. Same broadcast-holdout equi-join shape as the 13-gram
+    :func:`contaminated_ids` (ids + 64-bit-ish hashes shuffle, never
+    text)."""
+    fps = winnow_fingerprints(
+        corpus, text_col, id_col, k=k, w=w, vectorized=vectorized
+    )
+    hold = (
+        winnow_fingerprints(
+            holdout, text_col, id_col, k=k, w=w, vectorized=vectorized
+        )
+        .select("fp")
+        .distinct()
+    )
+    return fps.join(hold, "fp").groupBy(id_col).agg(
+        F.count("*").alias("winnow_hits")
+    )
+
+
 def fingerprint_col(text_col: str = "text", size: int = 3) -> Column:
     """Order-insensitive content fingerprint: md5 over the sorted
     distinct character-shingle set. Identical for any permutation-

@@ -32,6 +32,7 @@ from ..operators.text import (
     rolling_hash_col,
     tokens,
     top_tfidf_term,
+    winnow_fingerprints_vec,
 )
 from ..sources.readers import load_table
 from .catalog import QuerySpec
@@ -370,7 +371,21 @@ def doc_dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts over the shingle strings themselves — identical strings
     hash identically, so the counts agree exactly (a cross-string
     xxhash64 collision is the only divergence, and this fixed corpus
-    has none)."""
+    has none).
+
+    Round 10 adds the WINNOWING arm (Schleimer et al. SIGMOD'03 —
+    :func:`..operators.text.winnow_fingerprints_vec`): per doc the
+    count of selected window-min k-gram fingerprints
+    (``winnow_fp_count``; expected density 2/(w+1) of positions) and
+    the count shared with the same every-37th-doc holdout
+    (``winnow_hits``) — the guaranteed-detection containment surface
+    (any ≥ w+k-1 = 11-char passage shared with a holdout doc scores
+    ≥ 1). The polynomial hash is the :func:`..operators.text.
+    rolling_hash_col` fold, so the DuckDB oracle reproduces the
+    SELECTION (which depends on hash values, not just equality)
+    bit-exactly. The per-doc fingerprint sets are computed ONCE
+    (Arrow-vectorized, lazily checkpointed) and reused by the count
+    column, the holdout filter, and the hits join."""
     from ..operators.text import contaminated_ids
 
     d = _docs(spark, sf_dir)
@@ -378,6 +393,17 @@ def doc_dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     holdout = d.filter(F.col("doc_id") % 37 == 0)
     hits = contaminated_ids(d, holdout).withColumnRenamed(
         "hits", "holdout_hits"
+    )
+    wd = d.select(
+        "doc_id", winnow_fingerprints_vec("text").alias("_wfps")
+    ).localCheckpoint(eager=False)
+    wfp = wd.select("doc_id", F.explode("_wfps").alias("fp"))
+    whold = wfp.filter(F.col("doc_id") % 37 == 0).select("fp").distinct()
+    whits = wfp.join(whold, "fp").groupBy("doc_id").agg(
+        F.count("*").alias("winnow_hits")
+    )
+    wcnt = wd.select(
+        "doc_id", F.size("_wfps").cast("long").alias("winnow_fp_count")
     )
     per_doc = d.select(
         "doc_id",
@@ -389,14 +415,20 @@ def doc_dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # still appear (grouped together), matching rolling_hash_col's
     # documented missing≠empty semantics — a plain equi-join would
     # silently drop every NULL-text doc.
-    joined = per_doc.join(
-        groups, per_doc.text_hash.eqNullSafe(groups.text_hash)
-    ).join(hits, "doc_id", "left_outer")
+    joined = (
+        per_doc.join(groups, per_doc.text_hash.eqNullSafe(groups.text_hash))
+        .join(hits, "doc_id", "left_outer")
+        .join(wcnt, "doc_id", "left_outer")
+        .join(whits, "doc_id", "left_outer")
+    )
     return joined.select(
         per_doc.doc_id, per_doc.text_hash, "dup_count", "canonical_doc_id",
-        "fingerprint", "rhash",
+        "fingerprint", "rhash", "winnow_fp_count",
         F.coalesce(F.col("holdout_hits"), F.lit(0).cast("long")).alias(
             "holdout_hits"
+        ),
+        F.coalesce(F.col("winnow_hits"), F.lit(0).cast("long")).alias(
+            "winnow_hits"
         ),
     )
 
@@ -417,7 +449,32 @@ sh13 AS (
 hold AS (SELECT DISTINCT sh FROM sh13 WHERE doc_id % 37 = 0),
 hits AS (
   SELECT s.doc_id, CAST(COUNT(DISTINCT s.sh) AS BIGINT) AS holdout_hits
-  FROM sh13 s JOIN hold h ON s.sh = h.sh GROUP BY 1)
+  FROM sh13 s JOIN hold h ON s.sh = h.sh GROUP BY 1),
+-- winnowing (k=8, w=4): per-position 8-gram polynomial hashes, then
+-- the distinct window-of-4 minima — the SAME fold as rhash below, so
+-- the value-dependent selection matches the engine bit-for-bit
+wkh AS (
+  SELECT doc_id, length(text) AS n,
+         list_transform(generate_series(0, length(text) - 8),
+           i -> list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(generate_series(1, 8),
+                      j -> CAST(ascii(substr(text, CAST(i + j AS INTEGER), 1)) AS BIGINT))),
+                  (a, x) -> (a * 131 + x) % 1000000000000000)) AS kh
+  FROM documents WHERE text IS NOT NULL AND length(text) >= 8),
+wsel AS (
+  SELECT doc_id,
+         CASE WHEN n < 11 THEN [list_aggregate(kh, 'min')]
+              ELSE list_sort(list_distinct(
+                     list_transform(generate_series(0, len(kh) - 4),
+                       j -> list_aggregate(list_slice(kh, j + 1, j + 4), 'min'))))
+         END AS fps
+  FROM wkh),
+wfp AS (SELECT doc_id, unnest(fps) AS fp FROM wsel),
+whold AS (SELECT DISTINCT fp FROM wfp WHERE doc_id % 37 = 0),
+whits AS (
+  SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS winnow_hits
+  FROM wfp w JOIN whold h ON w.fp = h.fp GROUP BY 1)
 SELECT d.doc_id, md5(d.text) AS text_hash, g.dup_count, g.canonical_doc_id,
        md5(array_to_string(list_sort(list_distinct(
          list_transform(generate_series(1, greatest(length(d.text) - 2, 1)),
@@ -430,10 +487,16 @@ SELECT d.doc_id, md5(d.text) AS text_hash, g.dup_count, g.canonical_doc_id,
                i -> CAST(ascii(substr(d.text, CAST(i AS INTEGER), 1)) AS BIGINT))),
            (a, x) -> (a * 131 + x) % 1000000000000000)
        ELSE 0 END AS rhash,
-       COALESCE(hits.holdout_hits, CAST(0 AS BIGINT)) AS holdout_hits
+       CASE WHEN d.text IS NULL THEN NULL
+            WHEN length(d.text) < 8 THEN CAST(0 AS BIGINT)
+            ELSE CAST(len(wsel.fps) AS BIGINT) END AS winnow_fp_count,
+       COALESCE(hits.holdout_hits, CAST(0 AS BIGINT)) AS holdout_hits,
+       COALESCE(whits.winnow_hits, CAST(0 AS BIGINT)) AS winnow_hits
 FROM documents d
 JOIN groups g ON md5(d.text) IS NOT DISTINCT FROM g.text_hash
 LEFT JOIN hits ON d.doc_id = hits.doc_id
+LEFT JOIN wsel ON d.doc_id = wsel.doc_id
+LEFT JOIN whits ON d.doc_id = whits.doc_id
 """
 
 

@@ -727,3 +727,130 @@ def test_pii_patterns_cross_engine_fuzz(spark):
     ).fetchall()
     for i, e, p, v, r in duck:
         assert spark_rows[i] == (e, p, v, r), (i, rows[i][1])
+
+
+def _winnow_reference(text, k=8, w=4, base=131, mod=10**15):
+    """Pure-Python winnowing (Schleimer et al. SIGMOD'03): sorted
+    distinct window-min k-gram polynomial hashes."""
+    if text is None:
+        return None
+    if len(text) < k:
+        return []
+    kh = []
+    for i in range(len(text) - k + 1):
+        h = 0
+        for ch in text[i : i + k]:
+            h = (h * base + ord(ch)) % mod
+        kh.append(h)
+    if len(kh) < w:
+        return [min(kh)]
+    mins = {min(kh[j : j + w]) for j in range(len(kh) - w + 1)}
+    return sorted(mins)
+
+
+def test_winnow_fingerprints_match_python_reference(spark):
+    """BOTH implementations — the pure-JVM HOF column and the
+    Arrow-vectorized production path — must be value-identical to the
+    paper's algorithm on random strings plus every edge class (NULL,
+    empty, len<k, len<k+w-1, exactly one window, repeated chars,
+    non-ASCII BMP chars)."""
+    import random
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.text import (
+        winnow_fingerprints_col,
+        winnow_fingerprints_vec,
+    )
+
+    rng = random.Random(29)
+    alpha = "abcdefg XYZ,.!"
+    docs = [
+        (0, None),
+        (1, ""),
+        (2, "short"),          # len < k
+        (3, "exactly8"),       # one k-gram
+        (4, "tenchars!!"),     # k-grams but < one full window
+        (5, "elevenchars"),    # exactly one window (k+w-1 = 11)
+        (6, "a" * 40),         # degenerate repeats
+        (7, "naïve café über—dash 模型 text"),  # non-ASCII BMP
+    ] + [
+        (10 + i, "".join(rng.choice(alpha) for _ in range(rng.randint(12, 200))))
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    for col in (winnow_fingerprints_col, winnow_fingerprints_vec):
+        got = {
+            r["doc_id"]: (None if r["fp"] is None else list(r["fp"]))
+            for r in df.select(
+                "doc_id", col("text").alias("fp")
+            ).collect()
+        }
+        for doc_id, text in docs:
+            assert got[doc_id] == _winnow_reference(text), (
+                col.__name__, doc_id, text
+            )
+
+
+def test_winnowing_guarantee_shared_passage_shares_fingerprint(spark):
+    """The paper's detection guarantee: two docs sharing any substring
+    of length >= w + k - 1 (= 11 at the defaults) must share at least
+    one selected fingerprint, wherever the passage lands in either
+    doc."""
+    import random
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.text import (
+        winnow_fingerprints_col,
+    )
+
+    rng = random.Random(31)
+    alpha = "abcdefghij "
+    cases = []
+    for i in range(20):
+        passage = "".join(rng.choice(alpha) for _ in range(11))
+        a = ("".join(rng.choice(alpha) for _ in range(rng.randint(0, 60)))
+             + passage
+             + "".join(rng.choice(alpha) for _ in range(rng.randint(0, 60))))
+        b = ("".join(rng.choice(alpha) for _ in range(rng.randint(0, 60)))
+             + passage
+             + "".join(rng.choice(alpha) for _ in range(rng.randint(0, 60))))
+        cases.append((2 * i, a))
+        cases.append((2 * i + 1, b))
+    df = spark.createDataFrame(cases, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: set(r["fp"])
+        for r in df.select(
+            "doc_id", winnow_fingerprints_col("text").alias("fp")
+        ).collect()
+    }
+    for i in range(20):
+        assert got[2 * i] & got[2 * i + 1], (
+            f"pair {i}: no shared fingerprint despite an 11-char "
+            f"shared passage"
+        )
+
+
+def test_winnow_containment_hits_detects_planted_quotes(spark):
+    """End-to-end containment surface: docs quoting a holdout passage
+    score >= 1, unrelated docs score 0 (absent from the output)."""
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.text import (
+        winnow_containment_hits,
+    )
+
+    quote = "the quick brown fox jumps"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"intro text then {quote} and a tail"),
+            (2, "completely unrelated content with zero overlap!"),
+            (3, f"{quote} right at the start"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    holdout = spark.createDataFrame(
+        [(99, f"reference doc containing {quote} verbatim")],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r["doc_id"]: r["winnow_hits"]
+        for r in winnow_containment_hits(corpus, holdout).collect()
+    }
+    assert got.get(1, 0) >= 1 and got.get(3, 0) >= 1
+    assert 2 not in got
