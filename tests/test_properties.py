@@ -208,3 +208,85 @@ def test_bm25_scores_match_python_reference(spark, docs):
             )
             assert abs(got[(i, w)] - want) < 1e-12, (i, w)
     assert set(got) == expected_keys
+
+
+# BMP-only alphabet: the char-hash surfaces' documented contract
+# (JVM ascii = UTF-16 code unit, true codepoint only in the BMP)
+_bmp_text = st.text(
+    alphabet=st.characters(
+        min_codepoint=1, max_codepoint=0xD7FF
+    ),
+    max_size=64,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(_bmp_text | st.none(), min_size=1, max_size=8))
+def test_winnow_selection_matches_reference_on_arbitrary_bmp_text(
+    spark, texts
+):
+    """Both winnowing implementations must equal the paper's algorithm
+    for ANY BMP string (hypothesis explores boundary lengths around
+    k=8 and k+w-1=11, repeated chars, exotic codepoints, NULLs)."""
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.text import (
+        winnow_fingerprints_col,
+        winnow_fingerprints_vec,
+    )
+
+    from .test_operators import _winnow_reference
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id LONG, text STRING"
+    )
+    for col in (winnow_fingerprints_col, winnow_fingerprints_vec):
+        got = {
+            r["doc_id"]: (None if r["fp"] is None else list(r["fp"]))
+            for r in df.select(
+                "doc_id", col("text").alias("fp")
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            assert got[i] == _winnow_reference(t), (col.__name__, repr(t))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    passage=st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0xD7FF),
+        min_size=11,
+        max_size=20,
+    ),
+    pre_a=_bmp_text,
+    post_a=_bmp_text,
+    pre_b=_bmp_text,
+    post_b=_bmp_text,
+)
+def test_winnowing_guarantee_holds_for_arbitrary_embeddings(
+    spark, passage, pre_a, post_a, pre_b, post_b
+):
+    """The SIGMOD'03 guarantee for ANY embedding of a >= w+k-1 = 11
+    char passage into any two contexts: the docs share a selected
+    fingerprint."""
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.text import (
+        winnow_fingerprints_vec,
+    )
+
+    df = spark.createDataFrame(
+        [(0, pre_a + passage + post_a), (1, pre_b + passage + post_b)],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r["doc_id"]: set(r["fp"])
+        for r in df.select(
+            "doc_id", winnow_fingerprints_vec("text").alias("fp")
+        ).collect()
+    }
+    assert got[0] & got[1], repr((passage, pre_a, post_a, pre_b, post_b))
