@@ -1060,6 +1060,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_words: int = 3,
     top_n: int = 50,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard similarity — top-N most-similar pairs.
 
@@ -1068,15 +1069,34 @@ def ngram_jaccard_pairs(
     compute |A∩B| / (|A|+|B|-|A∩B|). Deterministic top-N by (rounded
     jaccard DESC, ids ASC).
 
-    Scale note: this is the exact-verification companion to
+    Scale notes: this is the exact-verification companion to
     :func:`..dedup.minhash_lsh_candidates`; at 100 TB run LSH first and
-    this join only within candidate buckets.
+    this join only within candidate buckets. The pair join's work is
+    Σ_shingle df² — ubiquitous "hot" shingles (boilerplate, template
+    headers) dominate it quadratically while carrying almost no
+    similarity signal (a shingle shared by every doc distinguishes
+    nothing). ``max_shingle_df`` is the standard stop-shingle knob:
+    shingles with document frequency above the cap are dropped from
+    the UNIVERSE (both intersection and sizes — Jaccard stays a true
+    Jaccard over the informative-shingle universe, not a biased
+    estimate), bounding per-shingle join work at cap² while near-dup
+    pairs keep ≈ their full-universe score (they share mostly
+    rare shingles). Default ``None`` = exact full-universe semantics
+    (the catalog/oracle operating point).
     """
     sh = exploded_word_shingles(
         ensure_parallelism(df), id_col, text_col, shingle_words
     ).localCheckpoint(eager=False)
     # ^ consumed three times (sizes + both join sides); without
     # materialization each reference re-runs the shingle explode.
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("sh")
+        )
+        sh = sh.join(keep, "sh", "left_semi").localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "sh")
     b = sh.select(F.col(id_col).alias("doc_b"), "sh")

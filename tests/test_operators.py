@@ -854,3 +854,44 @@ def test_winnow_containment_hits_detects_planted_quotes(spark):
     }
     assert got.get(1, 0) >= 1 and got.get(3, 0) >= 1
     assert 2 not in got
+
+
+def test_ngram_jaccard_max_shingle_df_prunes_hot_universe(spark):
+    """The stop-shingle knob: a boilerplate shingle present in EVERY
+    doc is dropped from the universe (sizes AND intersections — the
+    score stays a true Jaccard over informative shingles), so the
+    planted near-dup pair keeps rank 1 while unrelated docs that share
+    only the boilerplate no longer pair at all. Default None keeps the
+    exact full-universe semantics (catalog/oracle operating point)."""
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.text import (
+        ngram_jaccard_pairs,
+    )
+
+    boiler = "copyright acme corp all rights reserved"
+    docs = [
+        (1, f"{boiler} the quick brown fox jumps over lazy dogs"),
+        (2, f"{boiler} the quick brown fox jumps over lazy cats"),
+        (3, f"{boiler} completely different payload one two three"),
+        (4, f"{boiler} another unrelated body four five six seven"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    # full universe: every pair shares the boilerplate shingles
+    full = ngram_jaccard_pairs(df, top_n=10).collect()
+    assert len(full) == 6
+    # capped: boilerplate shingles (df=4 > 3) leave the universe
+    capped = ngram_jaccard_pairs(df, top_n=10, max_shingle_df=3).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in capped}
+    assert set(pairs) == {(1, 2)}, pairs  # only the real near-dup meets
+    r = pairs[(1, 2)]
+    # pruned-universe Jaccard computed by hand: docs 1/2 differ in the
+    # last word; 8 informative words -> 6 trigrams each, 5 shared
+    # ("over lazy dogs/cats" differ)... compute from the row's own
+    # internally-consistent surfaces instead of hand-counting:
+    assert r["shared"] >= 1
+    assert r["words_a"] == r["words_b"]
+    expected = round(r["shared"] / (r["words_a"] + r["words_b"] - r["shared"]), 6)
+    assert r["jaccard"] == expected
+    # sizes reflect the PRUNED universe (strictly fewer shingles than
+    # the full-universe row for the same pair)
+    full_12 = next(x for x in full if (x["doc_a"], x["doc_b"]) == (1, 2))
+    assert r["words_a"] < full_12["words_a"]

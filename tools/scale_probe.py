@@ -51,7 +51,7 @@ SF_DIRS = [
 #: clearing 12 despite the cushion means genuinely super-linear.
 FLAG_RATIO = 12.0
 
-#: id offset between the three copies in the synthetic 3x tier —
+#: id offset between the copies in the synthetic Nx tier —
 #: far above any real key, so copies never collide and joins stay
 #: exactly as selective as in the base data.
 _X3_OFF = 100_000_000
@@ -76,34 +76,41 @@ _X3_KEYS = {
 }
 
 
-def _materialize_x3(spark, base_dir: str, out_dir: str) -> str:
-    """A 3× (sf0.3-equivalent) FULL-SCHEMA tier under /tmp — every
-    catalog query has a one-tier-up input, not just the five
-    documents/embeddings-heavy ones (round-9; carried from the r6/r7
-    briefs).
+def _materialize_tier(spark, base_dir: str, out_dir: str, copies: int) -> str:
+    """An N× FULL-SCHEMA tier under /tmp (N=3 → sf0.3-equivalent, the
+    default extra tier since round 9; N=10 → a full measured DECADE
+    above sf0.1, round 10) — every catalog query has an above-sf0.1
+    input.
 
     /root/testdata is read-only and tops out at sf0.1, so the tier is
-    derived: three copies of each scaling table with key columns
+    derived: ``copies`` copies of each scaling table with key columns
     offset per :data:`_X3_KEYS` (join-consistent — FKs shift with
     their PKs). The similarity-sensitive content columns are
-    PERTURBED — copy 1 reverses the text / flips the embedding sign,
-    copy 2 upper-cases the text / reverses the vector — so the copies
-    are NOT near-duplicates of each other. Naive exact copies would be
-    dishonest for exactly the queries this probes: every LSH band
-    bucket would triple-collide and the in-bucket verify would grow
-    quadratically BY CONSTRUCTION, masking (or faking) a plan problem.
-    Exact copies ARE honest for the relational tables: keys are
-    disjoint, so group-by cardinalities and join fan-outs grow the way
-    real data growth grows them. Content statistics (lengths, token
-    counts, vector norms, value distributions) are preserved, which is
-    what throughput linearity is measured against. nation/region ship
-    unchanged (fixed-size dimensions, as in TPC-H)."""
+    PERTURBED so the copies are NOT near-duplicates of each other:
+    copy 1 reverses the text / flips the embedding sign, copy 2
+    upper-cases the text / reverses the vector (the round-9 scheme,
+    kept bit-stable so x3 measurements reproduce), and copies ≥ 3
+    get a per-doc hash-keyed word shuffle / per-dimension hash-keyed
+    sign pattern — deterministic, word-multiset- and norm-preserving,
+    but destroying cross-copy n-gram overlap and cosine alignment at
+    chance level (the sort key includes doc_id so no copy-wide
+    canonical word order is introduced either). Naive exact copies
+    would be dishonest for exactly the queries this probes: every LSH
+    band bucket would N-fold-collide and the in-bucket verify would
+    grow quadratically BY CONSTRUCTION, masking (or faking) a plan
+    problem. Exact copies ARE honest for the relational tables: keys
+    are disjoint, so group-by cardinalities and join fan-outs grow the
+    way real data growth grows them. Content statistics (lengths,
+    token counts, vector norms, value distributions) are preserved,
+    which is what throughput linearity is measured against.
+    nation/region ship unchanged (fixed-size dimensions, as in
+    TPC-H)."""
     import pyspark.sql.functions as F
 
     done = os.path.join(out_dir, "_READY")
     if os.path.exists(done):
         with open(done) as f:
-            if f.read().strip() == _x3_stamp():
+            if f.read().strip() == _tier_stamp(copies):
                 return out_dir
         # stale layout from an older probe version: rebuild, don't
         # silently reuse (mirrors maintenance_probe._build_stamp)
@@ -117,15 +124,61 @@ def _materialize_x3(spark, base_dir: str, out_dir: str) -> str:
         if i == 0:
             return df
         if name == "documents":
-            return df.withColumn(
-                "text",
-                F.reverse(F.col("text")) if i == 1 else F.upper(F.col("text")),
+            if i == 1:
+                return df.withColumn("text", F.reverse(F.col("text")))
+            if i == 2:
+                return df.withColumn("text", F.upper(F.col("text")))
+            words = F.split(F.trim(F.col("text")), r"\s+")
+            # Sort key includes the word's POSITION: equal words have
+            # equal (word, doc, copy) hashes and would otherwise sort
+            # ADJACENT, manufacturing degenerate repeated-word n-grams
+            # ("spark spark spark") with document frequencies three
+            # orders of magnitude above anything in the base corpus —
+            # measured blowing the exact shared-shingle pair join up
+            # 1400x at the 10x tier. Position-salted hashes scatter
+            # repeats, so per-copy shingle statistics stay at the base
+            # data's frequency profile (honest growth).
+            shuffled = F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.transform(
+                            words,
+                            lambda w, idx: F.struct(
+                                F.xxhash64(
+                                    w, idx, F.col("doc_id"), F.lit(i)
+                                ).alias("h"),
+                                w.alias("w"),
+                            ),
+                        )
+                    ),
+                    lambda s: s.getField("w"),
+                ),
+                " ",
             )
+            return df.withColumn("text", shuffled)
         if name == "embeddings":
+            if i == 1:
+                return df.withColumn(
+                    "embedding",
+                    F.transform(F.col("embedding"), lambda x: -x),
+                )
+            if i == 2:
+                return df.withColumn(
+                    "embedding", F.reverse(F.col("embedding"))
+                )
             return df.withColumn(
                 "embedding",
-                F.transform(F.col("embedding"), lambda x: -x)
-                if i == 1 else F.reverse(F.col("embedding")),
+                F.transform(
+                    F.col("embedding"),
+                    lambda x, idx: x
+                    * (
+                        F.lit(1.0)
+                        - 2.0
+                        * F.pmod(
+                            F.xxhash64(idx, F.lit(i)), F.lit(2)
+                        ).cast("double")
+                    ).cast("float"),
+                ),
             )
         return df
 
@@ -136,7 +189,7 @@ def _materialize_x3(spark, base_dir: str, out_dir: str) -> str:
     for name, keys in _X3_KEYS.items():
         base = load_table(spark, base_dir, name)
         out = None
-        for i in range(3):
+        for i in range(copies):
             v = _perturb(name, base, i)
             for k in keys:
                 v = v.withColumn(k, F.col(k) + F.lit(i * _X3_OFF))
@@ -145,20 +198,31 @@ def _materialize_x3(spark, base_dir: str, out_dir: str) -> str:
             os.path.join(out_dir, f"{name}.parquet")
         )
     with open(done, "w") as f:
-        f.write(_x3_stamp() + "\n")
+        f.write(_tier_stamp(copies) + "\n")
     return out_dir
 
 
-def _x3_stamp() -> str:
+def _tier_stamp(copies: int) -> str:
     """Identifies the tier builder's parameters — a cached /tmp tier
-    built by an OLDER probe version (different key map, offset, or
-    perturbation scheme) must be rebuilt, not silently reused."""
+    built by an OLDER probe version (different key map, offset, copy
+    count, or perturbation scheme) must be rebuilt, not silently
+    reused."""
     return json.dumps({
         "keys": _X3_KEYS,
         "offset": _X3_OFF,
-        "perturbation": 1,  # bump when _perturb's scheme changes
+        "copies": copies,
+        "perturbation": 3,  # bump when _perturb's scheme changes
         "layout": 1,  # bump when the on-disk construction changes
     }, sort_keys=True)
+
+
+# round-9 API names kept for tests/callers
+def _materialize_x3(spark, base_dir: str, out_dir: str) -> str:
+    return _materialize_tier(spark, base_dir, out_dir, copies=3)
+
+
+def _x3_stamp() -> str:
+    return _tier_stamp(3)
 
 
 _probe_seq = 0
@@ -199,8 +263,13 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     ap.add_argument(
         "--extra-tier", action="store_true",
-        help="also time every selected query on a synthetic 3x "
-             "(sf0.3) full-schema tier derived from sf0.1",
+        help="also time every selected query on a synthetic Nx "
+             "full-schema tier derived from sf0.1 (N = --copies)",
+    )
+    ap.add_argument(
+        "--copies", type=int, default=3,
+        help="copy count for the synthetic extra tier (3 = sf0.3, "
+             "10 = a full decade above sf0.1)",
     )
     ap.add_argument("queries", nargs="*", help="subset of catalog names")
     args = ap.parse_args()
@@ -232,9 +301,16 @@ def main() -> None:
 
     extra: dict[str, float] = {}
     jobs_x3: dict[str, int] = {}
+    copies = args.copies
+    xkey = f"x{copies}"
+    # sf-equivalent label: 3 copies of sf0.1 -> "0.3", 10 -> "1.0"
+    sf_equiv = f"{0.1 * copies:.1f}"
     if args.extra_tier:
-        tier_dir = _materialize_x3(
-            spark, SF_DIRS[-1][1], "/tmp/spark_graft_sf0.3_full"
+        tier_dir = _materialize_tier(
+            spark,
+            SF_DIRS[-1][1],
+            f"/tmp/spark_graft_sf{sf_equiv}_full",
+            copies,
         )
         for _ in range(args.runs):
             for name in names:
@@ -253,15 +329,15 @@ def main() -> None:
         report[name] = {**t, "decade_ratio": ratio}
         report[name]["jobs"] = jobs_hi[name]
         if name in extra:
-            # 3x the sf0.1 data; linear work lands at <= ~3 (fixed
+            # Nx the sf0.1 data; linear work lands at <= ~N (fixed
             # overhead pulls it down, skew pulls it up slightly)
-            report[name]["0.3"] = extra[name]
-            report[name]["x3_ratio"] = round(extra[name] / t[hi], 2)
-            report[name]["jobs_x3"] = jobs_x3[name]
+            report[name][sf_equiv] = extra[name]
+            report[name][f"{xkey}_ratio"] = round(extra[name] / t[hi], 2)
+            report[name][f"jobs_{xkey}"] = jobs_x3[name]
             # Job count must be ~data-size-independent: a declarative
             # plan launches a fixed number of jobs; iterative operators
             # (connected components) may add O(log growth) rounds — the
-            # slack of +4 jobs covers log2(3x) plus one AQE re-plan.
+            # slack of +4 jobs covers log2 growth plus one AQE re-plan.
             # Anything beyond means a data-bound driver loop.
             if jobs_x3[name] > jobs_hi[name] + 4:
                 flagged_jobs.append(name)
@@ -271,7 +347,7 @@ def main() -> None:
     out = {
         "metric": "decade_growth_ratio",
         "sfs": [sf for sf, _ in SF_DIRS]
-        + (["0.3(synthetic 3x)"] if extra else []),
+        + ([f"{sf_equiv}(synthetic {copies}x)"] if extra else []),
         "runs": args.runs,
         "flag_threshold": FLAG_RATIO,
         "queries": report,
