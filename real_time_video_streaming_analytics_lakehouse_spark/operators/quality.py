@@ -19,12 +19,18 @@ def dq_summary(
     id_col: str,
     future_ts_col: str | None = None,
     as_of: str | None = None,
+    extra_aggs: list[Column] | None = None,
 ) -> DataFrame:
     """Single-pass data-quality profile.
 
     Returns one row: total_rows, per-column null counts
     (``null_<col>``), future-timestamp count, duplicate-id count, and
     ``valid_pct`` (rows with every checked column non-null).
+
+    ``extra_aggs`` appends caller-supplied aggregate Columns to the
+    SAME pass (after ``valid_pct``), so a profile that also needs
+    domain counters stays one scan instead of a profile-scan plus a
+    crossJoined counter-scan.
     """
 
     def cnt(pred: Column) -> Column:
@@ -51,6 +57,8 @@ def dq_summary(
             (F.count("*") - cnt(any_null)) * 100.0 / F.count("*"), 4
         ).alias("valid_pct")
     )
+    if extra_aggs:
+        aggs.extend(extra_aggs)
     return df.agg(*aggs)
 
 

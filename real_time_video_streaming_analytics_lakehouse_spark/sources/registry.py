@@ -265,11 +265,23 @@ def _error_expr(parsed, value_col: str, required: list[str]):
     )
 
 
+def parsed_col_name(subject: str) -> str:
+    """Column name of the staged per-subject parse struct that
+    :func:`annotate_against_registry` (``keep_parsed=True``) carries
+    in its output: ``_dq_parsed_<subject>`` with non-word characters
+    mapped to ``_`` (``video_events-value`` →
+    ``_dq_parsed_video_events_value``)."""
+    import re
+
+    return "_dq_parsed_" + re.sub(r"\W", "_", subject)
+
+
 def annotate_against_registry(
     raw: DataFrame,
     registry: SchemaRegistry,
     value_col: str = "value",
     topic_col: str = "topic",
+    keep_parsed: bool = False,
 ) -> DataFrame:
     """The composed ingest gate: every row validated against ITS
     topic's registered schema in one pass.
@@ -284,30 +296,57 @@ def annotate_against_registry(
     untouched, so the invalid slice IS the dead-letter queue — nothing
     to re-fetch when replaying repaired producers.
 
-    Plan shape: one ``when``-chain per registered subject selecting
-    that subject's ``from_json`` + required-field algebra — a single
-    projection over the source (no per-topic scan, no shuffle, no
-    union), which matters when one Kafka stream multiplexes many
-    topics.
+    Plan shape: a STAGED pair of projections (no per-topic scan, no
+    shuffle, no union), which matters when one Kafka stream
+    multiplexes many topics. The first projection runs ``from_json``
+    exactly ONCE per registered subject into a struct column; the
+    second derives the ``when``-chain validation algebra from cheap
+    ``GetStructField`` references into those structs. This matters
+    because ``JsonToStructs`` is a codegen-fallback expression —
+    inlining it per required-field reference (the naive single-select
+    formulation) evaluates the parse ``1 + len(required)`` times per
+    subject per row with no common-subexpression elimination, and
+    Catalyst's CollapseProject deliberately will NOT re-inline a
+    non-cheap expression referenced more than once, so the staged
+    shape survives optimization.
+
+    ``keep_parsed=True`` additionally carries each subject's parsed
+    struct in the output as :func:`parsed_col_name`(subject), so a
+    downstream consumer that needs payload FIELDS (typed flattening,
+    parsed-value aggregates) extracts them with ``GetStructField``
+    from the parse this gate already paid for instead of re-running
+    ``from_json``.
     """
+    topics = _topics_of(raw, registry, topic_col)
+    parsed_name = {subject: parsed_col_name(subject) for _t, subject in topics}
+    staged = raw.select(
+        "*",
+        *[
+            F.from_json(
+                F.col(value_col).cast("string"),
+                registry.spark_schema(subject),
+                {"columnNameOfCorruptRecord": CORRUPT_COL},
+            ).alias(parsed_name[subject])
+            for _t, subject in topics
+        ],
+    )
     err = F.lit("unregistered_topic")
     subj_expr = F.lit(None).cast("string")
     ver_expr = F.lit(None).cast("long")
-    for topic, subject in _topics_of(raw, registry, topic_col):
+    for topic, subject in topics:
         versions = registry.versions(subject)
-        parsed = F.from_json(
-            F.col(value_col).cast("string"),
-            registry.spark_schema(subject),
-            {"columnNameOfCorruptRecord": CORRUPT_COL},
-        )
+        parsed = staged[parsed_name[subject]]
         is_t = F.col(topic_col) == topic
         err = F.when(
             is_t, _error_expr(parsed, value_col, registry.required(subject))
         ).otherwise(err)
         subj_expr = F.when(is_t, F.lit(subject)).otherwise(subj_expr)
         ver_expr = F.when(is_t, F.lit(versions[-1])).otherwise(ver_expr)
-    return raw.select(
-        "*",
+    carried = list(raw.columns) + (
+        [parsed_name[s] for _t, s in topics] if keep_parsed else []
+    )
+    return staged.select(
+        *[F.col(c) for c in carried],
         subj_expr.alias("_dq_subject"),
         ver_expr.alias("_dq_version"),
         err.alias("_dq_errors"),
@@ -336,19 +375,25 @@ def parse_topic(
     """Flatten one topic's (already validated) payloads into typed
     columns — the ``good`` side of the split, one ``from_json``
     projection. ``keep_cols`` carries envelope metadata (offsets,
-    ingest timestamps) alongside the payload fields."""
+    ingest timestamps) alongside the payload fields. Staged like
+    :func:`annotate_against_registry`: the parse lands in its own
+    projection so per-field extraction is ``GetStructField`` over the
+    struct, not one interpreted ``JsonToStructs`` per output field."""
     subject = registry.topic_subject(topic)
     if subject is None:
         raise KeyError(f"topic {topic!r} has no registered subject")
-    parsed = F.from_json(
-        F.col(value_col).cast("string"),
-        registry.spark_schema(subject),
-        {"columnNameOfCorruptRecord": CORRUPT_COL},
+    staged = valid.select(
+        "*",
+        F.from_json(
+            F.col(value_col).cast("string"),
+            registry.spark_schema(subject),
+            {"columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("_dq_parsed"),
     )
     names = [f for f in registry.spark_schema(subject).names
              if f != CORRUPT_COL]
-    return valid.select(
-        *[parsed.getField(f).alias(f) for f in names],
+    return staged.select(
+        *[staged["_dq_parsed"].getField(f).alias(f) for f in names],
         *[F.col(c) for c in keep_cols],
     )
 
