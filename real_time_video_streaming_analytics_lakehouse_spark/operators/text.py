@@ -1054,6 +1054,24 @@ def predict_language_from_words(
     )
 
 
+def stop_shingle_cap(n_docs: int, per: int = 100, floor: int = 2) -> int:
+    """Derived stop-shingle operating point for
+    :func:`ngram_jaccard_pairs`'s ``max_shingle_df``: drop shingles
+    appearing in more than 1-in-``per`` documents (default 1 % of the
+    corpus, floored at ``floor`` so tiny corpora keep a sane cap).
+
+    Pure integer arithmetic (``max(floor, n_docs // per)``) so an
+    independent engine re-derives the identical cap — the
+    ``lsh_params_for`` precedent: the operating point is a function of
+    corpus size, not a hand-tuned constant, and it scales the way the
+    knob is meant to be used at 100 TB (the boilerplate df that
+    dominates join work grows with the corpus, so the cap must too —
+    per-shingle join work stays bounded at cap² = (n/per)² only for
+    shingles that are genuinely corpus-fraction-frequent, which carry
+    no similarity signal)."""
+    return max(floor, n_docs // per)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

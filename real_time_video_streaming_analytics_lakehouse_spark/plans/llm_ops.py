@@ -502,8 +502,53 @@ LEFT JOIN whits ON d.doc_id = whits.doc_id
 
 # --- exact n-gram Jaccard near-dup pairs -------------------------------------
 
+#: boilerplate sentence planted into every even-doc_id document for the
+#: ``stopcap`` arm — 12 words ⇒ ~10 high-df shingles shared by half the
+#: corpus, the exact pathology ``max_shingle_df`` exists to bound.
+_BOILERPLATE = (
+    "subscribe to our newsletter for updates all rights reserved"
+    " terms apply"
+)
+
+
 def ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), top_n=50)
+    """Exact n-gram Jaccard top pairs, TWO stacked arms by ``method``:
+
+    * ``exact`` — full-universe semantics over ``documents`` (the
+      baseline contract; the one ~linear-at-best plan in the catalog).
+    * ``stopcap`` — the 100 TB boilerplate defense AT ITS DERIVED
+      OPERATING POINT (round 11): every even-``doc_id`` document gets
+      a planted boilerplate sentence (df ≈ n/2 shingles — the
+      template-header pathology), and the run is capped at
+      ``stop_shingle_cap(n_docs)`` (1 % of the corpus), which drops
+      the planted shingles from the universe while near-dup pairs
+      keep their informative-shingle scores. Capped Jaccard over the
+      kept-shingle universe is fully SQL-expressible, so the oracle
+      re-derives the whole arm (planting included) independently —
+      the ``lsh_params_for`` precedent for oracling a derived knob.
+
+    ``n_docs`` reaches the cap as a plain int from a parquet
+    metadata count; no layout-dependent value enters the output."""
+    from ..operators.text import stop_shingle_cap
+
+    docs = _docs(spark, sf_dir)
+    exact = ngram_jaccard_pairs(docs, top_n=50).withColumn(
+        "method", F.lit("exact")
+    )
+    n_docs = docs.count()  # parquet metadata count (lsh_params precedent)
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.col("text"), F.lit(" " + _BOILERPLATE)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    capped = ngram_jaccard_pairs(
+        planted, top_n=50, max_shingle_df=stop_shingle_cap(n_docs)
+    ).withColumn("method", F.lit("stopcap"))
+    return exact.unionByName(capped)
 
 
 NGRAM_JACCARD_TOP_PAIRS_SQL = r"""
@@ -525,11 +570,48 @@ scored AS (
          ROUND(shared / CAST(sa.n_sh + sb.n_sh - shared AS DOUBLE), 6) AS jaccard
   FROM pair_counts
   JOIN sizes sa ON pair_counts.doc_a = sa.doc_id
-  JOIN sizes sb ON pair_counts.doc_b = sb.doc_id)
+  JOIN sizes sb ON pair_counts.doc_b = sb.doc_id),
+planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN text || ' subscribe to our newsletter for updates all rights reserved terms apply'
+              ELSE text END AS text
+  FROM documents),
+cap AS (
+  SELECT GREATEST(2, COUNT(*) // 100) AS cap FROM documents),
+cwords AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM planted),
+csh0 AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', w[i+1], w[i+2], w[i+3]) AS sh
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(0, greatest(len(w) - 2, 1) - 1)) AS i
+        FROM cwords)),
+ckeep AS (
+  SELECT sh FROM csh0 GROUP BY sh
+  HAVING COUNT(*) <= (SELECT cap FROM cap)),
+csh AS (SELECT csh0.doc_id, csh0.sh FROM csh0 JOIN ckeep USING (sh)),
+csizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM csh GROUP BY 1),
+cpair_counts AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM csh a JOIN csh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+cscored AS (
+  SELECT doc_a, doc_b, shared,
+         sa.n_sh AS words_a, sb.n_sh AS words_b,
+         ROUND(shared / CAST(sa.n_sh + sb.n_sh - shared AS DOUBLE), 6) AS jaccard
+  FROM cpair_counts
+  JOIN csizes sa ON cpair_counts.doc_a = sa.doc_id
+  JOIN csizes sb ON cpair_counts.doc_b = sb.doc_id)
 SELECT doc_a, doc_b, shared, words_a, words_b, jaccard,
-       CAST(rk AS INTEGER) AS rk
+       CAST(rk AS INTEGER) AS rk, 'exact' AS method
 FROM (SELECT scored.*, ROW_NUMBER() OVER (
           ORDER BY jaccard DESC, doc_a, doc_b) AS rk FROM scored)
+WHERE rk <= 50
+UNION ALL
+SELECT doc_a, doc_b, shared, words_a, words_b, jaccard,
+       CAST(rk AS INTEGER) AS rk, 'stopcap' AS method
+FROM (SELECT cscored.*, ROW_NUMBER() OVER (
+          ORDER BY jaccard DESC, doc_a, doc_b) AS rk FROM cscored)
 WHERE rk <= 50
 """
 

@@ -895,3 +895,79 @@ def test_ngram_jaccard_max_shingle_df_prunes_hot_universe(spark):
     # the full-universe row for the same pair)
     full_12 = next(x for x in full if (x["doc_a"], x["doc_b"]) == (1, 2))
     assert r["words_a"] < full_12["words_a"]
+
+
+def test_stop_shingle_cap_derived_operating_point():
+    """The cap is a pure-integer function of corpus size (1 in 100
+    docs, floored at 2) so DuckDB re-derives the identical value with
+    ``GREATEST(2, COUNT(*) // 100)`` — no float in the derivation, no
+    engine rounding divergence; and it grows linearly with the corpus
+    so per-hot-shingle join work stays bounded at cap² for shingles
+    that are genuinely corpus-fraction-frequent."""
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.text import (
+        stop_shingle_cap,
+    )
+
+    assert stop_shingle_cap(0) == 2
+    assert stop_shingle_cap(199) == 2          # floor holds below 200
+    assert stop_shingle_cap(200) == 2
+    assert stop_shingle_cap(300) == 3
+    assert stop_shingle_cap(10_000) == 100
+    assert stop_shingle_cap(1_000_000_000) == 10_000_000
+    assert stop_shingle_cap(10_000, per=1000) == 10
+    assert stop_shingle_cap(10, floor=5) == 5
+
+
+def test_ngram_jaccard_catalog_stacks_exact_and_stopcap(spark):
+    """Catalog arm contract: ``ngram_jaccard_top_pairs`` stacks the
+    full-universe ``exact`` arm with the planted-boilerplate
+    ``stopcap`` arm at the derived cap — and the cap really kills the
+    boilerplate pair flood: uncapped, the planted sentence alone
+    forces every even/even doc pair to meet in the join (≥ C(n/2, 2)
+    pairs); at the derived cap the pair universe collapses back to
+    organically-similar docs."""
+    from pyspark.sql import functions as F
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.text import (
+        ngram_jaccard_pairs,
+        stop_shingle_cap,
+    )
+    from real_time_video_streaming_analytics_lakehouse_spark.plans.llm_ops import (
+        _BOILERPLATE,
+        _docs,
+        ngram_jaccard_top_pairs,
+    )
+
+    out = ngram_jaccard_top_pairs(spark, "/root/testdata/sf0.001")
+    by_method = {}
+    for r in out.collect():
+        by_method.setdefault(r["method"], []).append(r)
+    assert set(by_method) == {"exact", "stopcap"}
+    assert 1 <= len(by_method["stopcap"]) <= 50
+    assert all(r["rk"] <= 50 for r in by_method["stopcap"])
+
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    n_docs = docs.count()
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.col("text"), F.lit(" " + _BOILERPLATE)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    big = 1 << 30  # effectively "all pairs"
+    n_even = planted.filter(F.col("doc_id") % 2 == 0).count()
+    is_ee = (F.col("doc_a") % 2 == 0) & (F.col("doc_b") % 2 == 0)
+    uncapped = ngram_jaccard_pairs(planted, top_n=big)
+    capped = ngram_jaccard_pairs(
+        planted, top_n=big, max_shingle_df=stop_shingle_cap(n_docs)
+    )
+    # uncapped: the planted sentence makes EVERY even/even pair meet
+    all_ee = n_even * (n_even - 1) // 2
+    assert uncapped.filter(is_ee).count() == all_ee
+    # capped: only organically-similar even/even pairs survive — the
+    # C(n/2, 2) boilerplate flood is gone from the join output
+    capped_ee = capped.filter(is_ee).count()
+    assert capped_ee < all_ee / 2, (capped_ee, all_ee)
