@@ -714,6 +714,15 @@ def run_registry_ingest(
     Exactly-once per TABLE via txnAppId/txnVersion, exactly like
     :func:`run_quarantine_stream`: a crash between per-topic appends
     resumes only the missing tables on replay.
+
+    Schema evolution rides the registry: a BACKWARD-compatible v2
+    registered mid-stream (new optional property, optional→required
+    promotion) changes the compiled StructType, so the typed
+    good-table appends run with ``merge_schema=True`` — the registry's
+    compatibility gate is what sanctions the merge (it only admits
+    additive/widening changes, and ``TxTable`` still raises on a type
+    conflict), so pre-evolution rows read back with NULLs in the new
+    columns and v1-produced payloads keep flowing.
     """
     from ..operators.txlog import TxTable
     from ..operators.util import require_local_dir
@@ -746,7 +755,7 @@ def run_registry_ingest(
             last = tx.txn_version(app)
             if last is not None and batch_id <= last:
                 continue  # this table already committed before a crash
-            tx.write(frame, mode="append", params=params)
+            tx.write(frame, mode="append", params=params, merge_schema=True)
 
     return (
         raw.writeStream.foreachBatch(ingest_batch)
