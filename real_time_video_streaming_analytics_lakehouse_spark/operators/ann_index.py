@@ -40,7 +40,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .similarity import _as_double, _dot, _norm
+from .similarity import _as_double, _codebook_sample, _dot, _norm
 
 
 def _train(embeddings: DataFrame, n_clusters: int, n_subspaces: int,
@@ -52,13 +52,7 @@ def _train(embeddings: DataFrame, n_clusters: int, n_subspaces: int,
     quantizer)."""
     import numpy as np
 
-    sample = (
-        embeddings.filter(F.col(vec_col).isNotNull())
-        .select(id_col, vec_col)
-        .orderBy(id_col)
-        .limit(sample_size)
-        .collect()
-    )
+    sample = _codebook_sample(embeddings, id_col, vec_col, sample_size)
     if not sample:
         raise ValueError("ann index: no vectors to train on")
     x = np.array([list(r[1]) for r in sample], dtype=np.float64)
