@@ -15,14 +15,18 @@ min-reachable-id labels on any input.
 
 This is the engine's one genuinely iterative algorithm: a driver loop
 over DataFrame shuffles with a convergence check. Scale notes:
-  * each round of the star algorithm is two groupBy-min shuffles over
-    the EDGE set only (never the node corpus), and the edge set only
-    shrinks or re-points — no neighbor lists are ever collected, so
+  * a round (large_star + small_star) costs roughly six shuffles —
+    each star step is a groupBy-min, a join back, and a distinct —
+    plus a convergence-signature scan; every one of them is over the
+    EDGE set only (never the node corpus), the edge set only shrinks
+    or re-points, and no neighbor lists are ever collected, so
     high-degree nodes cost nothing extra.
-  * rounds are O(log n) vs O(diameter) for label propagation: a
-    chain-shaped cluster of 1M docs needs ~20 rounds, not 1M. Driver
-    job round-trips — the measured noise amplifier for this query
-    family (BASELINE.md round 9) — drop proportionally.
+  * the win is ROUNDS, not per-round cost: O(log n) rounds vs
+    O(diameter) for label propagation — a chain-shaped cluster of 1M
+    docs needs ~20 rounds, not 1M, so even at ~3× the shuffles per
+    round the total is orders of magnitude less work. Driver job
+    round-trips — the measured noise amplifier for this query family
+    (BASELINE.md round 9) — drop proportionally with rounds.
   * intermediate edge frames are localCheckpointed every round to cut
     the growing lineage (otherwise plan size, not data, becomes the
     bottleneck; an un-checkpointed iterated self-join was measured

@@ -656,7 +656,15 @@ def winnow_fingerprints(
     """Exploded ``(id, fp)`` winnowed-fingerprint frame — the join
     input for containment detection (NULL/too-short docs contribute
     no rows; the set per doc is already distinct). ``vectorized``
-    picks the Arrow path (default) or the pure-JVM HOF column."""
+    picks the Arrow path (default) or the pure-JVM HOF column.
+
+    BMP-only equivalence contract: the two paths are value-identical
+    on Basic-Multilingual-Plane text ONLY (Hypothesis-pinned). On
+    astral-plane codepoints they diverge — the Arrow path hashes true
+    UTF-32 codepoints while the HOF path reads UTF-16 surrogate
+    halves via ``ascii()`` — so the flag is NOT value-neutral there:
+    pick one path per corpus and stick to it (fingerprints from
+    different paths must never be joined against each other)."""
     col = (
         winnow_fingerprints_vec(text_col, k=k, w=w)
         if vectorized
@@ -679,7 +687,9 @@ def winnow_containment_hits(
     doc containing any ≥ ``w+k-1``-char passage from the holdout
     scores ≥ 1. Same broadcast-holdout equi-join shape as the 13-gram
     :func:`contaminated_ids` (ids + 64-bit-ish hashes shuffle, never
-    text)."""
+    text). Corpus and holdout fingerprints are computed with the SAME
+    ``vectorized`` path — required, because the two paths are only
+    value-identical on BMP text (see :func:`winnow_fingerprints`)."""
     fps = winnow_fingerprints(
         corpus, text_col, id_col, k=k, w=w, vectorized=vectorized
     )

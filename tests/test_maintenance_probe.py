@@ -87,3 +87,56 @@ def test_scale_probe_x3_tier_stamp_invalidates_stale_cache(tmp_path,
         raise AssertionError("drifted tier was reused instead of rebuilt")
     except _Rebuilt:
         pass
+
+
+def test_scale_probe_out_merge_is_per_query_deep(tmp_path):
+    """Round-11 fix (ADVICE r10): the documented two-step workflow —
+    full-catalog x3 run, then --copies 10 on the heavy subset into the
+    SAME --out file — must keep the first run's per-query x3 keys
+    under the second run's x10 keys (and vice versa), union the sfs,
+    keep prior flags only for queries the new run did not re-measure,
+    and still preserve sections other probes own."""
+    import scale_probe
+
+    prior = {
+        "metric": "decade_growth_ratio",
+        "sfs": ["0.001", "0.01", "0.1", "0.3(synthetic 3x)"],
+        "queries": {
+            "q_light": {"0.1": 0.5, "0.3": 1.0, "x3_ratio": 2.0,
+                        "jobs_x3": 4},
+            "q_heavy": {"0.1": 2.0, "0.3": 5.0, "x3_ratio": 2.5,
+                        "jobs_x3": 9},
+        },
+        "flagged_superlinear": ["q_light", "q_heavy"],
+        "flagged_job_growth": [],
+        "maintenance": {"other_probe_section": True},
+    }
+    # second invocation: x10 tier over ONLY q_heavy
+    out = {
+        "metric": "decade_growth_ratio",
+        "sfs": ["0.001", "0.01", "0.1", "1.0(synthetic 10x)"],
+        "queries": {
+            "q_heavy": {"0.1": 2.1, "1.0": 21.0, "x10_ratio": 10.0,
+                        "jobs_x10": 9},
+        },
+        "flagged_superlinear": [],
+        "flagged_job_growth": [],
+    }
+    scale_probe._merge_prior(out, prior, names=["q_heavy"])
+
+    # q_light survives wholesale; q_heavy keeps BOTH tiers' keys with
+    # the new run winning re-measured keys
+    assert out["queries"]["q_light"]["x3_ratio"] == 2.0
+    q = out["queries"]["q_heavy"]
+    assert q["x3_ratio"] == 2.5 and q["x10_ratio"] == 10.0
+    assert q["0.3"] == 5.0 and q["1.0"] == 21.0
+    assert q["0.1"] == 2.1  # re-measured key: new value wins
+    # sfs union keeps every tier label once
+    assert set(out["sfs"]) == {"0.001", "0.01", "0.1",
+                               "0.3(synthetic 3x)", "1.0(synthetic 10x)"}
+    assert len(out["sfs"]) == len(set(out["sfs"]))
+    # q_heavy was re-measured clean -> its stale flag is dropped;
+    # q_light was not re-measured -> its flag persists
+    assert out["flagged_superlinear"] == ["q_light"]
+    # foreign sections survive
+    assert out["maintenance"] == {"other_probe_section": True}

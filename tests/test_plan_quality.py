@@ -193,3 +193,45 @@ def test_round5_catalog_changes_avoid_nested_loop_joins(spark):
     quadratic at scale."""
     for name in ("hash_dedup_candidates", "chunk_pack_rollup"):
         assert "BroadcastNestedLoopJoin" not in _plan(spark, name), name
+
+
+def test_top_query_shuffle_exchange_counts_pinned(spark):
+    """Round-11 gate (VERDICT r10 #6): per-query SHUFFLE exchange
+    ceilings for the most expensive catalog queries. The job-count
+    gate (SCALING.json, round 10) catches data-bound driver loops at
+    probe time; this catches a silently-added shuffle at AUTHORING
+    time — before it costs a bench round. Ceilings are the measured
+    counts at the round-11 plans; a refactor that REMOVES a shuffle
+    should lower the pin, one that adds a shuffle must justify it
+    here. BroadcastExchange is deliberately not counted: broadcasts
+    are the cure (a broadcast replacing a shuffle join must not trip
+    the gate), and the NLJ/broadcast pins above guard their own
+    pathologies."""
+    import re
+
+    ceilings = {
+        "embedding_dedup_clusters_lsh": 3,
+        "hash_dedup_candidates": 2,
+        "doc_dedup_fingerprints": 6,
+        "embedding_dedup_clusters": 3,
+        "ann_topk": 6,
+        "dq_validation_events": 2,
+        "text_quality": 20,
+        "customer_order_profile": 3,
+        "daily_user_metrics": 2,
+        "pricing_summary": 1,
+        "ngram_jaccard_top_pairs": 6,
+    }
+    # "Exchange " (with trailing space) matches shuffle exchanges
+    # (hashpartitioning / SinglePartition / range) but NOT
+    # BroadcastExchange; executedPlan is pre-AQE, which is the
+    # authoring-time shape this gate pins.
+    pat = re.compile(r"\bExchange ")
+    for name, ceiling in ceilings.items():
+        df = CATALOG[name].fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        shuffles = len(pat.findall(plan))
+        assert shuffles <= ceiling, (
+            f"{name}: {shuffles} shuffle exchanges > pinned {ceiling}\n"
+            f"{plan}"
+        )

@@ -355,20 +355,45 @@ def main() -> None:
         "flagged_job_growth": sorted(flagged_jobs),
     }
     if args.out:
-        # other probes merge their own top-level sections into the same
-        # file (maintenance_probe --merge-into): preserve any key this
-        # probe doesn't own instead of clobbering it
+        # Merge with any prior file instead of clobbering it. Two
+        # distinct cases (round-11 fix, ADVICE r10):
+        # - sections OTHER probes own (maintenance_probe --merge-into):
+        #   top-level setdefault keeps them;
+        # - sections THIS probe owns, written by an earlier invocation
+        #   (the documented two-step workflow: full-catalog x3 run,
+        #   then --copies 10 on the heavy subset into the same file):
+        #   'queries' deep-merges per query (prior keys like '0.3'/
+        #   'x3_ratio'/'jobs_x3' survive a later x10-only run and vice
+        #   versa; keys this run measured win), 'sfs' unions, and a
+        #   prior flag is kept only for queries this run did NOT
+        #   re-measure (a re-measured query's verdict is the new one).
         if os.path.exists(args.out):
             try:
                 with open(args.out) as f:
                     prior = json.load(f)
-                for k, v in prior.items():
-                    out.setdefault(k, v)
             except (OSError, json.JSONDecodeError):
-                pass
+                prior = {}
+            _merge_prior(out, prior, names)
         with open(args.out, "w") as f:
             f.write(json.dumps(out) + "\n")
     print(json.dumps(out))
+
+
+def _merge_prior(out: dict, prior: dict, names: list[str]) -> None:
+    """Fold a prior --out file into this run's report, in place (see
+    the comment at the call site for the ownership rules)."""
+    for qname, qvals in (prior.get("queries") or {}).items():
+        mine = out["queries"].setdefault(qname, {})
+        for k, v in qvals.items():
+            mine.setdefault(k, v)
+    out["sfs"] = list(
+        dict.fromkeys(list(out["sfs"]) + (prior.get("sfs") or []))
+    )
+    for fk in ("flagged_superlinear", "flagged_job_growth"):
+        stale = [q for q in (prior.get(fk) or []) if q not in names]
+        out[fk] = sorted(set(out.get(fk) or []) | set(stale))
+    for k, v in prior.items():
+        out.setdefault(k, v)
 
 
 if __name__ == "__main__":
