@@ -170,6 +170,7 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_blocks: int = 8,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """All-pairs cosine similarity above ``threshold`` — exact embedding
     near-duplicate detection, distributed block-pair matmul.
@@ -196,6 +197,13 @@ def cosine_pairs(
     pairing at extreme scale, bucket first with
     :func:`..dedup.simhash_candidates`-style hyperplane LSH or
     :func:`ann_ivf_topk`'s IVF cells and run this within buckets.
+
+    ``group_cols`` restricts pairing to WITHIN groups (rows only ever
+    pair with rows sharing their group values — the within-cluster
+    pairing :func:`semantic_dedup` is built on): the group columns
+    join the applyInPandas key, so the quadratic term drops from n²
+    to Σ_group n_g² and the group values are carried through to the
+    output columns.
     """
     import numpy as np
     import pandas as pd
@@ -208,18 +216,30 @@ def cosine_pairs(
         for blk in {ti, tj}
     ]
     mapping = spark.createDataFrame(tasks, "blk INT, ti INT, tj INT")
+    gcols = list(group_cols)
     rep = (
         # NULL vectors would crash the block matmul's np.stack; a NULL
         # embedding is pairable with nothing, so exclude it.
         embeddings.filter(F.col(vec_col).isNotNull())
-        .select(id_col, vec_col)
+        .select(id_col, vec_col, *gcols)
         .withColumn("blk", F.pmod(F.hash(F.col(id_col)), F.lit(num_blocks)))
         .join(F.broadcast(mapping), "blk")
     )
+    pair_cols = ["id_a", "id_b", "cosine"]
+    out_schema = ", ".join(
+        [
+            f"{c} {embeddings.schema[c].dataType.simpleString()}"
+            for c in gcols
+        ]
+        + ["id_a BIGINT", "id_b BIGINT", "cosine DOUBLE"]
+    )
 
     def pair_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {**{c: [] for c in gcols}, "id_a": [], "id_b": [], "cosine": []}
+        )
         if pdf.empty:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            return empty
         ti, tj = int(pdf["ti"].iloc[0]), int(pdf["tj"].iloc[0])
 
         def side(blk):
@@ -239,7 +259,7 @@ def cosine_pairs(
         else:
             ids_r, vr = side(tj)
         if not len(ids_l) or not len(ids_r):
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            return empty
         s = vl @ vr.T
         li, ri = np.nonzero(s >= threshold)
         ia, ib, cos = ids_l[li], ids_r[ri], s[li, ri]
@@ -252,12 +272,111 @@ def cosine_pairs(
             # across blocks each unordered pair appears exactly once,
             # with arbitrary id order — reorder, never drop.
             lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {"id_a": lo, "id_b": hi, "cosine": np.round(cos, 6)}
         )
+        for c in gcols:
+            # constant within an applyInPandas group — carry it out
+            out[c] = pdf[c].iloc[0]
+        return out[gcols + pair_cols]
 
-    return rep.groupBy("ti", "tj").applyInPandas(
-        pair_block, "id_a BIGINT, id_b BIGINT, cosine DOUBLE"
+    return rep.groupBy(*gcols, "ti", "tj").applyInPandas(
+        pair_block, out_schema
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iters: int = 10,
+    seed: str = "semdedup",
+    num_blocks: int = 4,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", arXiv:2303.09540):
+    k-means the embedding space, compute pairwise cosine ONLY within
+    clusters, and keep one representative per ε-connected duplicate
+    group.
+
+    Output: ``(id_col, cluster INT, representative LONG, keep INT)``
+    — ``representative`` is the MINIMUM id of the row's within-cluster
+    ε-component (``cosine ≥ threshold`` edges), ``keep = 1`` iff the
+    row IS its component's minimum. Exactly one row per component is
+    kept; the paper's keep policy (a random / low-centroid-similarity
+    member) is replaced with min-id, which is deterministic,
+    partition-invariant, and independently re-derivable — the same
+    canonical-id convention as the exact/LSH dedup-cluster pipelines.
+    Rows with NULL vectors pair with nothing and are not emitted.
+
+    Operating points (the IVF-full-probe pattern):
+
+    * ``n_clusters=1`` is PROVABLY identical to global
+      threshold-closure dedup (every pair is within the one cluster)
+      for any seed — the exact anchor tests/oracles compare against.
+    * ``n_clusters>1`` is the paper's scale path: the quadratic pair
+      term drops from n² to Σ_cluster n_c² (≈ n²/k balanced) because
+      :func:`cosine_pairs` runs with ``group_cols=("cluster",)``. Its
+      one approximation is a near-pair split across a k-means
+      boundary; exact duplicates are IMMUNE — spherical assignment
+      (``normalize=True``) maps identical directions to identical
+      clusters, so cos=1 pairs always co-cluster (test-pinned).
+
+    At 100 TB: train centroids once (or pass ``centroids=``), assign
+    map-only, and the within-cluster block-pair matmuls bound every
+    task at (cluster/num_blocks)-sized inputs; the CC runs over the
+    ε-edges only.
+    """
+    from .clustering import assign_clusters, kmeans
+    from .graph import connected_components
+
+    base = embeddings.filter(F.col(vec_col).isNotNull()).select(
+        id_col, vec_col
+    )
+    if n_clusters <= 1:
+        assigned = base.withColumn("cluster", F.lit(0))
+    else:
+        if centroids is None:
+            centroids = kmeans(
+                base,
+                k=n_clusters,
+                iters=kmeans_iters,
+                id_col=id_col,
+                vec_col=vec_col,
+                seed=seed,
+                normalize=True,
+            )["centroids"]
+        assigned = assign_clusters(
+            base, centroids, vec_col=vec_col, out_col="cluster",
+            normalize=True,
+        )
+    pairs = cosine_pairs(
+        assigned,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        num_blocks=num_blocks,
+        group_cols=("cluster",),
+    )
+    nodes = assigned.select(F.col(id_col).alias("id"))
+    cc = connected_components(
+        pairs.select("id_a", "id_b"), nodes, node_col="id"
+    )
+    return (
+        assigned.select(id_col, "cluster")
+        .join(
+            cc.select(
+                F.col("id").alias(id_col),
+                F.col("cluster_id").alias("representative"),
+            ),
+            id_col,
+        )
+        .withColumn(
+            "keep", (F.col(id_col) == F.col("representative")).cast("int")
+        )
     )
 
 

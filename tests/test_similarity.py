@@ -446,3 +446,184 @@ def test_codebook_sample_partition_invariant_and_unbiased(spark):
     # and the draw is roughly uniform: the median sampled id is not
     # crammed into either end of the id space
     assert total * 0.2 < ids[len(ids) // 2] < total * 0.8
+
+
+def test_cosine_pairs_group_cols_restricts_pairing(spark):
+    """group_cols: identical vectors in DIFFERENT groups never pair;
+    within-group pairs carry the group value through to the output."""
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.similarity import (
+        cosine_pairs,
+    )
+
+    v = [1.0, 0.0, 0.0]
+    rows = [
+        (1, v, 10), (2, v, 10),   # same group -> pair
+        (3, v, 20),               # identical vector, other group
+        (4, [0.0, 1.0, 0.0], 10),  # same group, orthogonal -> no pair
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<DOUBLE>, g INT"
+    )
+    got = cosine_pairs(
+        df, threshold=0.9, num_blocks=2, group_cols=("g",)
+    ).collect()
+    assert [(r["g"], r["id_a"], r["id_b"], r["cosine"]) for r in got] == [
+        (10, 1, 2, 1.0)
+    ]
+    # ungrouped baseline still finds all three identical-vector pairs
+    ungrouped = cosine_pairs(df, threshold=0.9, num_blocks=2).collect()
+    assert sorted((r["id_a"], r["id_b"]) for r in ungrouped) == [
+        (1, 2), (1, 3), (2, 3)
+    ]
+
+
+def test_semantic_dedup_k1_equals_global_closure(spark):
+    """The provably-exact operating point: at n_clusters=1 SemDeDup is
+    global threshold-closure dedup — representative must equal the
+    connected-components canonical id over the same exact pair graph,
+    with exactly one kept row per component."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.graph import (
+        connected_components,
+    )
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.similarity import (
+        cosine_pairs,
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").filter(
+        F.col("vec_id") < 200
+    )
+    got = {
+        r["vec_id"]: (r["representative"], r["keep"])
+        for r in semantic_dedup(emb, n_clusters=1, threshold=0.4).collect()
+    }
+    pairs = cosine_pairs(emb, threshold=0.4)
+    cc = connected_components(
+        pairs.select("id_a", "id_b"),
+        emb.filter(F.col("embedding").isNotNull()).select(
+            F.col("vec_id").alias("id")
+        ),
+        node_col="id",
+    )
+    want = {r["id"]: r["cluster_id"] for r in cc.collect()}
+    assert set(got) == set(want)
+    for vid, (rep, keep) in got.items():
+        assert rep == want[vid]
+        assert keep == int(vid == rep)
+    # exactly one kept row per component
+    reps = {rep for rep, _ in got.values()}
+    assert sum(k for _, k in got.values()) == len(reps)
+
+
+def test_semantic_dedup_exact_duplicates_immune_to_clustering(spark):
+    """Spherical assignment maps identical DIRECTIONS to identical
+    clusters, so cos=1 planted duplicates co-cluster — and therefore
+    share a representative — at ANY k (the operator's one
+    approximation, a near-pair split across a k-means boundary,
+    cannot touch exact duplicates)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").filter(
+        F.col("vec_id") < 100
+    )
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    corpus = emb.select(F.col("vec_id"), as_double.alias("embedding")).unionByName(
+        emb.select(
+            (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+            F.transform(as_double, lambda x: x * F.lit(2.0)).alias(
+                "embedding"
+            ),
+        )
+    )
+    for k in (1, 5):
+        rows = {
+            r["vec_id"]: r
+            for r in semantic_dedup(
+                corpus, n_clusters=k, threshold=0.95
+            ).collect()
+        }
+        for vid in list(rows):
+            if vid >= 1_000_000:
+                orig = rows[vid - 1_000_000]
+                copy = rows[vid]
+                assert copy["cluster"] == orig["cluster"], (k, vid)
+                assert (
+                    copy["representative"] == orig["representative"]
+                ), (k, vid)
+                assert copy["keep"] == 0  # the original id is lower
+        reps = {r["representative"] for r in rows.values()}
+        assert sum(r["keep"] for r in rows.values()) == len(reps)
+
+
+def test_semantic_dedup_cluster_split_is_the_documented_approximation(spark):
+    """Forced centroids that split a near-pair across clusters: the
+    pair is not generated (within-cluster pairing is the point — the
+    n²→n²/k work bound), so both rows are kept; k=1 on the same data
+    drops one. This is the operator's documented recall trade."""
+    import math
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    a = [1.0, 0.0]
+    b = [math.cos(0.1), math.sin(0.1)]    # cos(a,b) ≈ 0.995
+    far = [0.0, 1.0]
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, far)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    split_centroids = [a, b, far]  # a->c0, b->c1: the near pair splits
+    split = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            df, n_clusters=3, threshold=0.99, centroids=split_centroids
+        ).collect()
+    }
+    assert split[1]["keep"] == 1 and split[2]["keep"] == 1
+    joint = {
+        r["vec_id"]: r
+        for r in semantic_dedup(df, n_clusters=1, threshold=0.99).collect()
+    }
+    assert joint[1]["keep"] == 1 and joint[2]["keep"] == 0
+    assert joint[2]["representative"] == 1
+    assert joint[3]["keep"] == 1  # far vector never pairs
+
+
+def test_semantic_dedup_partition_invariant(spark):
+    """Same output under any input partitioning (explicit centroids
+    pin the quantizer; pairing, CC, and keep flags must not depend on
+    layout)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").filter(
+        F.col("vec_id") < 150
+    ).select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    cents = [r["embedding"] for r in emb.orderBy("vec_id").head(4)]
+    key = lambda rows: sorted(tuple(r) for r in rows)  # noqa: E731
+    one = key(
+        semantic_dedup(
+            emb, n_clusters=4, threshold=0.5, centroids=cents
+        ).collect()
+    )
+    two = key(
+        semantic_dedup(
+            emb.repartition(17), n_clusters=4, threshold=0.5,
+            centroids=cents,
+        ).collect()
+    )
+    assert one == two
