@@ -153,9 +153,16 @@ def assign_clusters(
     vec_col: str = "embedding",
     out_col: str = "cluster",
     normalize: bool = False,
+    sim_col: str | None = None,
 ) -> DataFrame:
     """Map-only nearest-centroid assignment with trained centroids
-    (NULL vectors get a NULL cluster; every input row is kept)."""
+    (NULL vectors get a NULL cluster; every input row is kept).
+
+    ``sim_col`` additionally emits the row's COSINE to its assigned
+    centroid (both sides L2-normalized for the dot product regardless
+    of ``normalize``, which only controls the assignment metric) — the
+    per-member centroid-similarity surface SemDeDup's keep policy
+    ranks on, computed in the same Arrow batch as the assignment."""
     import numpy as np
 
     cent = np.array(centroids, dtype=np.float64)
@@ -164,16 +171,20 @@ def assign_clusters(
     schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
         + [f"{out_col} INT"]
+        + ([f"{sim_col} DOUBLE"] if sim_col else [])
     )
 
     def fn(batches):
         c = bc.value
+        c_hat = c / np.linalg.norm(c, axis=1, keepdims=True)
         for pdf in batches:
             if pdf.empty:
                 continue
             out = pdf.copy()
             mask = pdf[vec_col].notna()
             out[out_col] = None
+            if sim_col:
+                out[sim_col] = None
             if mask.any():
                 v = np.stack(
                     [
@@ -181,14 +192,19 @@ def assign_clusters(
                         for e in pdf.loc[mask, vec_col]
                     ]
                 )
+                v_hat = v / np.linalg.norm(v, axis=1, keepdims=True)
                 if normalize:
-                    v = v / np.linalg.norm(v, axis=1, keepdims=True)
+                    v = v_hat
                 d2 = (
                     (v * v).sum(axis=1, keepdims=True)
                     - 2.0 * (v @ c.T)
                     + (c * c).sum(axis=1)
                 )
-                out.loc[mask, out_col] = np.argmin(d2, axis=1).astype("int32")
+                a = np.argmin(d2, axis=1)
+                out.loc[mask, out_col] = a.astype("int32")
+                if sim_col:
+                    cos = np.einsum("ij,ij->i", v_hat, c_hat[a])
+                    out.loc[mask, sim_col] = np.round(cos, 9)
             yield out
 
     return df.mapInPandas(fn, schema)

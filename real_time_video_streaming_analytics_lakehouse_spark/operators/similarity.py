@@ -295,6 +295,7 @@ def semantic_dedup(
     seed: str = "semdedup",
     num_blocks: int = 4,
     centroids: list[list[float]] | None = None,
+    keep_policy: str = "min_id",
 ) -> DataFrame:
     """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication", arXiv:2303.09540):
@@ -303,13 +304,22 @@ def semantic_dedup(
     group.
 
     Output: ``(id_col, cluster INT, representative LONG, keep INT)``
-    — ``representative`` is the MINIMUM id of the row's within-cluster
-    ε-component (``cosine ≥ threshold`` edges), ``keep = 1`` iff the
-    row IS its component's minimum. Exactly one row per component is
-    kept; the paper's keep policy (a random / low-centroid-similarity
-    member) is replaced with min-id, which is deterministic,
-    partition-invariant, and independently re-derivable — the same
-    canonical-id convention as the exact/LSH dedup-cluster pipelines.
+    — ``keep = 1`` for exactly one row per within-cluster ε-component
+    (``cosine ≥ threshold`` edges), ``representative`` is that row's
+    id for every member. Two deterministic keep policies:
+
+    * ``"min_id"`` (default): keep the component's minimum id — the
+      same canonical-id convention as the exact/LSH dedup-cluster
+      pipelines, zero extra passes (the CC label IS the
+      representative).
+    * ``"centroid_outlier"``: the paper's policy — per component keep
+      the member with the LOWEST cosine to its cluster centroid
+      (§SemDeDup: keeping low-centroid-similarity examples preserves
+      the cluster's outer, most informative region); the paper's
+      random tie-break is replaced with min-id so the output is
+      deterministic and partition-invariant. Costs one extra
+      aggregate + join over component members only.
+
     Rows with NULL vectors pair with nothing and are not emitted.
 
     Operating points (the IVF-full-probe pattern):
@@ -333,16 +343,20 @@ def semantic_dedup(
     from .clustering import assign_clusters, kmeans
     from .graph import connected_components
 
+    if keep_policy not in ("min_id", "centroid_outlier"):
+        raise ValueError(f"unknown keep_policy {keep_policy!r}")
     base = embeddings.filter(F.col(vec_col).isNotNull()).select(
         id_col, vec_col
     )
-    if n_clusters <= 1:
+    sim_col = "_centroid_cos" if keep_policy == "centroid_outlier" else None
+    if n_clusters <= 1 and centroids is None and sim_col is None:
+        # single cluster, min-id policy: no centroid is ever consulted
         assigned = base.withColumn("cluster", F.lit(0))
     else:
         if centroids is None:
             centroids = kmeans(
                 base,
-                k=n_clusters,
+                k=max(n_clusters, 1),
                 iters=kmeans_iters,
                 id_col=id_col,
                 vec_col=vec_col,
@@ -351,7 +365,7 @@ def semantic_dedup(
             )["centroids"]
         assigned = assign_clusters(
             base, centroids, vec_col=vec_col, out_col="cluster",
-            normalize=True,
+            normalize=True, sim_col=sim_col,
         )
     pairs = cosine_pairs(
         assigned,
@@ -365,18 +379,29 @@ def semantic_dedup(
     cc = connected_components(
         pairs.select("id_a", "id_b"), nodes, node_col="id"
     )
-    return (
-        assigned.select(id_col, "cluster")
-        .join(
-            cc.select(
-                F.col("id").alias(id_col),
-                F.col("cluster_id").alias("representative"),
-            ),
-            id_col,
+    members = assigned.drop(vec_col).join(
+        cc.select(
+            F.col("id").alias(id_col), F.col("cluster_id").alias("_comp")
+        ),
+        id_col,
+    )
+    if keep_policy == "min_id":
+        out = members.withColumn("representative", F.col("_comp"))
+    else:
+        # per ε-component: the member LEAST similar to its cluster
+        # centroid wins; struct ordering (cos ASC, id ASC) makes ties
+        # deterministic. Aggregate + join touch component members only.
+        reps = members.groupBy("_comp").agg(
+            F.min(F.struct(sim_col, id_col)).alias("_best")
+        ).select(
+            "_comp", F.col("_best").getField(id_col).alias("representative")
         )
-        .withColumn(
+        out = members.join(reps, "_comp").drop(sim_col)
+    return (
+        out.withColumn(
             "keep", (F.col(id_col) == F.col("representative")).cast("int")
         )
+        .select(id_col, "cluster", "representative", "keep")
     )
 
 

@@ -290,3 +290,87 @@ def test_winnowing_guarantee_holds_for_arbitrary_embeddings(
         ).collect()
     }
     assert got[0] & got[1], repr((passage, pre_a, post_a, pre_b, post_b))
+
+
+# --- registry ingest gate: total routing on arbitrary payloads --------
+
+_fuzz_payloads = st.lists(
+    st.tuples(
+        st.sampled_from(["video_events", "user_interactions", "ad_events"]),
+        st.one_of(
+            st.none(),
+            # arbitrary junk text (includes things that LOOK like JSON)
+            st.text(max_size=40),
+            # structurally-valid JSON objects with adversarial fields
+            st.dictionaries(
+                st.sampled_from(
+                    ["event_id", "event_type", "user_id", "extra", ""]
+                ),
+                st.one_of(
+                    st.none(),
+                    st.integers(-(2**62), 2**62),
+                    st.text(max_size=10),
+                    st.booleans(),
+                ),
+                max_size=5,
+            ).map(lambda d: __import__("json").dumps(d)),
+        ),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(payloads=_fuzz_payloads)
+def test_registry_gate_routes_totally_on_arbitrary_payloads(
+    spark, payloads
+):
+    """The ingest gate's totality contract, fuzzed: for ANY (topic,
+    payload) input — junk text, null, adversarial JSON, wrong types —
+    annotation never crashes, every input row lands in exactly one of
+    good/DLQ (counts partition the input), good rows parse with every
+    required field non-null, and DLQ rows keep their original payload
+    byte-for-byte (the replay contract)."""
+    from real_time_video_streaming_analytics_lakehouse_spark.sources.registry import (
+        SchemaRegistry,
+        registry_ingest_frames,
+    )
+
+    reg = SchemaRegistry()
+    schema = {
+        "type": "object",
+        "properties": {
+            "event_id": {"type": "integer"},
+            "event_type": {"type": "string"},
+            "user_id": {"type": "integer"},
+        },
+        "required": ["event_id", "user_id"],
+    }
+    reg.register("video_events-value", schema)
+    reg.register("user_interactions-value", schema)
+
+    df = spark.createDataFrame(
+        [Row(topic=t, value=v) for t, v in payloads],
+        "topic STRING, value STRING",
+    )
+    good, dlq = registry_ingest_frames(df, reg)
+    n_good = {t: f.count() for t, f in good.items()}
+    dlq_rows = dlq.collect()
+    assert sum(n_good.values()) + len(dlq_rows) == len(payloads)
+    for t, f in good.items():
+        for r in f.collect():
+            assert r["event_id"] is not None and r["user_id"] is not None
+    # DLQ keeps originals verbatim and machine-readable reasons
+    originals = {}
+    for t, v in payloads:
+        originals.setdefault(t, []).append(v)
+    for r in dlq_rows:
+        assert r["value"] in originals[r["topic"]]
+        assert r["_dq_errors"] != ""
+        if r["topic"] == "ad_events":
+            assert r["_dq_errors"] == "unregistered_topic"

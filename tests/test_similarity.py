@@ -627,3 +627,48 @@ def test_semantic_dedup_partition_invariant(spark):
         ).collect()
     )
     assert one == two
+
+
+def test_semantic_dedup_centroid_outlier_keep_policy(spark):
+    """The paper's keep policy: per ε-component keep the member LEAST
+    similar to its cluster centroid. Constructed so the outlier is
+    known: three near-identical directions where vec 3 sits farthest
+    from the (spherical-mean) centroid — min_id keeps 1,
+    centroid_outlier keeps 3; exactly one keep either way and every
+    member maps to the same representative."""
+    import math
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    # angles 0, 0.02, 0.10 — all pairwise cos >= cos(0.1) ≈ 0.995;
+    # spherical mean sits near 0.04, so vec 3 (0.10) is the outlier
+    df = spark.createDataFrame(
+        [(1, unit(0.0)), (2, unit(0.02)), (3, unit(0.10)),
+         (4, [0.0, -1.0])],  # far away, own singleton component
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    by_policy = {}
+    for pol in ("min_id", "centroid_outlier"):
+        rows = {
+            r["vec_id"]: r
+            for r in semantic_dedup(
+                df, n_clusters=1, threshold=0.99, keep_policy=pol
+            ).collect()
+        }
+        assert sum(r["keep"] for r in rows.values()) == 2  # comp + singleton
+        assert rows[4]["keep"] == 1  # singleton always kept
+        assert len({rows[i]["representative"] for i in (1, 2, 3)}) == 1
+        by_policy[pol] = rows
+    assert by_policy["min_id"][1]["keep"] == 1
+    assert by_policy["min_id"][3]["keep"] == 0
+    assert by_policy["centroid_outlier"][3]["keep"] == 1
+    assert by_policy["centroid_outlier"][1]["keep"] == 0
+    assert by_policy["centroid_outlier"][1]["representative"] == 3
+
+    with __import__("pytest").raises(ValueError, match="keep_policy"):
+        semantic_dedup(df, keep_policy="random")
