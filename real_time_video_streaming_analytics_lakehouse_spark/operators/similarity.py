@@ -379,6 +379,15 @@ def semantic_dedup(
     cc = connected_components(
         pairs.select("id_a", "id_b"), nodes, node_col="id"
     )
+    if n_clusters <= 1 and keep_policy == "min_id":
+        # single constant cluster: CC already covers every node, so
+        # the members join below would only re-attach a literal
+        return cc.select(
+            F.col("id").alias(id_col),
+            F.lit(0).alias("cluster"),
+            F.col("cluster_id").alias("representative"),
+            (F.col("id") == F.col("cluster_id")).cast("int").alias("keep"),
+        )
     members = assigned.drop(vec_col).join(
         cc.select(
             F.col("id").alias(id_col), F.col("cluster_id").alias("_comp")

@@ -861,28 +861,36 @@ _EXACT_CLUSTER_MAX_VEC = 500
 
 
 def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs → duplicate clusters: connected components over
-    the cosine>=0.4 pair graph (iterative min-label propagation; the
-    oracle computes the same closure with a recursive CTE). Every
-    vector appears once with its cluster's canonical (minimum) id.
+    """Near-dup pairs → duplicate clusters, since round 11 expressed
+    THROUGH :func:`..operators.similarity.semantic_dedup` at its
+    provably-exact operating point (``n_clusters=1``, min-id keep
+    policy): with a single cluster the within-cluster ε-pairing is the
+    global cosine≥0.4 pair graph and the representative is the
+    connected component's canonical (minimum) id — byte-identical to
+    the pre-round-11 cosine_pairs→connected_components formulation
+    (the oracle computes the same closure with a recursive CTE), while
+    driver-oracling the SemDeDup code path end-to-end (assignment →
+    grouped pairing → CC → keep flags). The k>1 scale behavior
+    (boundary-split approximation, exact-duplicate immunity) is
+    test-pinned in tests/test_similarity.py.
 
     DEMOTED to an oracle anchor (round-5): the input is capped at
     ``vec_id < 500`` — identical to the full corpus at oracle scale
     (sf≤0.01), bounded-quadratic everywhere else. The production-scale
     clustering path is :func:`embedding_dedup_clusters_lsh`."""
-    from ..operators.graph import connected_components
-    from ..operators.similarity import cosine_pairs
+    from ..operators.similarity import semantic_dedup
 
     emb = _emb(spark, sf_dir).filter(F.col("vec_id") < _EXACT_CLUSTER_MAX_VEC)
-    pairs = cosine_pairs(emb, threshold=0.4)
-    nodes = emb.select(F.col("vec_id").alias("id"))
-    cc = connected_components(pairs, nodes, node_col="id")
-    return cc.select(F.col("id").alias("vec_id"), "cluster_id")
+    sd = semantic_dedup(emb, n_clusters=1, threshold=0.4, num_blocks=8)
+    return sd.select(
+        "vec_id", F.col("representative").alias("cluster_id"), "keep"
+    )
 
 
 EMBEDDING_DEDUP_CLUSTERS_SQL = """
 WITH RECURSIVE anchor AS (
-  SELECT * FROM embeddings WHERE vec_id < 500),
+  SELECT * FROM embeddings
+  WHERE vec_id < 500 AND embedding IS NOT NULL),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM anchor a JOIN anchor b ON a.vec_id < b.vec_id
@@ -900,7 +908,8 @@ reach AS (
   SELECT vec_id AS src, vec_id AS dst FROM anchor
   UNION
   SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u)
-SELECT src AS vec_id, MIN(dst) AS cluster_id
+SELECT src AS vec_id, MIN(dst) AS cluster_id,
+       CAST(src = MIN(dst) AS INT) AS keep
 FROM reach GROUP BY 1
 """
 
