@@ -604,10 +604,13 @@ def winnow_fingerprints_vec(
     (pinned against the HOF column and the Python reference in
     tests/test_operators.py).
 
-    Caveat shared with every char-hash surface in this module (and
-    their DuckDB oracles): char codes are Basic-Multilingual-Plane
-    codepoints; astral-plane text would read as surrogate pairs via
-    JVM ``ascii`` but true codepoints here."""
+    Round-11 equivalence note: the two paths are value-identical on
+    the FULL Unicode range, not just the BMP — Spark 4's
+    ``split('')``/``ascii()``/``length()`` all operate on CODEPOINTS
+    (surrogate pairs stay together), matching this path's UTF-32
+    view. Property-pinned across the full codepoint range in
+    tests/test_properties.py, with astral/lone-surrogate/NUL/U+10FFFF
+    edges pinned in tests/test_operators.py."""
     import numpy as np
     import pandas as pd
 
@@ -656,15 +659,12 @@ def winnow_fingerprints(
     """Exploded ``(id, fp)`` winnowed-fingerprint frame — the join
     input for containment detection (NULL/too-short docs contribute
     no rows; the set per doc is already distinct). ``vectorized``
-    picks the Arrow path (default) or the pure-JVM HOF column.
-
-    BMP-only equivalence contract: the two paths are value-identical
-    on Basic-Multilingual-Plane text ONLY (Hypothesis-pinned). On
-    astral-plane codepoints they diverge — the Arrow path hashes true
-    UTF-32 codepoints while the HOF path reads UTF-16 surrogate
-    halves via ``ascii()`` — so the flag is NOT value-neutral there:
-    pick one path per corpus and stick to it (fingerprints from
-    different paths must never be joined against each other)."""
+    picks the Arrow path (default) or the pure-JVM HOF column — the
+    flag is VALUE-NEUTRAL: both paths hash true codepoints and are
+    property-pinned identical across the full Unicode range
+    (tests/test_properties.py; astral/lone-surrogate/NUL edges in
+    tests/test_operators.py), so fingerprints from the two paths can
+    be joined against each other."""
     col = (
         winnow_fingerprints_vec(text_col, k=k, w=w)
         if vectorized
@@ -687,9 +687,10 @@ def winnow_containment_hits(
     doc containing any ≥ ``w+k-1``-char passage from the holdout
     scores ≥ 1. Same broadcast-holdout equi-join shape as the 13-gram
     :func:`contaminated_ids` (ids + 64-bit-ish hashes shuffle, never
-    text). Corpus and holdout fingerprints are computed with the SAME
-    ``vectorized`` path — required, because the two paths are only
-    value-identical on BMP text (see :func:`winnow_fingerprints`)."""
+    text). Corpus and holdout use the same ``vectorized`` flag for
+    plan symmetry; the paths are value-identical on the full Unicode
+    range (see :func:`winnow_fingerprints`), so mixing them would be
+    correct too."""
     fps = winnow_fingerprints(
         corpus, text_col, id_col, k=k, w=w, vectorized=vectorized
     )

@@ -971,3 +971,35 @@ def test_ngram_jaccard_catalog_stacks_exact_and_stopcap(spark):
     # C(n/2, 2) boilerplate flood is gone from the join output
     capped_ee = capped.filter(is_ee).count()
     assert capped_ee < all_ee / 2, (capped_ee, all_ee)
+
+
+def test_winnow_paths_value_identical_beyond_bmp(spark):
+    """Round-11 pin: the JVM-HOF and Arrow winnowing paths are
+    value-identical on astral-plane text, lone surrogates, NULs, and
+    U+10FFFF — Spark 4's split('')/ascii()/length() all operate on
+    CODEPOINTS, matching the vec path's UTF-32 view, so the
+    ``vectorized`` flag is value-neutral on any text the engine can
+    carry (the former BMP-only caveat is retired; the full-Unicode
+    hypothesis sweep lives in test_properties)."""
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.text import (
+        winnow_fingerprints_col,
+        winnow_fingerprints_vec,
+    )
+
+    texts = [
+        "ab\U0001F600cdefghij\U0001F389klm",   # astral emoji
+        "\U0001F600" * 12,                      # astral-only
+        "ab\ud800cdefghij",                     # lone surrogate
+        "a\x00bcdefghij",                       # embedded NUL
+        "ab\U0010FFFFcdefghij",                 # max codepoint
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id LONG, text STRING"
+    )
+    rows = df.select(
+        "doc_id",
+        winnow_fingerprints_col("text").alias("hof"),
+        winnow_fingerprints_vec("text").alias("vec"),
+    ).collect()
+    for r in rows:
+        assert list(r["hof"]) == list(r["vec"]), texts[r["doc_id"]]

@@ -219,19 +219,35 @@ _bmp_text = st.text(
     max_size=64,
 )
 
+#: full Unicode minus the surrogate block (Cs) — hypothesis would
+#: otherwise emit LONE surrogates, which are not well-formed text (the
+#: engine handles them too: pinned separately in test_operators).
+_uni_text = st.text(
+    alphabet=st.characters(
+        min_codepoint=1,
+        max_codepoint=0x10FFFF,
+        exclude_categories=["Cs"],
+    ),
+    max_size=64,
+)
+
 
 @settings(
     max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(texts=st.lists(_bmp_text | st.none(), min_size=1, max_size=8))
-def test_winnow_selection_matches_reference_on_arbitrary_bmp_text(
+@given(texts=st.lists(_uni_text | st.none(), min_size=1, max_size=8))
+def test_winnow_selection_matches_reference_on_arbitrary_text(
     spark, texts
 ):
     """Both winnowing implementations must equal the paper's algorithm
-    for ANY BMP string (hypothesis explores boundary lengths around
-    k=8 and k+w-1=11, repeated chars, exotic codepoints, NULLs)."""
+    for ANY well-formed Unicode string — since round 11 the strategy
+    spans the FULL codepoint range including astral planes, retiring
+    the BMP-only equivalence caveat (Spark 4's split/ascii/length all
+    operate on codepoints, matching the vec path's UTF-32 view;
+    hypothesis explores boundary lengths around k=8 and k+w-1=11,
+    repeated chars, exotic codepoints, NULLs)."""
     from real_time_video_streaming_analytics_lakehouse_spark.operators.text import (
         winnow_fingerprints_col,
         winnow_fingerprints_vec,
