@@ -174,9 +174,15 @@ def assign_clusters(
         + ([f"{sim_col} DOUBLE"] if sim_col else [])
     )
 
+    def _unit(m):
+        # zero-norm guard: an all-zero vector/centroid stays zero
+        # instead of dividing by zero (NaN + RuntimeWarning, ADVICE r11)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        return m / np.where(norms == 0.0, 1.0, norms)
+
     def fn(batches):
         c = bc.value
-        c_hat = c / np.linalg.norm(c, axis=1, keepdims=True)
+        c_hat = _unit(c) if sim_col else None
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -192,7 +198,8 @@ def assign_clusters(
                         for e in pdf.loc[mask, vec_col]
                     ]
                 )
-                v_hat = v / np.linalg.norm(v, axis=1, keepdims=True)
+                # normalize only when the metric or sim_col needs it
+                v_hat = _unit(v) if (normalize or sim_col) else None
                 if normalize:
                     v = v_hat
                 d2 = (

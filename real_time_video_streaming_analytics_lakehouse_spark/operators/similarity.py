@@ -92,14 +92,25 @@ def _codebook_sample(
     frac = min(1.0, (2.0 * sample_size) / n)
     seed_s = "codebook"
     key = sample_key([id_col], seed_s)
-    sample = (
-        deterministic_sample(src, [id_col], frac, seed=seed_s)
-        # tie-break by id: 8-hex-char hash collisions must not make
-        # the cut order partition-dependent
-        .orderBy(key, F.col(id_col))
-        .limit(sample_size)
-        .collect()
-    )
+
+    def draw(f: float) -> list:
+        return (
+            deterministic_sample(src, [id_col], f, seed=seed_s)
+            # tie-break by id: 8-hex-char hash collisions must not make
+            # the cut order partition-dependent
+            .orderBy(key, F.col(id_col))
+            .limit(sample_size)
+            .collect()
+        )
+
+    sample = draw(frac)
+    if len(sample) < min(sample_size, n) and frac < 1.0:
+        # The Bernoulli draw is binomial — at 2x the needed fraction an
+        # undershoot below sample_size is rare but possible (ADVICE
+        # r11). Top up deterministically: frac=1.0 keeps every row, so
+        # the hash-ordered limit returns exactly min(n, sample_size)
+        # and the kept set still depends only on (ids, seed).
+        sample = draw(1.0)
     memo[memo_key] = sample
     return sample
 
@@ -349,7 +360,14 @@ def semantic_dedup(
         id_col, vec_col
     )
     sim_col = "_centroid_cos" if keep_policy == "centroid_outlier" else None
-    if n_clusters <= 1 and centroids is None and sim_col is None:
+    # "single cluster" must account for EXPLICIT centroids (ADVICE r11:
+    # multi-row centroids= with n_clusters<=1 previously hit the k=1
+    # shortcut, mislabeling real clusters as 0): effective cluster
+    # count is len(centroids) when given, else n_clusters.
+    single_cluster = (
+        len(centroids) <= 1 if centroids is not None else n_clusters <= 1
+    )
+    if single_cluster and centroids is None and sim_col is None:
         # single cluster, min-id policy: no centroid is ever consulted
         assigned = base.withColumn("cluster", F.lit(0))
     else:
@@ -379,8 +397,8 @@ def semantic_dedup(
     cc = connected_components(
         pairs.select("id_a", "id_b"), nodes, node_col="id"
     )
-    if n_clusters <= 1 and keep_policy == "min_id":
-        # single constant cluster: CC already covers every node, so
+    if single_cluster and keep_policy == "min_id":
+        # single (effective) cluster: CC already covers every node, so
         # the members join below would only re-attach a literal
         return cc.select(
             F.col("id").alias(id_col),

@@ -741,11 +741,16 @@ def run_registry_ingest(
             src, registry, value_col, topic_col, keep_cols
         )
         params = {"txnAppId": app, "txnVersion": batch_id}
+        # merge_schema is sanctioned ONLY for the registry-compiled
+        # good tables (the compatibility gate admits the widening); the
+        # DLQ's shape comes from the raw stream, so an upstream column
+        # addition must fail loudly there instead of silently evolving
+        # the DLQ schema around the gate (ADVICE r11).
         targets = [
-            (os.path.join(table_root, topic), frame)
+            (os.path.join(table_root, topic), frame, True)
             for topic, frame in sorted(good.items())
-        ] + [(dlq_path, dlq)]
-        for path, frame in targets:
+        ] + [(dlq_path, dlq, False)]
+        for path, frame, sanctioned_merge in targets:
             if not TxTable.exists(spark, path):
                 try:
                     TxTable.create(spark, path, frame.schema)
@@ -755,7 +760,10 @@ def run_registry_ingest(
             last = tx.txn_version(app)
             if last is not None and batch_id <= last:
                 continue  # this table already committed before a crash
-            tx.write(frame, mode="append", params=params, merge_schema=True)
+            tx.write(
+                frame, mode="append", params=params,
+                merge_schema=sanctioned_merge,
+            )
 
     return (
         raw.writeStream.foreachBatch(ingest_batch)

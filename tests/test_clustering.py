@@ -171,3 +171,28 @@ def test_full_corpus_centroids_feed_ivf(spark):
         (r["query_id"], r["rk"], r["vec_id"]) for r in brute.collect()
     )
     assert got == want
+
+
+def test_assign_clusters_zero_norm_guarded(spark):
+    """ADVICE r11: an all-zero embedding or centroid must not divide
+    by zero — sim_col stays finite (0.0 against any centroid) and the
+    assignment itself is unaffected."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    cents = [[0.0, 0.0], [1.0, 0.0]]
+    for normalize in (False, True):
+        got = {
+            r["vec_id"]: r
+            for r in assign_clusters(
+                df, cents, normalize=normalize, sim_col="cos"
+            ).collect()
+        }
+        for r in got.values():
+            assert r["cluster"] is not None
+            assert r["cos"] is not None and not math.isnan(r["cos"])
+        assert got[1]["cos"] == 0.0  # zero vector: cosine defined as 0
+        assert got[2]["cluster"] == 1 and got[2]["cos"] == 1.0

@@ -135,6 +135,10 @@ def test_scale_probe_out_merge_is_per_query_deep(tmp_path):
     assert set(out["sfs"]) == {"0.001", "0.01", "0.1",
                                "0.3(synthetic 3x)", "1.0(synthetic 10x)"}
     assert len(out["sfs"]) == len(set(out["sfs"]))
+    # tier-ordered by numeric prefix (ADVICE r11): a later x10-only run
+    # must not list its tier before the prior x3 one
+    assert out["sfs"] == ["0.001", "0.01", "0.1",
+                          "0.3(synthetic 3x)", "1.0(synthetic 10x)"]
     # q_heavy was re-measured clean -> its stale flag is dropped;
     # q_light was not re-measured -> its flag persists
     assert out["flagged_superlinear"] == ["q_light"]

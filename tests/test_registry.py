@@ -484,3 +484,49 @@ def test_dlq_repair_replay_exactly_once(spark, tmp_path):
     assert sorted(r["event_id"] for r in good.read().collect()) == (
         [1, 2, 3, 4, 5]
     )
+
+
+def test_registry_ingest_dlq_schema_drift_fails_loudly(spark, tmp_path):
+    """ADVICE r11: ``merge_schema`` on the ingest appends is sanctioned
+    by the REGISTRY's compatibility gate, which only governs the
+    compiled good-table schemas — the DLQ's shape comes from the raw
+    stream itself, so an upstream raw-stream column addition must make
+    the DLQ append fail loudly instead of silently evolving the DLQ
+    table schema around the gate."""
+    from pyspark.sql import functions as F
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.txlog import TxTable
+    from real_time_video_streaming_analytics_lakehouse_spark.streaming.pipelines import (
+        run_registry_ingest,
+        stream_events_from_files,
+    )
+
+    t = lambda name: str(tmp_path / name)  # noqa: E731
+
+    # drain 1: the base raw shape creates the tables (incl. the DLQ)
+    _raw(spark).coalesce(1).write.mode("append").parquet(t("src1"))
+    src = stream_events_from_files(
+        spark, t("src1"), spark.read.parquet(t("src1")).schema
+    )
+    q = run_registry_ingest(src, _registry(), t("tables"), t("dlq"),
+                            t("ckpt1"))
+    q.awaitTermination(120)
+    dlq = TxTable(spark, t("dlq"))
+    base_cols = dlq.read().columns
+    assert "partition_hint" not in base_cols
+
+    # drain 2: the producer added a raw column the registry never
+    # sanctioned -> the DLQ append must raise, not merge
+    _raw(spark).withColumn("partition_hint", F.lit(7)).coalesce(1).write\
+        .mode("append").parquet(t("src2"))
+    src2 = stream_events_from_files(
+        spark, t("src2"), spark.read.parquet(t("src2")).schema
+    )
+    q2 = run_registry_ingest(src2, _registry(), t("tables"), t("dlq"),
+                             t("ckpt2"))
+    with pytest.raises(StreamingQueryException, match="schema mismatch"):
+        q2.awaitTermination(120)
+        q2.processAllAvailable()
+    # the drift did NOT reach the DLQ table's schema
+    assert TxTable(spark, t("dlq")).read().columns == base_cols

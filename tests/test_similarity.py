@@ -672,3 +672,67 @@ def test_semantic_dedup_centroid_outlier_keep_policy(spark):
 
     with __import__("pytest").raises(ValueError, match="keep_policy"):
         semantic_dedup(df, keep_policy="random")
+
+
+def test_codebook_sample_tops_up_binomial_undershoot(spark):
+    """ADVICE r11: the 2x-fraction Bernoulli draw is binomial and can
+    undershoot sample_size for small sizes; the top-up fallback must
+    restore the exact min(n, sample_size) bound. The two (corpus
+    slice, size) points below are empirically-pinned undershoots of
+    the deterministic hash draw (slice<120 at size 1 draws 0 rows,
+    slice<250 at size 2 draws 1) — without the top-up they return
+    fewer rows than requested."""
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.similarity import (
+        _codebook_sample,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    for hi, size in ((120, 1), (250, 2)):
+        src = emb.filter(F.col("vec_id") < hi)
+        got = _codebook_sample(src, "vec_id", "embedding", size)
+        assert len(got) == size
+        # the topped-up draw stays partition/order-invariant
+        again = _codebook_sample(
+            src.repartition(7, "vec_id").sortWithinPartitions(
+                F.col("vec_id").desc()
+            ),
+            "vec_id", "embedding", size,
+        )
+        assert [r[0] for r in got] == [r[0] for r in again]
+
+
+def test_semantic_dedup_explicit_centroids_not_short_circuited(spark):
+    """ADVICE r11: explicit multi-row ``centroids=`` with
+    ``n_clusters<=1`` previously hit the k=1 shortcut — pairing ran
+    within the REAL assigned clusters while the output relabeled every
+    row cluster=0. The cluster column must reflect the actual
+    assignments, and cross-centroid near-pairs must NOT merge (the
+    documented within-cluster contract)."""
+    import math
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    # two tight groups around orthogonal centroids
+    df = spark.createDataFrame(
+        [(1, unit(0.0)), (2, unit(0.01)),
+         (3, unit(math.pi / 2)), (4, unit(math.pi / 2 + 0.01))],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            df, n_clusters=1, threshold=0.99,
+            centroids=[unit(0.0), unit(math.pi / 2)],
+        ).collect()
+    }
+    assert {rows[1]["cluster"], rows[2]["cluster"]} == {0}
+    assert {rows[3]["cluster"], rows[4]["cluster"]} == {1}
+    # within-cluster duplicates merge; nothing merges across clusters
+    assert rows[1]["representative"] == rows[2]["representative"] == 1
+    assert rows[3]["representative"] == rows[4]["representative"] == 3
+    assert sum(r["keep"] for r in rows.values()) == 2

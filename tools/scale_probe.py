@@ -386,8 +386,21 @@ def _merge_prior(out: dict, prior: dict, names: list[str]) -> None:
         mine = out["queries"].setdefault(qname, {})
         for k, v in qvals.items():
             mine.setdefault(k, v)
-    out["sfs"] = list(
-        dict.fromkeys(list(out["sfs"]) + (prior.get("sfs") or []))
+    def _sf_key(label) -> float:
+        # labels are '0.1' or '1.0(synthetic 10x)' — order by the
+        # numeric prefix so a later x10-only run doesn't list its tier
+        # before a prior x3 one (ADVICE r11)
+        s = str(label)
+        for i in range(len(s), 0, -1):
+            try:
+                return float(s[:i])
+            except ValueError:
+                continue
+        return float("inf")
+
+    out["sfs"] = sorted(
+        dict.fromkeys(list(out["sfs"]) + (prior.get("sfs") or [])),
+        key=_sf_key,
     )
     for fk in ("flagged_superlinear", "flagged_job_growth"):
         stale = [q for q in (prior.get(fk) or []) if q not in names]
