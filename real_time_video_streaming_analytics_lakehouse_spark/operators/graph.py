@@ -73,6 +73,19 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
+#: Edge-count ceiling for the adaptive driver-side union-find inside
+#: :func:`connected_components` (round 12). The star loop's cost on a
+#: SMALL graph is pure driver-job overhead — 3 rounds × (checkpoint +
+#: signature scan) measured 3.2 s on a 62-edge graph at a ~0.2 s/job
+#: floor — while a bounded ``collect`` + Python union-find is one job
+#: and microseconds of CPU. 2^17 edges is ~2 MB of (u, v) longs, the
+#: same order as a broadcast-join build side; beyond it the
+#: distributed star loop takes over unchanged (the decision reads the
+#: edge COUNT from the convergence signature the loop needs anyway,
+#: so the adaptive pick costs zero extra jobs).
+DRIVER_CC_MAX_EDGES = 1 << 17
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,
@@ -82,6 +95,7 @@ def connected_components(
     max_iter: int = 50,
     strict: bool = True,
     stats: dict | None = None,
+    driver_max_edges: int = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """Assign each node min-reachable-id as its ``cluster_id``.
 
@@ -98,6 +112,17 @@ def connected_components(
     replaced after round-9 forensics showed per-round driver job
     round-trips were the query family's dominant noise/latency source.
 
+    Adaptive small-graph path (round 12): when the deduplicated edge
+    count is ≤ ``driver_max_edges`` (known for free from the first
+    convergence-signature scan), the edges are collected — a BOUNDED
+    driver read, ≤ ``driver_max_edges`` 2-long rows — and labeled with
+    an exact path-compressed union-find; the label map returns as a
+    local relation (broadcast-joinable, no shuffle downstream). Near-
+    dup ε-graphs are tiny relative to their corpus, so this removes
+    ~10 driver jobs from the common case while 100 TB-scale graphs
+    take the distributed loop unchanged. ``stats["rounds"]`` is 0 on
+    this path; pass ``driver_max_edges=0`` to force the star loop.
+
     If the loop exhausts ``max_iter`` while edges are still re-pointing
     (requires a pathological input far beyond the log2 bound),
     ``strict=True`` (default) raises rather than silently returning
@@ -112,25 +137,15 @@ def connected_components(
     # Materialize the edge list ONCE: without this, the (possibly very
     # expensive) upstream pair computation re-executes in every
     # iteration AND in every convergence check — measured 43 s → 5 s at
-    # sf0.1 for the cosine-pair graph.
+    # sf0.1 for the cosine-pair graph. eager=False: the signature scan
+    # below is the materializing action, so no separate checkpoint job.
     sym = sym.where(F.col("u") != F.col("v")).distinct()
     e = (
         sym.select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    # Propagate over the EDGE SUBGRAPH only: a node with no edges can
-    # never change its label, so it never needs to enter the iteration.
-    # In a near-dup corpus the components are typically a tiny fraction
-    # of the nodes — at scale this keeps per-round shuffles to just the
-    # duplicate clusters; isolated nodes re-join as singletons after
-    # the fixpoint.
     all_nodes = nodes.select(F.col(node_col).alias("u"))
-    edge_nodes = all_nodes.join(
-        e.select("u").unionByName(e.select(F.col("v").alias("u"))),
-        "u",
-        "left_semi",
-    ).localCheckpoint(eager=True)
 
     # Convergence signature: (row count, xor of row hashes) — one cheap
     # scan of the already-checkpointed frame per round (xor is
@@ -146,9 +161,64 @@ def connected_components(
         return int(row["c"]), int(row["h"])
 
     prev_sig = _sig(e)
+
+    if prev_sig[0] <= driver_max_edges:
+        # --- adaptive small-graph path: exact union-find on the driver
+        rows = e.collect()  # bounded: <= driver_max_edges (u, v) rows
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            ru, rv = find(r["u"]), find(r["v"])
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        universe = {x for r in rows for x in (r["u"], r["v"])}
+        comp_min: dict = {}
+        for n in universe:
+            root = find(n)
+            if root not in comp_min or n < comp_min[root]:
+                comp_min[root] = n
+        if stats is not None:
+            stats["rounds"] = 0
+        idt = nodes.schema[node_col].dataType.simpleString()
+        label_df = nodes.sparkSession.createDataFrame(
+            [(n, comp_min[find(n)]) for n in sorted(universe)],
+            f"u {idt}, label {idt}",
+        )
+        # label_df is bounded (<= 2*driver_max_edges node rows): hint
+        # the broadcast so the singleton anti-join never shuffles the
+        # (possibly huge) node corpus
+        singletons = all_nodes.join(
+            F.broadcast(label_df), "u", "left_anti"
+        ).select("u", F.col("u").alias("label"))
+        return label_df.unionByName(singletons).select(
+            F.col("u").alias(node_col), F.col("label").alias("cluster_id")
+        )
+
+    # Propagate over the EDGE SUBGRAPH only: a node with no edges can
+    # never change its label, so it never needs to enter the iteration.
+    # In a near-dup corpus the components are typically a tiny fraction
+    # of the nodes — at scale this keeps per-round shuffles to just the
+    # duplicate clusters; isolated nodes re-join as singletons after
+    # the fixpoint.
+    edge_nodes = all_nodes.join(
+        e.select("u").unionByName(e.select(F.col("v").alias("u"))),
+        "u",
+        "left_semi",
+    ).localCheckpoint(eager=True)
+
     rounds = 0
     for rounds in range(1, max_iter + 1):
-        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # eager=False: the signature scan right after is the
+        # materializing action — one job per round, not two
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         new_sig = _sig(new_e)
         if new_sig == prev_sig and new_e.exceptAll(e).limit(1).count() == 0:
             e = new_e

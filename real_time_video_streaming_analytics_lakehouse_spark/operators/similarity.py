@@ -306,7 +306,7 @@ def semantic_dedup(
     seed: str = "semdedup",
     num_blocks: int = 4,
     centroids: list[list[float]] | None = None,
-    keep_policy: str = "min_id",
+    keep_policy: str | tuple[str, ...] = "min_id",
 ) -> DataFrame:
     """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication", arXiv:2303.09540):
@@ -331,6 +331,13 @@ def semantic_dedup(
       deterministic and partition-invariant. Costs one extra
       aggregate + join over component members only.
 
+    ``keep_policy`` may also be a TUPLE of policies (round 12): the
+    assignment, within-cluster pairing, and connected components —
+    the expensive stages — run ONCE, and the output switches to long
+    format ``(id_col, cluster, policy, representative, keep)`` with
+    one row per (row, policy). A comparison of keep policies over
+    the same corpus would otherwise pay the full pipeline per policy.
+
     Rows with NULL vectors pair with nothing and are not emitted.
 
     Operating points (the IVF-full-probe pattern):
@@ -354,12 +361,17 @@ def semantic_dedup(
     from .clustering import assign_clusters, kmeans
     from .graph import connected_components
 
-    if keep_policy not in ("min_id", "centroid_outlier"):
-        raise ValueError(f"unknown keep_policy {keep_policy!r}")
+    long_format = not isinstance(keep_policy, str)
+    policies = tuple(keep_policy) if long_format else (keep_policy,)
+    for pol in policies:
+        if pol not in ("min_id", "centroid_outlier"):
+            raise ValueError(f"unknown keep_policy {pol!r}")
     base = embeddings.filter(F.col(vec_col).isNotNull()).select(
         id_col, vec_col
     )
-    sim_col = "_centroid_cos" if keep_policy == "centroid_outlier" else None
+    sim_col = (
+        "_centroid_cos" if "centroid_outlier" in policies else None
+    )
     # "single cluster" must account for EXPLICIT centroids (ADVICE r11:
     # multi-row centroids= with n_clusters<=1 previously hit the k=1
     # shortcut, mislabeling real clusters as 0): effective cluster
@@ -384,7 +396,10 @@ def semantic_dedup(
         assigned = assign_clusters(
             base, centroids, vec_col=vec_col, out_col="cluster",
             normalize=True, sim_col=sim_col,
-        )
+        ).localCheckpoint(eager=False)
+        # ^ three consumers (pair generation, the CC node set, the
+        # members join) would each re-run the Arrow assignment pass
+        # and the source scan without materialization
     pairs = cosine_pairs(
         assigned,
         threshold=threshold,
@@ -397,7 +412,7 @@ def semantic_dedup(
     cc = connected_components(
         pairs.select("id_a", "id_b"), nodes, node_col="id"
     )
-    if single_cluster and keep_policy == "min_id":
+    if single_cluster and policies == ("min_id",) and not long_format:
         # single (effective) cluster: CC already covers every node, so
         # the members join below would only re-attach a literal
         return cc.select(
@@ -412,24 +427,42 @@ def semantic_dedup(
         ),
         id_col,
     )
-    if keep_policy == "min_id":
-        out = members.withColumn("representative", F.col("_comp"))
-    else:
-        # per ε-component: the member LEAST similar to its cluster
-        # centroid wins; struct ordering (cos ASC, id ASC) makes ties
-        # deterministic. Aggregate + join touch component members only.
-        reps = members.groupBy("_comp").agg(
-            F.min(F.struct(sim_col, id_col)).alias("_best")
-        ).select(
-            "_comp", F.col("_best").getField(id_col).alias("representative")
-        )
-        out = members.join(reps, "_comp").drop(sim_col)
-    return (
-        out.withColumn(
+    if len(policies) > 1:
+        # every policy branch of the output union re-reads this frame;
+        # materialize so assignment + CC-label join evaluate once
+        members = members.localCheckpoint(eager=False)
+
+    def policy_out(pol: str) -> DataFrame:
+        if pol == "min_id":
+            out = members.withColumn("representative", F.col("_comp"))
+        else:
+            # per ε-component: the member LEAST similar to its cluster
+            # centroid wins; struct ordering (cos ASC, id ASC) makes
+            # ties deterministic. Aggregate + join touch component
+            # members only.
+            reps = members.groupBy("_comp").agg(
+                F.min(F.struct(sim_col, id_col)).alias("_best")
+            ).select(
+                "_comp",
+                F.col("_best").getField(id_col).alias("representative"),
+            )
+            out = members.join(reps, "_comp")
+        return out.withColumn(
             "keep", (F.col(id_col) == F.col("representative")).cast("int")
         )
-        .select(id_col, "cluster", "representative", "keep")
-    )
+
+    if not long_format:
+        return policy_out(policies[0]).select(
+            id_col, "cluster", "representative", "keep"
+        )
+    result = None
+    for pol in policies:
+        frame = policy_out(pol).select(
+            id_col, "cluster", F.lit(pol).alias("policy"),
+            "representative", "keep",
+        )
+        result = frame if result is None else result.unionByName(frame)
+    return result
 
 
 def lsh_params_for(

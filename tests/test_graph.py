@@ -65,7 +65,9 @@ def test_lsh_composed_clusters_refine_exact(spark):
     }
     exact = {
         r["vec_id"]: r["cluster_id"]
-        for r in CATALOG["embedding_dedup_clusters"].fn(spark, SF_DIR).collect()
+        for r in CATALOG["embedding_dedup_clusters"].fn(spark, SF_DIR)
+        .filter(F.col("arm") == "exact")  # r12: query gained k4/outlier arms
+        .collect()
     }
     assert lsh.keys() == exact.keys()
     by_lsh_cluster: dict[int, list[int]] = {}
@@ -181,14 +183,28 @@ def test_star_algorithm_matches_label_prop_and_union_find(spark):
     edges = spark.createDataFrame(edge_list, "id_a BIGINT, id_b BIGINT")
     nodes = spark.createDataFrame([(n,) for n in node_list], "id BIGINT")
     want = _union_find(edge_list, node_list)
+    # the adaptive driver path (small graph) and the distributed star
+    # loop (driver_max_edges=0 forces it) must both match the reference
+    stats_small: dict = {}
+    small = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(
+            edges, nodes, stats=stats_small
+        ).collect()
+    }
+    stats_star: dict = {}
     star = {
         r["id"]: r["cluster_id"]
-        for r in connected_components(edges, nodes).collect()
+        for r in connected_components(
+            edges, nodes, driver_max_edges=0, stats=stats_star
+        ).collect()
     }
     prop = {
         r["id"]: r["cluster_id"]
         for r in connected_components_label_prop(edges, nodes).collect()
     }
+    assert stats_small["rounds"] == 0 and stats_star["rounds"] > 0
+    assert small == want
     assert star == want
     assert prop == want
 
@@ -214,7 +230,10 @@ def test_star_algorithm_rounds_are_logarithmic_on_path_graph(spark):
     out = {
         r["id"]: r["cluster_id"]
         for r in connected_components(
-            edges, nodes, max_iter=12, stats=stats
+            # driver_max_edges=0: force the distributed star loop —
+            # this test pins ITS round complexity, not the adaptive
+            # small-graph shortcut
+            edges, nodes, max_iter=12, stats=stats, driver_max_edges=0
         ).collect()
     }
     assert set(out.values()) == {0} and len(out) == n

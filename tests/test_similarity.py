@@ -736,3 +736,45 @@ def test_semantic_dedup_explicit_centroids_not_short_circuited(spark):
     assert rows[1]["representative"] == rows[2]["representative"] == 1
     assert rows[3]["representative"] == rows[4]["representative"] == 3
     assert sum(r["keep"] for r in rows.values()) == 2
+
+
+def test_semantic_dedup_multi_policy_long_format_matches_wide(spark):
+    """Round 12: keep_policy as a TUPLE runs assignment/pairing/CC once
+    and emits long format — each policy's slice must be row-identical
+    to the wide-format single-policy run."""
+    import math
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    df = spark.createDataFrame(
+        [(1, unit(0.0)), (2, unit(0.02)), (3, unit(0.10)),
+         (4, [0.0, -1.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    cents = [unit(0.04)]
+    long = semantic_dedup(
+        df, threshold=0.99, centroids=cents,
+        keep_policy=("min_id", "centroid_outlier"),
+    )
+    assert long.columns == [
+        "vec_id", "cluster", "policy", "representative", "keep"
+    ]
+    got = {
+        (r["policy"], r["vec_id"]): (r["cluster"], r["representative"],
+                                     r["keep"])
+        for r in long.collect()
+    }
+    assert len(got) == 8  # 4 rows x 2 policies
+    for pol in ("min_id", "centroid_outlier"):
+        wide = {
+            r["vec_id"]: (r["cluster"], r["representative"], r["keep"])
+            for r in semantic_dedup(
+                df, threshold=0.99, centroids=cents, keep_policy=pol
+            ).collect()
+        }
+        assert {v: got[(pol, v)] for v in wide} == wide
