@@ -437,6 +437,26 @@ def word_shingles(text: Column | str, size: int = 3) -> Column:
     )
 
 
+def shingle_array(words: Column, size: int = 3) -> Column:
+    """Distinct word-n-gram array from a token-array column — the
+    shingle expression :func:`exploded_word_shingles` explodes,
+    exposed so callers that already hold a token array (e.g. a plan
+    deriving several shingle UNIVERSES from one tokenization) can
+    shingle without re-splitting the text."""
+    n = F.greatest(F.size(words) - (size - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            # slice clamps at the array end (ANSI-safe, unlike element_at
+            # past size(w)) and matches the oracle's NULL-skipping
+            # concat_ws: docs with < size words yield one partial shingle.
+            lambda i: F.concat_ws(
+                " ", F.slice(words, (i + 1).cast("int"), size)
+            ),
+        )
+    )
+
+
 def exploded_word_shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", size: int = 3
 ) -> DataFrame:
@@ -449,17 +469,7 @@ def exploded_word_shingles(
     (shingle x word) — measured ~10x faster than inlining
     :func:`word_shingles` directly."""
     w_df = df.select(F.col(id_col), tokens(text_col).alias("_w"))
-    w = F.col("_w")
-    n = F.greatest(F.size(w) - (size - 1), F.lit(1))
-    arr = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), n - 1),
-            # slice clamps at the array end (ANSI-safe, unlike element_at
-            # past size(w)) and matches the oracle's NULL-skipping
-            # concat_ws: docs with < size words yield one partial shingle.
-            lambda i: F.concat_ws(" ", F.slice(w, (i + 1).cast("int"), size)),
-        )
-    )
+    arr = shingle_array(F.col("_w"), size)
     return w_df.select(F.col(id_col), F.explode(arr).alias("sh"))
 
 
@@ -1115,28 +1125,83 @@ def ngram_jaccard_pairs(
     """
     sh = exploded_word_shingles(
         ensure_parallelism(df), id_col, text_col, shingle_words
-    ).localCheckpoint(eager=False)
+    ).withColumn("_arm", F.lit("all"))
+    return ngram_jaccard_pairs_grouped(
+        sh,
+        id_col=id_col,
+        top_n=top_n,
+        arm_col="_arm",
+        arms=("all",),
+        max_shingle_df={"all": max_shingle_df},
+    ).drop("_arm")
+
+
+def ngram_jaccard_pairs_grouped(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    top_n: int = 50,
+    arm_col: str = "arm",
+    arms: tuple[str, ...] = ("all",),
+    max_shingle_df: dict | None = None,
+) -> DataFrame:
+    """Shared-stage multi-arm core of :func:`ngram_jaccard_pairs`
+    (round 12, VERDICT r11 #2): ``sh`` is an already-exploded
+    ``(arm, id, sh)`` frame — one row per DISTINCT shingle per (arm,
+    doc) — and every stage (stop-shingle df, sizes, inverted-index
+    pair join, scoring) runs ONCE with the arm column joined into its
+    key. Comparing operating points over mostly-shared corpora (the
+    ``ngram_jaccard_top_pairs`` exact/stopcap arms: odd docs
+    byte-identical) costs one pipeline instead of one per arm.
+
+    ``max_shingle_df`` maps arm value → df cap (missing/None = full
+    universe for that arm). Over-cap shingles are removed with a
+    broadcast ANTI join: the drop set is the corpus-fraction-hot
+    shingles only — bounded by total_rows/cap entries, and in the
+    boilerplate pathology the knob exists for it is a handful of
+    template shingles — where the previous keep-side SEMI join
+    shuffled the entire shingle frame.
+
+    Per-arm top-k stays TakeOrdered (orderBy+limit per arm over the
+    once-materialized scored frame, then a window over ≤ arms·top_n
+    survivors for the rank column) — never a global sort of all
+    scored pairs."""
+    caps = {k: v for k, v in (max_shingle_df or {}).items()
+            if v is not None}
+    if caps:
+        sh = sh.localCheckpoint(eager=False)
+        # ^ the df aggregate AND the anti join both scan this frame
+        capped = sorted(caps)
+        cap_of = F.lit(None)
+        for a in capped:
+            cap_of = F.when(F.col(arm_col) == a, F.lit(caps[a])).otherwise(
+                cap_of
+            )
+        drop = (
+            sh.filter(F.col(arm_col).isin(capped))
+            .groupBy(arm_col, "sh")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > cap_of)
+            .select(arm_col, "sh")
+        )
+        sh = sh.join(F.broadcast(drop), [arm_col, "sh"], "left_anti")
+    sh = sh.localCheckpoint(eager=False)
     # ^ consumed three times (sizes + both join sides); without
     # materialization each reference re-runs the shingle explode.
-    if max_shingle_df is not None:
-        keep = (
-            sh.groupBy("sh")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") <= max_shingle_df)
-            .select("sh")
-        )
-        sh = sh.join(keep, "sh", "left_semi").localCheckpoint(eager=False)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "sh")
-    b = sh.select(F.col(id_col).alias("doc_b"), "sh")
+    sizes = sh.groupBy(arm_col, id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(arm_col, F.col(id_col).alias("doc_a"), "sh")
+    b = sh.select(arm_col, F.col(id_col).alias("doc_b"), "sh")
     shared = (
-        a.join(b, "sh")
+        a.join(b, [arm_col, "sh"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        .groupBy(arm_col, "doc_a", "doc_b")
         .agg(F.count("*").alias("shared"))
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("words_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("words_b"))
+    sa = sizes.select(
+        arm_col, F.col(id_col).alias("doc_a"), F.col("n_sh").alias("words_a")
+    )
+    sb = sizes.select(
+        arm_col, F.col(id_col).alias("doc_b"), F.col("n_sh").alias("words_b")
+    )
     jac = F.round(
         F.col("shared")
         / (F.col("words_a") + F.col("words_b") - F.col("shared")).cast("double"),
@@ -1145,17 +1210,19 @@ def ngram_jaccard_pairs(
     from pyspark.sql.window import Window
 
     scored = (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        shared.join(sa, [arm_col, "doc_a"])
+        .join(sb, [arm_col, "doc_b"])
         .withColumn("jaccard", jac)
+        .localCheckpoint(eager=False)
     )
-    # Top-k via orderBy+limit (parallel per-partition TakeOrdered + merge),
-    # NOT a global row_number window — a single-partition sort of every
-    # scored pair is the bottleneck at scale. The rank column is then
-    # recomputed over just the k surviving rows.
+    # ^ one TakeOrdered branch per arm reads it
     order = [F.col("jaccard").desc(), F.col("doc_a"), F.col("doc_b")]
-    top = scored.orderBy(*order).limit(top_n)
-    w = Window.orderBy(*order)
+    top = None
+    for arm in arms:
+        t = scored.filter(F.col(arm_col) == arm).orderBy(*order).limit(top_n)
+        top = t if top is None else top.unionByName(t)
+    w = Window.partitionBy(arm_col).orderBy(*order)
     return top.withColumn("rk", F.row_number().over(w)).select(
-        "doc_a", "doc_b", "shared", "words_a", "words_b", "jaccard", "rk"
+        arm_col, "doc_a", "doc_b", "shared", "words_a", "words_b",
+        "jaccard", "rk",
     )

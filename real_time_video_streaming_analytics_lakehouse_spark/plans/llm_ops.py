@@ -528,27 +528,74 @@ def ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       the ``lsh_params_for`` precedent for oracling a derived knob.
 
     ``n_docs`` reaches the cap as a plain int from a parquet
-    metadata count; no layout-dependent value enters the output."""
-    from ..operators.text import stop_shingle_cap
+    metadata count; no layout-dependent value enters the output.
+
+    Round 12 (VERDICT r11 #2): both arms run through ONE pipeline —
+    each document is tokenized once, the exact shingle array is
+    computed once per doc and REUSED as the stopcap array for odd
+    (unplanted) docs, and the stop-shingle df / sizes / pair-join /
+    top-k stages run arm-keyed via
+    :func:`..operators.text.ngram_jaccard_pairs_grouped` instead of
+    twice end-to-end. The planted corpus never materializes as text:
+    even docs shingle ``tokens(text) ++ tokens(boilerplate)``, which
+    equals shingling the concatenated text (whitespace tokenization
+    distributes over the join; the empty-token filter covers
+    empty/whitespace-only texts, whose token array is ``[""]``)."""
+    from ..operators.text import (
+        ngram_jaccard_pairs_grouped,
+        shingle_array,
+        stop_shingle_cap,
+        tokens,
+    )
+    from ..operators.util import ensure_parallelism
 
     docs = _docs(spark, sf_dir)
-    exact = ngram_jaccard_pairs(docs, top_n=50).withColumn(
-        "method", F.lit("exact")
-    )
     n_docs = docs.count()  # parquet metadata count (lsh_params precedent)
-    planted = docs.select(
-        "doc_id",
-        F.when(
-            F.col("doc_id") % 2 == 0,
-            F.concat(F.col("text"), F.lit(" " + _BOILERPLATE)),
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
+    boiler_w = F.split(F.lit(_BOILERPLATE), " ")
+    w_df = ensure_parallelism(docs).select(
+        "doc_id", tokens("text").alias("_w")
     )
-    capped = ngram_jaccard_pairs(
-        planted, top_n=50, max_shingle_df=stop_shingle_cap(n_docs)
-    ).withColumn("method", F.lit("stopcap"))
-    return exact.unionByName(capped)
+    planted_w = F.concat(
+        # empty text tokenizes to [""] — drop the phantom token so the
+        # array equals tokens(text || ' ' || boilerplate)
+        F.filter(F.col("_w"), lambda x: x != F.lit("")),
+        boiler_w,
+    )
+    # two projections: a_ex is multiply-referenced below (output +
+    # otherwise branch), so CollapseProject keeps it un-inlined and
+    # odd docs shingle exactly once
+    arr = w_df.select(
+        "doc_id", "_w", shingle_array(F.col("_w")).alias("a_ex")
+    ).select(
+        "doc_id",
+        "a_ex",
+        F.when(F.col("doc_id") % 2 == 0, shingle_array(planted_w))
+        .otherwise(F.col("a_ex"))
+        .alias("a_cap"),
+    )
+    sh_all = arr.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("exact").alias("method"), F.col("a_ex").alias("a")
+                ),
+                F.struct(
+                    F.lit("stopcap").alias("method"), F.col("a_cap").alias("a")
+                ),
+            )
+        ).alias("s"),
+    ).select(
+        F.col("s.method").alias("method"), "doc_id",
+        F.explode("s.a").alias("sh"),
+    )
+    return ngram_jaccard_pairs_grouped(
+        sh_all,
+        top_n=50,
+        arm_col="method",
+        arms=("exact", "stopcap"),
+        max_shingle_df={"stopcap": stop_shingle_cap(n_docs)},
+    )
 
 
 NGRAM_JACCARD_TOP_PAIRS_SQL = r"""
