@@ -716,6 +716,155 @@ def winnow_containment_hits(
     )
 
 
+def winnow_fingerprints_positions(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    base: int = 131,
+    mod: int = 10**15,
+) -> DataFrame:
+    """Positional winnowing — ``(id, fp, pos)`` rows, one per distinct
+    selected (hash, position) pair, where ``pos`` is the 0-based
+    character offset of the k-gram the fingerprint hashes.
+
+    This is the full MOSS sketch: :func:`winnow_fingerprints` keeps
+    only the hash SET (enough for containment counting); keeping the
+    positions is what makes matches LOCALIZABLE, i.e. span extraction
+    (:func:`winnow_dup_spans`). Selection per window takes the
+    LEFTMOST minimal hash (np.argmin first-occurrence), a fixed
+    deterministic tie rule, then distinct (hash, pos) pairs — the
+    standard "record one (hash, position) per window, dedupe" robust
+    winnowing formulation. Same Rabin–Karp integer hash and edge
+    semantics as the set variants (NULL text → no rows, len < k → no
+    rows, len < k+w-1 → the single global minimum at its position).
+    Arrow-batched numpy, linear per doc, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    def emit(batches):
+        for pdf in batches:
+            ids: list = []
+            fps: list = []
+            poss: list = []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None or len(t) < k:
+                    continue
+                codes = np.frombuffer(
+                    t.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                m = len(t) - k + 1
+                h = np.zeros(m, dtype=np.int64)
+                for j in range(k):
+                    h = (h * base + codes[j : j + m]) % mod
+                if m < w:
+                    sel_pos = np.array([int(h.argmin())])
+                else:
+                    nwin = m - w + 1
+                    shifted = np.stack([h[j : j + nwin] for j in range(w)])
+                    # leftmost min per window: argmin over the SHIFT
+                    # axis returns the first (smallest-offset) minimum
+                    sel_pos = np.unique(
+                        shifted.argmin(axis=0) + np.arange(nwin)
+                    )
+                ids.extend([did] * len(sel_pos))
+                fps.extend(h[sel_pos].tolist())
+                poss.extend(sel_pos.tolist())
+            yield pd.DataFrame({id_col: ids, "fp": fps, "pos": poss})
+
+    idt = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, text_col).mapInPandas(
+        emit, f"{id_col} {idt}, fp BIGINT, pos INT"
+    )
+
+
+def winnow_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    min_anchors: int = 2,
+    merge_gap: int | None = None,
+) -> DataFrame:
+    """Substring-level cross-document duplicate EXTRACTION — the
+    outcome of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better": remove repeated SPANS, not whole docs)
+    via winnowing anchors instead of a suffix array. Returns
+    ``(id, start, end, dup_group, n_anchors)`` — one row per maximal
+    duplicated span, ``[start, end)`` character offsets, ready for
+    span-level removal (slice the text around the spans).
+
+    Pipeline (every stage a DataFrame op, sketch-sized shuffles only):
+
+    1. Positional fingerprints (:func:`winnow_fingerprints_positions`)
+       — expected 2/(w+1) of k-gram positions per doc, never the text.
+    2. Cross-doc anchors: fingerprints appearing in ≥ 2 distinct docs
+       survive (groupBy(fp) + semi join — the inverted-index trick).
+    3. Span assembly per doc: anchors sorted by position; a gap >
+       ``merge_gap`` (default ``w + k - 1``, the winnowing guarantee
+       length — inside a true shared passage selected anchors can
+       never be farther apart than one window plus one k-gram, so a
+       larger gap certifies a break) starts a new
+       span (lag + running sum = the classic sessionize idiom); spans
+       with < ``min_anchors`` anchors are dropped (a single 8-char
+       hash meeting across docs is usually a stopword-ish coincidence,
+       the same reason Lee et al. set a minimum match length).
+    4. ``dup_group`` = the span's minimum matched fingerprint — a
+       content-derived group id: equal passages share their interior
+       anchor set, so their spans land in the same group across docs.
+
+    By the winnowing guarantee the anchor hull lies INSIDE the true
+    shared passage and within ``w + k - 2`` characters of each true
+    boundary — the span is a certified-duplicated core, slack pinned
+    by the planted-passage test. For whole-doc decisions use
+    :func:`winnow_containment_hits`; this operator exists for the
+    span-REMOVAL decision the reference family lacks."""
+    from pyspark.sql.window import Window
+
+    if merge_gap is None:
+        merge_gap = w + k - 1
+    anchors = winnow_fingerprints_positions(
+        df, text_col, id_col, k=k, w=w
+    ).localCheckpoint(eager=False)
+    # ^ consumed twice (df side + the shared-fp aggregate)
+    shared = (
+        anchors.groupBy("fp")
+        .agg(F.count_distinct(F.col(id_col)).alias("_docs"))
+        .filter(F.col("_docs") >= 2)
+        .select("fp")
+    )
+    hit = anchors.join(shared, "fp", "left_semi")
+    by_pos = Window.partitionBy(id_col).orderBy("pos")
+    seg = (
+        hit.withColumn("_prev", F.lag("pos").over(by_pos))
+        .withColumn(
+            "_new_span",
+            (
+                F.col("_prev").isNull()
+                | ((F.col("pos") - F.col("_prev")) > merge_gap)
+            ).cast("int"),
+        )
+        .withColumn(
+            "_span", F.sum("_new_span").over(
+                by_pos.rowsBetween(Window.unboundedPreceding, 0)
+            )
+        )
+    )
+    return (
+        seg.groupBy(id_col, "_span")
+        .agg(
+            F.min("pos").alias("start"),
+            (F.max("pos") + F.lit(k)).alias("end"),
+            F.min("fp").alias("dup_group"),
+            F.count("*").alias("n_anchors"),
+        )
+        .filter(F.col("n_anchors") >= min_anchors)
+        .select(id_col, "start", "end", "dup_group", "n_anchors")
+    )
+
+
 def fingerprint_col(text_col: str = "text", size: int = 3) -> Column:
     """Order-insensitive content fingerprint: md5 over the sorted
     distinct character-shingle set. Identical for any permutation-

@@ -1003,3 +1003,133 @@ def test_winnow_paths_value_identical_beyond_bmp(spark):
     ).collect()
     for r in rows:
         assert list(r["hof"]) == list(r["vec"]), texts[r["doc_id"]]
+
+
+def test_winnow_dup_spans_planted_passage_reference_equality(spark):
+    """Round 12 (VERDICT r11 #5): substring-level dedup — a passage
+    planted into several documents must come back as per-doc spans
+    (doc, start, end, dup_group) that (a) equal a pure-Python
+    reference of the whole pipeline row-for-row, (b) cover the planted
+    region to within the winnowing boundary slack, (c) share one
+    dup_group across the planted docs, and (d) are partition-
+    invariant. Unplanted random docs yield nothing."""
+    import random
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.text import (
+        winnow_dup_spans,
+    )
+
+    K, W = 8, 4
+    rng = random.Random(42)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+
+    def rand_text(n):
+        return "".join(rng.choices(alpha, k=n))
+
+    passage = rand_text(220)
+    texts = {}
+    offsets = {}
+    for d in range(6):
+        body = rand_text(400)
+        if d % 2 == 0:  # plant into docs 0, 2, 4 at varying offsets
+            off = 37 + 50 * d
+            texts[d] = body[:off] + passage + body[off:]
+            offsets[d] = off
+        else:
+            texts[d] = body
+    df = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id LONG, text STRING"
+    )
+
+    # ---- pure-Python reference of the full pipeline -----------------
+    def ref_positions(t):
+        m = len(t) - K + 1
+        h = []
+        for i in range(m):
+            v = 0
+            for j in range(K):
+                v = (v * 131 + ord(t[i + j])) % 10**15
+            h.append(v)
+        sel = set()
+        for j in range(m - W + 1):
+            off = min(range(W), key=lambda x: (h[j + x], x))
+            sel.add((h[j + off], j + off))
+        return sorted(sel, key=lambda x: x[1])
+
+    pos = {d: ref_positions(t) for d, t in texts.items()}
+    doc_count: dict = {}
+    for d, ps in pos.items():
+        for fp, _ in set(ps):
+            doc_count.setdefault(fp, set()).add(d)
+    shared = {fp for fp, ds in doc_count.items() if len(ds) >= 2}
+    want = set()
+    gap = W + K - 1
+    for d, ps in pos.items():
+        hits = [(fp, p) for fp, p in ps if fp in shared]
+        runs: list = []
+        for fp, p in hits:
+            if runs and p - runs[-1][-1][1] <= gap:
+                runs[-1].append((fp, p))
+            else:
+                runs.append([(fp, p)])
+        for run in runs:
+            if len(run) >= 2:
+                want.add((
+                    d, run[0][1], run[-1][1] + K,
+                    min(fp for fp, _ in run), len(run),
+                ))
+
+    got = {
+        (r["doc_id"], r["start"], r["end"], r["dup_group"], r["n_anchors"])
+        for r in winnow_dup_spans(df, min_anchors=2).collect()
+    }
+    assert got == want and want
+
+    # ---- semantic pins ----------------------------------------------
+    by_doc: dict = {}
+    for row in got:
+        by_doc.setdefault(row[0], []).append(row)
+    assert set(by_doc) == {0, 2, 4}  # unplanted docs: no spans
+    slack = W + K - 2
+    groups = set()
+    for d, rows in by_doc.items():
+        assert len(rows) == 1
+        _, start, end, grp, n_anchors = rows[0]
+        lo, hi = offsets[d], offsets[d] + len(passage)
+        # the anchor hull sits inside the planted region (up to one
+        # k-gram reaching past the end) and within slack of each edge
+        assert lo <= start <= lo + slack
+        assert hi - slack <= end <= hi + K
+        assert n_anchors >= 2
+        groups.add(grp)
+    assert len(groups) == 1  # same content -> same dup_group
+
+    # ---- partition invariance ---------------------------------------
+    again = {
+        (r["doc_id"], r["start"], r["end"], r["dup_group"], r["n_anchors"])
+        for r in winnow_dup_spans(
+            df.repartition(7, "doc_id"), min_anchors=2
+        ).collect()
+    }
+    assert again == got
+
+
+def test_winnow_dup_spans_edges(spark):
+    """NULL text, sub-k text, and a doc with no cross-doc content
+    produce no spans; two short identical docs still pair when their
+    single-window fingerprints meet min_anchors=1."""
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.text import (
+        winnow_dup_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "tiny"), (3, "the same nine"), (4, "the same nine"),
+         (5, "completely unrelated content here")],
+        "doc_id LONG, text STRING",
+    )
+    got = winnow_dup_spans(df, min_anchors=1).collect()
+    by_doc = {r["doc_id"]: r for r in got}
+    assert set(by_doc) == {3, 4}
+    assert by_doc[3]["dup_group"] == by_doc[4]["dup_group"]
+    assert by_doc[3]["start"] == by_doc[4]["start"]
+    assert by_doc[3]["end"] == by_doc[4]["end"]
