@@ -385,14 +385,38 @@ def doc_dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECTION (which depends on hash values, not just equality)
     bit-exactly. The per-doc fingerprint sets are computed ONCE
     (Arrow-vectorized, lazily checkpointed) and reused by the count
-    column, the holdout filter, and the hits join."""
-    from ..operators.text import contaminated_ids
+    column, the holdout filter, and the hits join.
+
+    Round 12 adds the SUBSTRING-DEDUP arm (Lee et al. 2022 via
+    :func:`..operators.text.winnow_dup_spans` — positional winnowing
+    anchors instead of a suffix array): per doc, the number of
+    cross-document duplicated spans (``dup_spans``), their total
+    character length (``dup_span_chars``), and the content-derived
+    group id of the doc's spans (``dup_span_group``, the minimum
+    matched fingerprint; -1 when the doc has none) — so the span
+    extractor's whole pipeline (positional selection → ≥2-distinct-doc
+    anchor filter → gap-merge → min_anchors gate) runs under the
+    driver oracle: DuckDB re-derives the leftmost-min positional
+    selection with ``list_position`` over the same portable
+    polynomial hashes, then the identical LAG + running-sum merge.
+    Exact-duplicate texts in the corpus guarantee the arm fires
+    (their spans cover ~the whole doc)."""
+    from ..operators.text import contaminated_ids, winnow_dup_spans
 
     d = _docs(spark, sf_dir)
     groups = exact_dedup_groups(d, "text", "doc_id")
     holdout = d.filter(F.col("doc_id") % 37 == 0)
     hits = contaminated_ids(d, holdout).withColumnRenamed(
         "hits", "holdout_hits"
+    )
+    span_agg = (
+        winnow_dup_spans(d, min_anchors=2)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("dup_spans"),
+            F.sum(F.col("end") - F.col("start")).alias("dup_span_chars"),
+            F.min("dup_group").alias("dup_span_group"),
+        )
     )
     wd = d.select(
         "doc_id", winnow_fingerprints_vec("text").alias("_wfps")
@@ -420,6 +444,7 @@ def doc_dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(hits, "doc_id", "left_outer")
         .join(wcnt, "doc_id", "left_outer")
         .join(whits, "doc_id", "left_outer")
+        .join(span_agg, "doc_id", "left_outer")
     )
     return joined.select(
         per_doc.doc_id, per_doc.text_hash, "dup_count", "canonical_doc_id",
@@ -429,6 +454,15 @@ def doc_dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.coalesce(F.col("winnow_hits"), F.lit(0).cast("long")).alias(
             "winnow_hits"
+        ),
+        F.coalesce(F.col("dup_spans"), F.lit(0).cast("long")).alias(
+            "dup_spans"
+        ),
+        F.coalesce(F.col("dup_span_chars"), F.lit(0).cast("long")).alias(
+            "dup_span_chars"
+        ),
+        F.coalesce(F.col("dup_span_group"), F.lit(-1).cast("long")).alias(
+            "dup_span_group"
         ),
     )
 
@@ -474,7 +508,41 @@ wfp AS (SELECT doc_id, unnest(fps) AS fp FROM wsel),
 whold AS (SELECT DISTINCT fp FROM wfp WHERE doc_id % 37 = 0),
 whits AS (
   SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS winnow_hits
-  FROM wfp w JOIN whold h ON w.fp = h.fp GROUP BY 1)
+  FROM wfp w JOIN whold h ON w.fp = h.fp GROUP BY 1),
+-- substring-dedup arm (round 12): POSITIONAL winnowing (leftmost min
+-- per window via list_position), >=2-distinct-doc anchors, LAG +
+-- running-sum gap merge (gap 11 = w+k-1), spans with >=2 anchors
+wpos AS (
+  SELECT DISTINCT doc_id, kh[p + 1] AS fp, p AS pos
+  FROM (
+    SELECT doc_id, kh,
+           unnest(CASE WHEN len(kh) < 4
+                  THEN [list_position(kh, list_aggregate(kh, 'min')) - 1]
+                  ELSE list_transform(generate_series(0, len(kh) - 4),
+                       j -> j + list_position(list_slice(kh, j + 1, j + 4),
+                              list_aggregate(list_slice(kh, j + 1, j + 4),
+                                             'min')) - 1)
+                  END) AS p
+    FROM wkh)),
+wshared AS (
+  SELECT fp FROM wpos GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2),
+wseg AS (
+  SELECT doc_id, fp, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > 11 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS seg
+  FROM (SELECT w.doc_id, w.fp, w.pos,
+               LAG(w.pos) OVER (PARTITION BY w.doc_id ORDER BY w.pos)
+                 AS prev
+        FROM wpos w JOIN wshared USING (fp))),
+wspans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 8 AS e, MIN(fp) AS grp
+  FROM wseg GROUP BY doc_id, seg HAVING COUNT(*) >= 2),
+wspanagg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_spans,
+         CAST(SUM(e - s) AS BIGINT) AS dup_span_chars,
+         MIN(grp) AS dup_span_group
+  FROM wspans GROUP BY doc_id)
 SELECT d.doc_id, md5(d.text) AS text_hash, g.dup_count, g.canonical_doc_id,
        md5(array_to_string(list_sort(list_distinct(
          list_transform(generate_series(1, greatest(length(d.text) - 2, 1)),
@@ -491,12 +559,16 @@ SELECT d.doc_id, md5(d.text) AS text_hash, g.dup_count, g.canonical_doc_id,
             WHEN length(d.text) < 8 THEN CAST(0 AS BIGINT)
             ELSE CAST(len(wsel.fps) AS BIGINT) END AS winnow_fp_count,
        COALESCE(hits.holdout_hits, CAST(0 AS BIGINT)) AS holdout_hits,
-       COALESCE(whits.winnow_hits, CAST(0 AS BIGINT)) AS winnow_hits
+       COALESCE(whits.winnow_hits, CAST(0 AS BIGINT)) AS winnow_hits,
+       COALESCE(sp.dup_spans, CAST(0 AS BIGINT)) AS dup_spans,
+       COALESCE(sp.dup_span_chars, CAST(0 AS BIGINT)) AS dup_span_chars,
+       COALESCE(sp.dup_span_group, CAST(-1 AS BIGINT)) AS dup_span_group
 FROM documents d
 JOIN groups g ON md5(d.text) IS NOT DISTINCT FROM g.text_hash
 LEFT JOIN hits ON d.doc_id = hits.doc_id
 LEFT JOIN wsel ON d.doc_id = wsel.doc_id
 LEFT JOIN whits ON d.doc_id = whits.doc_id
+LEFT JOIN wspanagg sp ON d.doc_id = sp.doc_id
 """
 
 
