@@ -150,8 +150,11 @@ def test_connected_components_raises_on_non_convergence(spark):
         [(i, i + 1) for i in range(63)], "id_a BIGINT, id_b BIGINT"
     )
     nodes = spark.createDataFrame([(i,) for i in range(64)], "id BIGINT")
+    # driver_max_edges=0 forces the distributed star loop — the r12
+    # adaptive union-find path is exact in one shot and never
+    # non-converges, so the contract under test lives in the loop
     with pytest.raises(RuntimeError, match="re-pointing"):
-        connected_components(edges, nodes, max_iter=1)
+        connected_components(edges, nodes, max_iter=1, driver_max_edges=0)
     with pytest.raises(RuntimeError, match="still changing"):
         connected_components_label_prop(edges, nodes, max_iter=2)
     # warn-only mode returns partial labels
@@ -159,7 +162,9 @@ def test_connected_components_raises_on_non_convergence(spark):
 
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        out = connected_components(edges, nodes, max_iter=1, strict=False)
+        out = connected_components(
+            edges, nodes, max_iter=1, strict=False, driver_max_edges=0
+        )
         assert out.count() == 64
         assert any("re-pointing" in str(x.message) for x in w)
     # enough iterations: single cluster, no raise
