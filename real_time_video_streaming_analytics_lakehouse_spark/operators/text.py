@@ -768,10 +768,21 @@ def winnow_fingerprints_positions(
                     sel_pos = np.unique(
                         shifted.argmin(axis=0) + np.arange(nwin)
                     )
-                ids.extend([did] * len(sel_pos))
-                fps.extend(h[sel_pos].tolist())
-                poss.extend(sel_pos.tolist())
-            yield pd.DataFrame({id_col: ids, "fp": fps, "pos": poss})
+                # no forced dtype: id_col may be non-integer (schema
+                # passes the source type through)
+                ids.append(np.full(len(sel_pos), did))
+                fps.append(h[sel_pos])
+                poss.append(sel_pos.astype(np.int32))
+            if not ids:
+                yield pd.DataFrame({id_col: [], "fp": [], "pos": []})
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: np.concatenate(ids),
+                    "fp": np.concatenate(fps),
+                    "pos": np.concatenate(poss),
+                }
+            )
 
     idt = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, text_col).mapInPandas(
