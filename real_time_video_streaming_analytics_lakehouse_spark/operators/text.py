@@ -1328,8 +1328,14 @@ def ngram_jaccard_pairs_grouped(
     caps = {k: v for k, v in (max_shingle_df or {}).items()
             if v is not None}
     if caps:
-        sh = sh.localCheckpoint(eager=False)
-        # ^ the df aggregate AND the anti join both scan this frame
+        # deliberately NOT checkpointed here: the df aggregate and the
+        # anti join would share a materialized frame, but at scale the
+        # pre-drop shingle union is the largest frame in the plan
+        # (every (arm, doc, shingle) string — measured GC-thrashing an
+        # 8g heap at the synthetic 10x tier) while the explode feeding
+        # it is a cheap linear map; re-running the explode for the df
+        # aggregate trades ~one corpus scan for the peak-memory high
+        # water mark. Only the post-drop frame (below) materializes.
         capped = sorted(caps)
         cap_of = F.lit(None)
         for a in capped:
