@@ -28,8 +28,11 @@ Schema evolution: ``register`` enforces BACKWARD compatibility by
 default (a consumer on the new version can read data produced under
 the old one): a shared property may not change type, and a field newly
 promoted to ``required`` must already exist in the previous version's
-properties. ``compatibility="none"`` opts out per registry, mirroring
-Confluent's subject-level setting.
+properties. Round 12 completes Confluent's subject-level mode set:
+``compatibility="forward"`` mirrors the algebra (data produced under
+the new version stays valid to readers on the old one — a property the
+old version requires must survive into the new one), ``"full"`` checks
+both directions, and ``"none"`` opts out per registry.
 """
 
 from __future__ import annotations
