@@ -53,18 +53,41 @@ def test_no_unbounded_driver_collect_at_construction(spark):
     """Guard against driver-side corpus materialization (round-1's
     cosine_pairs collected the whole embedding table): constructing ANY
     catalog query must not call DataFrame.collect()/toPandas(), except
-    the two documented bounded reads — merge_upsert_events' 1-row
-    watermark and ann_ivf_topk's capped k-means sample."""
-    import pyspark.sql
+    the documented BOUNDED reads (each with its bound pinned below).
 
+    Round 12: the patch target is the CLASSIC DataFrame class —
+    Spark 4 split pyspark.sql.DataFrame into an abstract base and
+    pyspark.sql.classic.dataframe.DataFrame, whose own collect/
+    toPandas overrides made a base-class monkeypatch a no-op, i.e.
+    this gate had been silently blind. Re-pointed and the allowance
+    table rebuilt from the real measured reads."""
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.graph import (
+        DRIVER_CC_MAX_EDGES,
+    )
+
+    # per-CALL row ceilings for the sanctioned bounded reads; every
+    # entry names its source
     ALLOWED_BOUNDED = {
-        "merge_upsert_events": 1,      # watermark read: exactly 1 row
-        "ann_topk": 4096,              # IVF k-means sample: capped by limit()
-        "embedding_centroids": 8,      # k seeded centroids: limit(8)
+        # 1-row watermark read
+        "merge_upsert_events": 1,
+        # IVF/PQ codebook sample: limit(sample_size) = 4096
+        "ann_topk": 4096,
+        # k-means: k seed rows, then k*(d+2) partial-aggregate rows
+        # per iteration (k=8, d=64 -> 528)
+        "embedding_centroids": 8 * (64 + 2),
+        # connected components: 1-row convergence signatures + the
+        # adaptive union-find's edge read, bounded by construction
+        "embedding_dedup_clusters": DRIVER_CC_MAX_EDGES,
+        "embedding_dedup_clusters_lsh": DRIVER_CC_MAX_EDGES,
+        # interval_join's data-derived bin width: one 1-row
+        # percentile_approx aggregate
+        "customer_order_profile": 1,
     }
 
-    real_collect = pyspark.sql.DataFrame.collect
-    real_topandas = pyspark.sql.DataFrame.toPandas
+    real_collect = CDF.collect
+    real_topandas = CDF.toPandas
     calls: list[int] = []
 
     def counting_collect(self):
@@ -77,13 +100,15 @@ def test_no_unbounded_driver_collect_at_construction(spark):
         calls.append(len(pdf))
         return pdf
 
-    pyspark.sql.DataFrame.collect = counting_collect
-    pyspark.sql.DataFrame.toPandas = counting_topandas
+    CDF.collect = counting_collect
+    CDF.toPandas = counting_topandas
     try:
+        saw_bounded = False
         for name, spec in sorted(CATALOG.items()):
             calls.clear()
             spec.fn(spark, SF_DIR)  # construction only — no action here
             if name in ALLOWED_BOUNDED:
+                saw_bounded = saw_bounded or bool(calls)
                 assert all(n <= ALLOWED_BOUNDED[name] for n in calls), (
                     name, calls)
             else:
@@ -91,9 +116,15 @@ def test_no_unbounded_driver_collect_at_construction(spark):
                     f"{name} collected {calls} rows to the driver during "
                     f"construction — not scale-safe"
                 )
+        # the patch must actually intercept (the pre-round-12 blindness
+        # would make this gate vacuous again without noticing)
+        assert saw_bounded, (
+            "no construction-time collect was observed at all — the "
+            "monkeypatch target has gone stale again"
+        )
     finally:
-        pyspark.sql.DataFrame.collect = real_collect
-        pyspark.sql.DataFrame.toPandas = real_topandas
+        CDF.collect = real_collect
+        CDF.toPandas = real_topandas
 
 
 def test_purchase_attribution_uses_equi_join_not_nested_loop(spark):
