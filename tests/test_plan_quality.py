@@ -240,19 +240,69 @@ def test_top_query_shuffle_exchange_counts_pinned(spark):
     pathologies."""
     import re
 
+    # Round 12: widened from the 11 most expensive queries to the FULL
+    # catalog — every query's measured exchange count at this HEAD is
+    # its ceiling, so ANY silently-added shuffle anywhere trips the
+    # gate at authoring time (a refactor that removes one should lower
+    # the pin). Caveat: localCheckpoint severs the visible plan, so
+    # checkpoint-internal stages (e.g. the ngram/LSH pipelines' joins)
+    # are pinned by their own job/SCALING gates, not here — this table
+    # pins the exchanges of the FINAL returned frame.
     ceilings = {
-        "embedding_dedup_clusters_lsh": 3,
-        "hash_dedup_candidates": 2,
-        "doc_dedup_fingerprints": 6,
-        "embedding_dedup_clusters": 3,
         "ann_topk": 6,
-        "dq_validation_events": 2,
-        "text_quality": 20,
+        "anomaly_1min": 1,
+        "chunk_pack_rollup": 4,
+        "churn_risk": 1,
+        "clean_standardize_customers": 0,
+        "content_popularity_10min": 2,
+        "content_trends_daily": 2,
+        "customer_ltv_segments": 2,
         "customer_order_profile": 3,
+        "customers_without_orders": 0,
+        "daily_active_users": 2,
         "daily_user_metrics": 2,
+        "device_platform_quality": 2,
+        "dim_time_generate": 0,
+        "doc_dedup_fingerprints": 9,
+        "doc_token_stats": 1,
+        "dq_validation_events": 2,
+        "embedding_centroids": 4,
+        "embedding_cosine_pairs": 1,
+        "embedding_dedup_clusters": 2,
+        "embedding_dedup_clusters_lsh": 0,
+        "event_type_rank": 3,
+        "executive_kpis": 4,
+        "hash_dedup_candidates": 2,
+        "latest_event_per_user": 1,
+        "merge_upsert_events": 1,
+        "multimodal_pipeline": 1,
+        "ngram_jaccard_top_pairs": 0,
+        "order_priority_profile": 2,
+        "part_supp_multikey": 2,
+        "part_type_share": 2,
+        "party_union": 1,
         "pricing_summary": 1,
-        "ngram_jaccard_top_pairs": 6,
+        "props_key_distribution": 3,
+        "purchase_attribution": 3,
+        "region_revenue_rollup": 2,
+        "segment_buyers": 2,
+        "sessionize_rollup": 2,
+        "star_schema_monthly": 1,
+        "supplier_nation_revenue": 2,
+        "text_quality": 20,
+        "top_revenue_orders": 1,
+        "training_mix_sample": 1,
+        "user_activity_5min": 4,
+        "user_cohorts": 3,
+        "user_event_enrichment": 1,
+        "user_segments": 2,
+        "user_value_timeline": 3,
+        "value_bucket_dropoff": 2,
+        "weekly_revenue_growth": 2,
     }
+    assert set(ceilings) == set(CATALOG), (
+        "pin table out of sync with the catalog"
+    )
     # "Exchange " (with trailing space) matches shuffle exchanges
     # (hashpartitioning / SinglePartition / range) but NOT
     # BroadcastExchange; executedPlan is pre-AQE, which is the
