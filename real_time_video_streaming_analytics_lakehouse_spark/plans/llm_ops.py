@@ -1055,10 +1055,13 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # e_0 the within-cluster pairing is the global 0.4 pair graph, so
     # the min_id policy row-for-row equals the former n_clusters=1
     # exact anchor, and the pairing + CC run once for both keep
-    # policies.
+    # policies. num_blocks=2 (3 block-pair tasks) fits the <=500-vector
+    # anchor corpora — 4 blocks' 10 tasks were pure Python-worker
+    # overhead at this size; at real scale pick B ~ corpus/task-size
+    # (operator docstring).
     def build_both() -> DataFrame:
         return semantic_dedup(
-            emb, threshold=0.4, num_blocks=4, centroids=[basis[0]],
+            emb, threshold=0.4, num_blocks=2, centroids=[basis[0]],
             keep_policy=("min_id", "centroid_outlier"),
         ).select(
             F.when(F.col("policy") == "min_id", F.lit("exact"))
@@ -1069,7 +1072,7 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build_k4() -> DataFrame:
         return semantic_dedup(
-            corpus, threshold=0.9, num_blocks=4, centroids=basis
+            corpus, threshold=0.9, num_blocks=2, centroids=basis
         ).select(
             F.lit("semdedup_k4").alias("arm"), "vec_id", "cluster",
             F.col("representative").alias("cluster_id"), "keep",
