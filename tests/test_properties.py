@@ -397,3 +397,101 @@ def test_registry_gate_routes_totally_on_arbitrary_payloads(
         assert r["_dq_errors"] != ""
         if r["topic"] == "ad_events":
             assert r["_dq_errors"] == "unregistered_topic"
+
+
+def _ref_winnow_spans(texts: dict, k=8, w=4, min_anchors=2):
+    """Pure-Python reference of the full winnow_dup_spans pipeline
+    (positional winnowing with leftmost-min ties → ≥2-distinct-doc
+    anchors → gap merge → min_anchors gate)."""
+    def positions(t):
+        if t is None or len(t) < k:
+            return []
+        m = len(t) - k + 1
+        h = []
+        for i in range(m):
+            v = 0
+            for j in range(k):
+                v = (v * 131 + ord(t[i + j])) % 10**15
+            h.append(v)
+        if m < w:
+            p = min(range(m), key=lambda i: (h[i], i))
+            return [(h[p], p)]
+        sel = set()
+        for j in range(m - w + 1):
+            off = min(range(w), key=lambda x: (h[j + x], x))
+            sel.add((h[j + off], j + off))
+        return sorted(sel, key=lambda x: x[1])
+
+    pos = {d: positions(t) for d, t in texts.items()}
+    docs_of: dict = {}
+    for d, ps in pos.items():
+        for fp, _ in set(ps):
+            docs_of.setdefault(fp, set()).add(d)
+    shared = {fp for fp, ds in docs_of.items() if len(ds) >= 2}
+    out = set()
+    gap = w + k - 1
+    for d, ps in pos.items():
+        runs: list = []
+        for fp, p in ((fp, p) for fp, p in ps if fp in shared):
+            if runs and p - runs[-1][-1][1] <= gap:
+                runs[-1].append((fp, p))
+            else:
+                runs.append([(fp, p)])
+        for run in runs:
+            if len(run) >= min_anchors:
+                out.add((d, run[0][1], run[-1][1] + k,
+                         min(fp for fp, _ in run), len(run)))
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.data(),
+    n_docs=st.integers(3, 7),
+    plant_len=st.integers(12, 60),
+)
+def test_winnow_dup_spans_matches_reference_on_random_corpora(
+    spark, data, n_docs, plant_len
+):
+    """Property fuzz (round 12): on ANY random corpus — arbitrary
+    unicode-ish bodies, a random planted passage inserted into a
+    random subset of docs at random offsets, plus NULL/short edge docs
+    — the distributed span extractor is row-identical to the pure-
+    Python reference of the whole pipeline."""
+    texts: dict = {}
+    passage = data.draw(
+        st.text(min_size=plant_len, max_size=plant_len), label="passage"
+    )
+    planted = data.draw(
+        st.sets(st.integers(0, n_docs - 1), min_size=1), label="planted"
+    )
+    for d in range(n_docs):
+        body = data.draw(st.text(max_size=120), label=f"body{d}")
+        if d in planted and body:
+            off = data.draw(
+                st.integers(0, len(body)), label=f"off{d}"
+            )
+            texts[d] = body[:off] + passage + body[off:]
+        elif d in planted:
+            texts[d] = passage
+        else:
+            texts[d] = body
+    texts[n_docs] = None  # NULL doc
+    texts[n_docs + 1] = "tiny"  # sub-k doc
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.text import (
+        winnow_dup_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id LONG, text STRING"
+    )
+    got = {
+        (r["doc_id"], r["start"], r["end"], r["dup_group"], r["n_anchors"])
+        for r in winnow_dup_spans(df, min_anchors=2).collect()
+    }
+    assert got == _ref_winnow_spans(texts)
