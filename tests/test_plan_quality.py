@@ -276,7 +276,12 @@ def test_top_query_shuffle_exchange_counts_pinned(spark):
         "latest_event_per_user": 1,
         "merge_upsert_events": 1,
         "multimodal_pipeline": 1,
-        "ngram_jaccard_top_pairs": 0,
+        # 3 per arm branch (df agg + pair join + sizes join above the
+        # checkpointed shingle scan): the all-pairs scored frame is
+        # deliberately NOT checkpointed (see ngram_jaccard_pairs_grouped
+        # — materializing it measured ~2x wall at the 10x tier), so the
+        # per-arm joins are visible in the final plan again
+        "ngram_jaccard_top_pairs": 6,
         "order_priority_profile": 2,
         "part_supp_multikey": 2,
         "part_type_share": 2,
