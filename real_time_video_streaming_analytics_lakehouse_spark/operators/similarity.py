@@ -465,6 +465,26 @@ def semantic_dedup(
     return result
 
 
+def semdedup_params_for(n: int, target_cluster_size: int = 4096) -> int:
+    """Corpus-size-derived ``n_clusters`` for :func:`semantic_dedup` —
+    the paper's scale knob as a pure function of corpus size (the
+    ``lsh_params_for`` / ``stop_shingle_cap`` precedent: operating
+    points derive from n, they are not hand-tuned constants).
+
+    Within-cluster pair work is Σ_c n_c² ≈ n · target_cluster_size
+    when clusters are balanced, so holding cluster SIZE constant keeps
+    total pair work LINEAR in n while k grows as n/target — run
+    SemDeDup at a FIXED k and the pair term reverts to n²/k, quadratic
+    per datum (SemDeDup §3 trains 110k clusters for its web-scale
+    corpus at comparable occupancy, same reasoning). Pure integer
+    arithmetic so an independent engine re-derives the identical k;
+    exact duplicates co-cluster under spherical assignment at ANY k
+    (test-pinned), so planted-pair recall stays 1 at every derived
+    operating point.
+    """
+    return max(1, n // max(target_cluster_size, 1))
+
+
 def lsh_params_for(
     n: int,
     threshold: float = 0.7,

@@ -778,3 +778,61 @@ def test_semantic_dedup_multi_policy_long_format_matches_wide(spark):
             ).collect()
         }
         assert {v: got[(pol, v)] for v in wide} == wide
+
+
+def test_semdedup_params_scale_linearly(spark):
+    """Round 12: the derived SemDeDup operating point holds per-datum
+    pair work constant — k grows with n so Σn_c² ≈ n·target stays
+    linear (fixed k would revert to n²/k) — and the derived k drives
+    the pipeline end-to-end with planted-duplicate recall 1 (exact
+    copies co-cluster under spherical assignment at any k)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.similarity import (
+        semantic_dedup,
+        semdedup_params_for,
+    )
+
+    target = 4096
+    prev_work_per_datum = None
+    for n in (10**6, 10**8, 10**10, 10**12):
+        k = semdedup_params_for(n, target)
+        assert k == n // target
+        # balanced-cluster pair work per datum: (n/k)² · k / n = n/k
+        work_per_datum = (n / k) ** 2 * k / n
+        # constant at every n up to the integer-division remainder
+        assert abs(work_per_datum - target) / target < 0.01
+        if prev_work_per_datum is not None:
+            assert abs(work_per_datum - prev_work_per_datum) < 0.01 * target
+        prev_work_per_datum = work_per_datum
+    assert semdedup_params_for(10, target) == 1  # tiny corpora: k=1
+
+    # derived k on a real corpus drives the full pipeline with
+    # planted ×2-copy recall 1
+    emb = load_table(spark, SF_DIR, "embeddings").filter(
+        F.col("vec_id") < 256
+    )
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    corpus = emb.select("vec_id", as_double.alias("embedding")).unionByName(
+        emb.select(
+            (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+            F.transform(as_double, lambda x: x * F.lit(2.0)).alias(
+                "embedding"
+            ),
+        )
+    )
+    n = corpus.count()
+    k = semdedup_params_for(n, target_cluster_size=64)  # 512/64 = 8
+    assert k == 8
+    rows = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            corpus, n_clusters=k, threshold=0.9, num_blocks=2
+        ).collect()
+    }
+    for vid in (r for r in rows if r < 1_000_000):
+        twin = vid + 1_000_000
+        assert rows[vid]["cluster"] == rows[twin]["cluster"]
+        assert rows[vid]["representative"] == vid
+        assert rows[twin]["representative"] == vid
+        assert rows[vid]["keep"] == 1 and rows[twin]["keep"] == 0
