@@ -102,17 +102,26 @@ def main() -> None:
         )
     stage_watermark = [-1]
 
-    def _new_stage_task_ms() -> int:
+    rest_dead = [False]
+
+    def _new_stage_task_ms() -> int | None:
         """Sum executorRunTime of stages created since the watermark
         (then advance it). One HTTP GET per timed execution; stage ids
         are globally sequential, so eviction of OLD retained stages
         cannot corrupt the delta — only a single query creating more
         stages than spark.ui.retainedStages (1000) could, far beyond
-        any catalog plan."""
+        any catalog plan. Task time is attribution metadata: a REST
+        failure degrades to wall-clock-only, never a crashed bench."""
         import urllib.request
 
-        with urllib.request.urlopen(rest_base, timeout=30) as resp:
-            rows = json.load(resp)
+        if rest_dead[0]:
+            return None
+        try:
+            with urllib.request.urlopen(rest_base, timeout=30) as resp:
+                rows = json.load(resp)
+        except Exception:
+            rest_dead[0] = True
+            return None
         new = [r for r in rows if r["stageId"] > stage_watermark[0]]
         if rows:
             stage_watermark[0] = max(
@@ -131,9 +140,11 @@ def main() -> None:
         if name not in timings or elapsed < timings[name]:
             timings[name] = elapsed
         if rest_base:
-            task = round(_new_stage_task_ms() / 1000.0, 3)
-            if name not in task_timings or task < task_timings[name]:
-                task_timings[name] = task
+            task_ms = _new_stage_task_ms()
+            if task_ms is not None:
+                task = round(task_ms / 1000.0, 3)
+                if name not in task_timings or task < task_timings[name]:
+                    task_timings[name] = task
 
     loadavg["post_warmup"] = _load1()
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
