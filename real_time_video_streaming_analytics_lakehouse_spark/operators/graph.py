@@ -193,12 +193,16 @@ def connected_components(
             f"u {idt}, label {idt}",
         )
         # label_df is bounded (<= 2*driver_max_edges node rows): hint
-        # the broadcast so the singleton anti-join never shuffles the
-        # (possibly huge) node corpus
+        # the broadcast so neither join shuffles the (possibly huge)
+        # node corpus. The inner join restricts output to ``nodes`` —
+        # edge endpoints absent from the node table influence
+        # connectivity but are never emitted, matching the distributed
+        # star path on ill-formed input (ADVICE r12).
+        labeled = all_nodes.join(F.broadcast(label_df), "u", "inner")
         singletons = all_nodes.join(
             F.broadcast(label_df), "u", "left_anti"
         ).select("u", F.col("u").alias("label"))
-        return label_df.unionByName(singletons).select(
+        return labeled.unionByName(singletons).select(
             F.col("u").alias(node_col), F.col("label").alias("cluster_id")
         )
 
@@ -242,8 +246,14 @@ def connected_components(
     # At the fixpoint e is a union of min-rooted stars: every non-root
     # node appears exactly once as u with v = its component minimum
     # (groupBy-min tolerates a strict=False partial result); roots and
-    # isolated nodes label themselves.
-    leaf_labels = e.groupBy("u").agg(F.min("v").alias("label"))
+    # isolated nodes label themselves. The semi-join restricts leaves
+    # to ``nodes`` (a no-op under the edges⊆nodes contract, but on
+    # ill-formed input it keeps this path row-set-identical to the
+    # driver union-find path, which also never emits out-of-nodes
+    # endpoints — ADVICE r12).
+    leaf_labels = e.groupBy("u").agg(F.min("v").alias("label")).join(
+        edge_nodes, "u", "left_semi"
+    )
     root_labels = edge_nodes.join(leaf_labels, "u", "left_anti").select(
         "u", F.col("u").alias("label")
     )

@@ -93,11 +93,16 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
-        # UI off by default (test/driver speed); SPARK_GRAFT_UI=true
-        # turns it on for the bench's REST task-time attribution
+        # UI off by default (test/driver speed); SPARK_GRAFT_UI turns
+        # it on for the bench's REST task-time attribution. Normalized
+        # to a Spark-parseable boolean: '1'/'yes'/'True ' would
+        # otherwise fail (or mis-parse) session construction.
         .config(
             "spark.ui.enabled",
-            os.environ.get("SPARK_GRAFT_UI", "false"),
+            str(
+                os.environ.get("SPARK_GRAFT_UI", "false").strip().lower()
+                in ("true", "1", "yes")
+            ).lower(),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -136,12 +136,15 @@ def forward_incompatibilities(old: dict, new: dict) -> list[str]:
     consumer still reading with ``old`` — the mirror image of
     :func:`backward_incompatibilities` (the same algebra with the
     versions swapped): shared properties keep their type; a property
-    ``old`` REQUIRES must exist in ``new``'s properties, else
-    new-produced payloads can omit a field old readers demand.
-    Confluent's FORWARD mode (round 12, VERDICT r11 #4)."""
+    ``old`` REQUIRES must stay REQUIRED in ``new`` (merely keeping it
+    optional is not enough — a new-produced payload may then omit a
+    field old readers demand, Confluent JSON-schema semantics).
+    Confluent's FORWARD mode (round 12, VERDICT r11 #4; the
+    required→optional demotion hole closed round 13 per ADVICE r12)."""
     problems = []
     op = old.get("properties") or {}
     np = new.get("properties") or {}
+    new_required = set(new.get("required") or [])
     for name in op.keys() & np.keys():
         if op[name].get("type", "string") != np[name].get("type", "string"):
             problems.append(
@@ -153,6 +156,12 @@ def forward_incompatibilities(old: dict, new: dict) -> list[str]:
             problems.append(
                 f"property {name!r} is required by the previous version "
                 f"but absent from the new version's properties"
+            )
+        elif name not in new_required:
+            problems.append(
+                f"property {name!r} is required by the previous version "
+                f"but demoted to optional in the new version — "
+                f"new-produced payloads may omit it"
             )
     return problems
 

@@ -1,0 +1,95 @@
+"""Pins the bench.py stdout contract the driver depends on.
+
+Round 12 regression (VERDICT r12 #1): adding per-query ``task_sec``
+pushed the single stdout JSON line past the driver's ~2000-char tail
+capture — BENCH_r12.json lost the headline total and most per-query
+walls. The contract now: bulky attribution on an EARLIER line, the
+FINAL line compact and parseable. These tests rebuild the final line
+exactly as bench.main() does, from the REAL catalog keys at
+worst-case value widths, and assert it fits with margin — so any
+future catalog growth or field addition that would overflow the
+window fails HERE, not in the round artifact.
+"""
+
+from __future__ import annotations
+
+import json
+
+from real_time_video_streaming_analytics_lakehouse_spark.plans import CATALOG
+
+# must match the driver's observed tail-capture window (~2000 chars)
+# minus safety margin; bench.py asserts the same bound at runtime.
+FINAL_LINE_BUDGET = 1950
+
+
+def _final_line(n_queries_extra: int = 0) -> str:
+    """Rebuild bench.main()'s final JSON line at worst-case widths."""
+    timings = {k: 999.999 for k in sorted(CATALOG)}
+    for i in range(n_queries_extra):
+        timings[f"future_query_with_a_long_name_{i:02d}"] = 999.999
+    out = {
+        "metric": "catalog_total_wall_clock",
+        "value": 99999.999,
+        "unit": "sec",
+        "runs": 33,
+        "loadavg_1min": {"start": 99.99, "end": 99.99},
+        "task_total": 99999.999,
+        "queries": timings,
+        "sf": 0.1,
+    }
+    return json.dumps(out)
+
+
+def test_final_line_fits_driver_window():
+    line = _final_line()
+    assert len(line) < FINAL_LINE_BUDGET, (
+        f"bench final line would be {len(line)} chars at worst-case "
+        f"widths — shrink it (move fields to the detail line) before "
+        f"the driver's tail capture truncates it"
+    )
+    parsed = json.loads(line)
+    assert parsed["metric"] == "catalog_total_wall_clock"
+    assert set(parsed["queries"]) == set(CATALOG)
+
+
+def test_final_line_headroom_for_streaming_keys():
+    # SPARK_GRAFT_BENCH_STREAMING adds two keys (~200 chars); the
+    # budget must absorb them too.
+    line = _final_line()
+    streaming_extra = len(
+        json.dumps(
+            {
+                "streaming_events_per_sec": 99999.9,
+                "streaming_events_per_sec_by_pipeline": {
+                    "user_activity": 99999.9,
+                    "content_popularity": 99999.9,
+                    "anomaly": 99999.9,
+                },
+            }
+        )
+    )
+    assert len(line) + streaming_extra < FINAL_LINE_BUDGET
+
+
+def test_detail_line_carries_task_attribution():
+    # the detail line is free-size but must be valid single-line JSON
+    # with the fields the final line dropped.
+    detail = {
+        "detail": "bench_attribution",
+        "task_sec": {k: 999.999 for k in sorted(CATALOG)},
+        "top10_runs": 5,
+        "loadavg_1min": {"start": 1.0, "passes": [1.0] * 5},
+        "rest_degraded": False,
+    }
+    line = json.dumps(detail)
+    assert "\n" not in line
+    assert json.loads(line)["detail"] == "bench_attribution"
+
+
+def test_bench_source_pins_contract():
+    # the runtime assert and the two-line emit must stay in bench.py
+    src = open("bench.py").read()
+    assert "bench_attribution" in src
+    assert "1950" in src  # runtime length assert
+    # task_total must be guarded against partial REST attribution
+    assert "task_complete" in src

@@ -244,3 +244,28 @@ def test_star_algorithm_rounds_are_logarithmic_on_path_graph(spark):
     # label propagation genuinely cannot do this in 12 rounds
     with pytest.raises(RuntimeError, match="still changing"):
         connected_components_label_prop(edges, nodes, max_iter=12)
+
+
+def test_paths_agree_when_edges_reference_unknown_nodes(spark):
+    """ADVICE r12: edge endpoints absent from ``nodes`` must produce
+    the SAME row set on the driver union-find path and the distributed
+    star path — labels restricted to ``nodes``, with out-of-nodes
+    endpoints still carrying connectivity (1-9-2 bridges through the
+    unknown node 9)."""
+    edges = spark.createDataFrame(
+        [
+            Row(id_a=1, id_b=9),  # 9 is NOT in nodes
+            Row(id_a=9, id_b=2),
+            Row(id_a=3, id_b=4),
+        ]
+    )
+    nodes = spark.createDataFrame([Row(id=i) for i in (1, 2, 3, 4, 5)])
+    expected = {1: 1, 2: 1, 3: 3, 4: 3, 5: 5}
+    for dme in (10_000, 0):  # driver union-find vs forced star loop
+        out = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components(
+                edges, nodes, driver_max_edges=dme
+            ).collect()
+        }
+        assert out == expected, f"driver_max_edges={dme}"

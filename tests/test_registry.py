@@ -568,6 +568,14 @@ def test_compatibility_mode_matrix():
         "properties": {**VIDEO["properties"], "user_id": {"type": "string"}},
         "required": VIDEO["required"],
     }
+    demote_required = {  # keep the property but required -> optional
+        # (ADVICE r12: new producers may then omit a field old readers
+        # require — forward-incompatible even though the property
+        # still EXISTS in new's properties)
+        "type": "object",
+        "properties": VIDEO["properties"],
+        "required": [r for r in VIDEO["required"] if r != "user_id"],
+    }
     # direction algebra, checked standalone
     assert not backward_incompatibilities(VIDEO, widen)
     assert not forward_incompatibilities(VIDEO, widen)
@@ -579,17 +587,23 @@ def test_compatibility_mode_matrix():
     assert not forward_incompatibilities(VIDEO, new_required)
     assert backward_incompatibilities(VIDEO, retype)
     assert forward_incompatibilities(VIDEO, retype)
+    assert not backward_incompatibilities(VIDEO, demote_required)
+    assert any(
+        "demoted to optional" in p
+        for p in forward_incompatibilities(VIDEO, demote_required)
+    )
 
     accepts = {
-        "backward": {"widen", "promote", "drop_required"},
+        "backward": {"widen", "promote", "drop_required",
+                     "demote_required"},
         "forward": {"widen", "promote", "new_required"},
         "full": {"widen", "promote"},
         "none": {"widen", "promote", "drop_required", "new_required",
-                 "retype"},
+                 "retype", "demote_required"},
     }
     cases = {"widen": widen, "promote": promote,
              "drop_required": drop_required, "new_required": new_required,
-             "retype": retype}
+             "retype": retype, "demote_required": demote_required}
     for mode, ok in accepts.items():
         for cname, cand in cases.items():
             reg = SchemaRegistry(compatibility=mode)
