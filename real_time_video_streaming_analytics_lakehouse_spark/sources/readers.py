@@ -54,10 +54,27 @@ def _perturbed(df: DataFrame) -> DataFrame:
     return df.repartition(parts, F.rand(seed))
 
 
+# Per-(dir, table) schema cache (round 13): every schema-less
+# spark.read.parquet launches a one-task footer-inference job — pure
+# driver latency paid at CONSTRUCTION time by every query, every bench
+# pass. The test tables are immutable for a process lifetime, so the
+# first read's inferred schema is passed explicitly to every subsequent
+# read (zero jobs). Keyed by resolved path; cleared implicitly per
+# process (module state).
+_SCHEMA_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table, normalizing nanosecond timestamps."""
     apply_runtime_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = os.path.abspath(path)
+    cached = _SCHEMA_CACHE.get(key)
+    if cached is not None:
+        df = spark.read.schema(cached).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
     # Normalize any int64-nanosecond column produced by nanosAsLong back to
     # a timestamp. Only `events.ts` matches in this corpus; detection is by
     # (name, type) so other tables pass through untouched.

@@ -269,3 +269,45 @@ def test_paths_agree_when_edges_reference_unknown_nodes(spark):
             ).collect()
         }
         assert out == expected, f"driver_max_edges={dme}"
+
+
+def test_bounded_cc_matches_adaptive_and_enforces_bound(spark):
+    """Round 13 (VERDICT r12 #6): the lazy executor-side union-find
+    must (a) construct with zero Spark jobs, (b) produce exactly the
+    labels of the adaptive path (including nodes-restriction on
+    unknown endpoints), and (c) fail the ACTION loudly when the
+    caller's edge bound is exceeded."""
+    import pytest
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.graph import (
+        connected_components_bounded,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            Row(id_a=1, id_b=2),
+            Row(id_a=2, id_b=3),
+            Row(id_a=4, id_b=9),  # 9 unknown: connectivity only
+            Row(id_a=9, id_b=5),
+        ]
+    )
+    nodes = spark.createDataFrame([Row(id=i) for i in range(1, 8)])
+    sc = spark.sparkContext
+    sc.setJobGroup("bounded-cc-probe", "construction probe")
+    try:
+        out_df = connected_components_bounded(edges, nodes)
+        assert not (
+            sc.statusTracker().getJobIdsForGroup("bounded-cc-probe") or []
+        ), "connected_components_bounded ran jobs at construction"
+    finally:
+        sc.setJobGroup("", "")
+    got = {r["id"]: r["cluster_id"] for r in out_df.collect()}
+    want = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(edges, nodes).collect()
+    }
+    assert got == want == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6, 7: 7}
+
+    tight = connected_components_bounded(edges, nodes, max_edges=2)
+    with pytest.raises(Exception, match="exceed"):
+        tight.collect()
