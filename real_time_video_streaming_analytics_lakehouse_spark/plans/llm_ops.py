@@ -24,6 +24,7 @@ from ..operators.text import (
     add_text_features,
     bm25_term_stats,
     chunk_documents,
+    filter_by_quantile,
     fingerprint_col,
     ngram_jaccard_pairs,
     pack_chunks,
@@ -143,7 +144,21 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded words; the operator's tf/df/membership inputs are
     driver-oracled end-to-end while the ln-based Okapi score (and its
     dl/avgdl branch, which this arm doesn't emit) remains
-    property-pinned (tests/test_properties.py)."""
+    property-pinned (tests/test_properties.py).
+
+    Round 13 adds the QUANTILE-GATE arm (VERDICT r12 next-round #3 —
+    :func:`..operators.text.filter_by_quantile`, the corpus-filtering
+    step every curation pipeline runs after scoring): ``q80_keep`` = 1
+    for docs the operator keeps at the per-``lang`` 0.8 quantile of
+    the INTEGER ``n_tokens`` score via the ``exact=True``
+    (percent_rank) path — integer scores on a deterministic grid make
+    the per-stratum rank cut reproducible across engines, and DuckDB
+    re-derives membership with the same PERCENT_RANK window. NULL-text
+    docs never enter the gate (keep 0): Spark and DuckDB disagree on
+    default NULL ordering inside window sorts, so gating them would be
+    engine-defined. The approx (percentile_approx broadcast-join)
+    sibling is the 100 TB path, equivalence-pinned in
+    tests/test_operators.py."""
     from ..operators.lm import score_documents, train_bigram_lm
 
     d = _docs(spark, sf_dir)
@@ -184,6 +199,15 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("df").alias("bm25_q_df_sum"),
         )
     )
+    # Quantile-gate arm: run the REAL operator (exact percent_rank
+    # path) over the integer n_tokens score per lang stratum and mark
+    # membership; the same checkpointed feature pass feeds it.
+    gate = filter_by_quantile(
+        feat.select("doc_id", "lang", "n_tokens").filter(
+            F.col("n_tokens").isNotNull()
+        ),
+        "n_tokens", 0.8, strata_col="lang", exact=True,
+    ).select("doc_id", F.lit(1).alias("q80_keep"))
     # LEFT join: a doc with no profile overlap (or NULL/empty text)
     # gets predicted_lang NULL — the quality surface must still emit
     # EVERY doc, exactly like the pre-fold per-doc query did.
@@ -194,6 +218,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(rep, "doc_id", "left_outer")
         .join(tfidf, "doc_id", "left_outer")
         .join(bm, "doc_id", "left_outer")
+        .join(gate, "doc_id", "left_outer")
         .select(
             "doc_id", "n_tokens", "n_chars_measured", "avg_token_len",
             "vowel_ratio", "punct_ratio", "stopword_ratio", "quality",
@@ -228,6 +253,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("bm25_q_df_sum", F.lit(0).cast("long")).alias(
                 "bm25_q_df_sum"
             ),
+            F.coalesce("q80_keep", F.lit(0)).alias("q80_keep"),
         )
     )
 
@@ -300,7 +326,14 @@ bm25q AS (
          CAST(SUM(f.df) AS BIGINT) AS bm25_q_df_sum
   FROM tf t JOIN dfreq f USING (w)
   WHERE t.w IN ('spark', 'query', 'join')
-  GROUP BY 1)
+  GROUP BY 1),
+q80 AS (
+  SELECT doc_id, 1 AS q80_keep FROM (
+    SELECT doc_id, PERCENT_RANK() OVER (
+        PARTITION BY lang
+        ORDER BY len(string_split_regex(trim(text), '\s+'))) AS pr
+    FROM documents WHERE text IS NOT NULL)
+  WHERE pr >= 0.8)
 SELECT d.doc_id,
        CAST(len(string_split_regex(trim(d.text), '\s+')) AS INTEGER) AS n_tokens,
        CAST(length(d.text) AS INTEGER) AS n_chars_measured,
@@ -338,7 +371,8 @@ SELECT d.doc_id,
        COALESCE(ti.top_tfidf_df, 0) AS top_tfidf_df,
        COALESCE(bq.bm25_q_hits, 0) AS bm25_q_hits,
        COALESCE(bq.bm25_q_tf, 0) AS bm25_q_tf,
-       COALESCE(bq.bm25_q_df_sum, 0) AS bm25_q_df_sum
+       COALESCE(bq.bm25_q_df_sum, 0) AS bm25_q_df_sum,
+       COALESCE(q.q80_keep, 0) AS q80_keep
 FROM documents d
 LEFT JOIN pred p ON d.doc_id = p.doc_id
 LEFT JOIN lm ON d.doc_id = lm.doc_id
@@ -346,6 +380,7 @@ LEFT JOIN tokmode tm ON d.doc_id = tm.doc_id
 LEFT JOIN bigmode bm ON d.doc_id = bm.doc_id
 LEFT JOIN tfidf ti ON d.doc_id = ti.doc_id
 LEFT JOIN bm25q bq ON d.doc_id = bq.doc_id
+LEFT JOIN q80 q ON d.doc_id = q.doc_id
 """
 
 
