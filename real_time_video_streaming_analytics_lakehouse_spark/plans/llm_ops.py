@@ -1028,6 +1028,18 @@ _EXACT_CLUSTER_MAX_VEC = 500
 #: round.
 _SEMDEDUP_BASIS_DIMS = (0, 16, 32, 48)
 
+#: target cluster size for the k>1 arm's DERIVED operating point
+#: (round 13, VERDICT r12 next-round #4): the arm's cluster count is
+#: no longer the literal 4 but ``semdedup_params_for(n_corpus,
+#: _SEMDEDUP_TARGET_CLUSTER)`` — the 100 TB scale knob (hold cluster
+#: SIZE constant, let k grow with n) exercised and driver-oracled at
+#: this anchor. n_corpus = 2 × the 500-vector anchor cap (originals +
+#: planted copies) is a CONSTANT by construction, so k = 1000 // 250 =
+#: 4 derives identically in Spark (pure Python ints) and in the oracle
+#: (the same integer division over COUNT(*), EMBEDDING_DEDUP_CLUSTERS
+#: SQL `kval` CTE) — no action, no hand-tuned constant.
+_SEMDEDUP_TARGET_CLUSTER = 250
+
 
 def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. arXiv:2303.09540) driver-oracled at
@@ -1049,12 +1061,16 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       direction-exact, so a copy's spherical assignment and
       normalized form are BIT-identical to its original's — cos=1
       duplicates provably co-cluster under ANY centroids) and the
-      pipeline runs with four explicit one-hot centroids
-      (`_SEMDEDUP_BASIS_DIMS`) at threshold 0.9. The oracle re-derives
-      the assignment closed-form (argmax of four raw components), the
-      within-cluster ≥0.9 pair graph, and the per-cluster closure —
-      assignment → grouped pairing → CC → keep all flow through the
-      driver gate at k>1.
+      pipeline runs with the first ``k`` one-hot centroids
+      (`_SEMDEDUP_BASIS_DIMS`) at threshold 0.9, where — round 13,
+      VERDICT r12 #4 — ``k = semdedup_params_for(n_corpus,
+      _SEMDEDUP_TARGET_CLUSTER)`` is the operator's own DERIVED scale
+      knob over the construction-constant corpus size (= 4 here). The
+      oracle re-derives ``k`` with the same integer division (its
+      ``kval`` CTE) and the assignment closed-form (argmax of the
+      first k raw components), the within-cluster ≥0.9 pair graph,
+      and the per-cluster closure — derivation → assignment → grouped
+      pairing → CC → keep all flow through the driver gate at k>1.
     * ``centroid_outlier`` (VERDICT r11 #3) — the paper's keep policy
       under one explicit centroid e_0: per ε-component keep the member
       LEAST similar to its cluster centroid (min-id ties). cos(v, e_0)
@@ -1067,13 +1083,21 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``vec_id < 500`` — identical to the full corpus at oracle scale
     (sf≤0.01), bounded-quadratic everywhere else. The production-scale
     clustering path is :func:`embedding_dedup_clusters_lsh`."""
-    from ..operators.similarity import semantic_dedup
+    from ..operators.similarity import semantic_dedup, semdedup_params_for
 
     emb = _emb(spark, sf_dir).filter(F.col("vec_id") < _EXACT_CLUSTER_MAX_VEC)
     basis = [
         [1.0 if i == d else 0.0 for i in range(64)]
         for d in _SEMDEDUP_BASIS_DIMS
     ]
+    # DERIVED operating point (round 13): the arm's k comes from the
+    # operator's own scale-knob derivation over the corpus size the
+    # anchor cap fixes by construction — not a hand-picked literal.
+    n_planted = 2 * _EXACT_CLUSTER_MAX_VEC  # originals + ×2 copies
+    k_derived = semdedup_params_for(n_planted, _SEMDEDUP_TARGET_CLUSTER)
+    assert k_derived <= len(basis), (
+        "derived k outgrew the one-hot basis — widen _SEMDEDUP_BASIS_DIMS"
+    )
 
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     corpus = emb.select("vec_id", as_double.alias("embedding")).unionByName(
@@ -1108,8 +1132,8 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build_k4() -> DataFrame:
         return semantic_dedup(
-            corpus, threshold=0.9, num_blocks=2, centroids=basis,
-            cc_strategy="bounded_lazy",
+            corpus, threshold=0.9, num_blocks=2,
+            centroids=basis[:k_derived], cc_strategy="bounded_lazy",
         ).select(
             F.lit("semdedup_k4").alias("arm"), "vec_id", "cluster",
             F.col("representative").alias("cluster_id"), "keep",
@@ -1147,20 +1171,32 @@ reach AS (
 comp AS (
   SELECT src AS vec_id, MIN(dst) AS comp FROM reach GROUP BY 1),
 
--- semdedup_k4 arm: planted x2 copies, one-hot-centroid assignment
--- closed-form (argmax of the four raw basis components; first index
--- wins ties, matching np.argmin-over-d2), per-cluster >=0.9 closure
+-- semdedup_k4 arm: planted x2 copies; k is DERIVED from the corpus
+-- size with the operator's own integer arithmetic (semdedup_params_for:
+-- k = max(1, n // 250)), then one-hot-centroid assignment closed-form
+-- (argmax of the first k raw basis components; first index wins ties,
+-- matching np.argmin-over-d2), per-cluster >=0.9 closure
 k4corpus AS (
   SELECT vec_id, e FROM anchor
   UNION ALL
   SELECT vec_id + 1000000, list_transform(e, x -> 2 * x) FROM anchor),
+kval AS (
+  SELECT GREATEST(1, (SELECT COUNT(*) FROM k4corpus) // 250) AS k),
+kdims AS (
+  SELECT ci - 1 AS cluster, d FROM (
+    SELECT unnest(list_slice([1, 17, 33, 49], 1,
+                             (SELECT CAST(k AS INTEGER) FROM kval))) AS d,
+           generate_subscripts(
+             list_slice([1, 17, 33, 49], 1,
+                        (SELECT CAST(k AS INTEGER) FROM kval)), 1) AS ci)),
 k4assigned AS (
-  SELECT vec_id, e,
-         CASE WHEN e[1] >= e[17] AND e[1] >= e[33] AND e[1] >= e[49] THEN 0
-              WHEN e[17] >= e[33] AND e[17] >= e[49] THEN 1
-              WHEN e[33] >= e[49] THEN 2
-              ELSE 3 END AS cluster
-  FROM k4corpus),
+  SELECT vec_id, e, cluster FROM (
+    SELECT c.vec_id, c.e, dm.cluster,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                              ORDER BY c.e[dm.d] DESC, dm.cluster ASC)
+             AS rk
+    FROM k4corpus c CROSS JOIN kdims dm)
+  WHERE rk = 1),
 k4pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM k4assigned a JOIN k4assigned b
