@@ -1235,22 +1235,39 @@ def predict_language_from_words(
     )
 
 
-def stop_shingle_cap(n_docs: int, per: int = 100, floor: int = 2) -> int:
+def stop_shingle_cap(
+    n_docs: int, per: int = 100, floor: int = 2, ceiling: int = 128
+) -> int:
     """Derived stop-shingle operating point for
     :func:`ngram_jaccard_pairs`'s ``max_shingle_df``: drop shingles
     appearing in more than 1-in-``per`` documents (default 1 % of the
-    corpus, floored at ``floor`` so tiny corpora keep a sane cap).
+    corpus, floored at ``floor`` so tiny corpora keep a sane cap) —
+    but never more than ``ceiling`` documents, full stop.
 
-    Pure integer arithmetic (``max(floor, n_docs // per)``) so an
-    independent engine re-derives the identical cap — the
-    ``lsh_params_for`` precedent: the operating point is a function of
-    corpus size, not a hand-tuned constant, and it scales the way the
-    knob is meant to be used at 100 TB (the boilerplate df that
-    dominates join work grows with the corpus, so the cap must too —
-    per-shingle join work stays bounded at cap² = (n/per)² only for
-    shingles that are genuinely corpus-fraction-frequent, which carry
-    no similarity signal)."""
-    return max(floor, n_docs // per)
+    Pure integer arithmetic (``min(max(floor, n_docs // per),
+    ceiling)``) so an independent engine re-derives the identical cap
+    — the ``lsh_params_for`` precedent: the operating point is a
+    function of corpus size, not a hand-tuned constant.
+
+    The ceiling is the 100 TB term, added in round 13 after the ×30
+    synthetic tier FALSIFIED the fractional-only derivation: with
+    ``cap = n/per``, any shingle whose document frequency is a
+    sub-1/per FRACTION of the corpus (a phrase that appears in, say,
+    0.5 % of documents — ubiquitous in real text) keeps df ∝ n inside
+    the universe, so its pair-join contribution df² grows ∝ n² and
+    the "capped" arm measured ×218 wall at ×30 the data — WORSE than
+    the uncapped arm. An ABSOLUTE ceiling restores the linear bound:
+    pair-join rows = Σ_kept df² ≤ (Σ_kept df) · ceiling ≤ total
+    shingle occurrences × ceiling ∝ n — the same hold-per-key-work-
+    constant principle as ``semdedup_params_for`` (cluster SIZE, not
+    count) and ``lsh_params_for`` (bucket occupancy). Semantically the
+    ceiling only widens the boilerplate definition: a shingle shared
+    by >128 documents identifies no near-duplicate PAIR; it is corpus
+    background by any measure (MinHash-LSH, the other scale path,
+    never consults such shingles at all). The fractional term still
+    governs small corpora (n < per·ceiling), where the 1 % semantics
+    are exactly what the oracle anchors pin."""
+    return min(max(floor, n_docs // per), ceiling)
 
 
 def ngram_jaccard_pairs(

@@ -618,7 +618,11 @@ _BOILERPLATE = (
 )
 
 
-def ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ngram_jaccard_top_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    arms: tuple[str, ...] = ("exact", "stopcap"),
+) -> DataFrame:
     """Exact n-gram Jaccard top pairs, TWO stacked arms by ``method``:
 
     * ``exact`` — full-universe semantics over ``documents`` (the
@@ -647,7 +651,14 @@ def ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     even docs shingle ``tokens(text) ++ tokens(boilerplate)``, which
     equals shingling the concatenated text (whitespace tokenization
     distributes over the join; the empty-token filter covers
-    empty/whitespace-only texts, whose token array is ``[""]``)."""
+    empty/whitespace-only texts, whose token array is ``[""]``).
+
+    ``arms`` (round 13) selects which arms run — the catalog always
+    runs both; the scale probe measures ``("stopcap",)`` alone so the
+    ×N tiers attribute growth per arm (the exact arm's all-pairs
+    contract is super-linear BY DESIGN on duplicate-saturated input;
+    the capped arm is the 100 TB path whose linearity is the claim
+    worth measuring — SCALING.md)."""
     from ..operators.text import (
         ngram_jaccard_pairs_grouped,
         shingle_array,
@@ -680,18 +691,20 @@ def ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("a_ex"))
         .alias("a_cap"),
     )
+    arm_structs = {
+        "exact": F.struct(
+            F.lit("exact").alias("method"), F.col("a_ex").alias("a")
+        ),
+        "stopcap": F.struct(
+            F.lit("stopcap").alias("method"), F.col("a_cap").alias("a")
+        ),
+    }
+    unknown = set(arms) - set(arm_structs)
+    if unknown:
+        raise ValueError(f"unknown arms {sorted(unknown)}")
     sh_all = arr.select(
         "doc_id",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit("exact").alias("method"), F.col("a_ex").alias("a")
-                ),
-                F.struct(
-                    F.lit("stopcap").alias("method"), F.col("a_cap").alias("a")
-                ),
-            )
-        ).alias("s"),
+        F.explode(F.array(*[arm_structs[a] for a in arms])).alias("s"),
     ).select(
         F.col("s.method").alias("method"), "doc_id",
         F.explode("s.a").alias("sh"),
@@ -700,7 +713,7 @@ def ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh_all,
         top_n=50,
         arm_col="method",
-        arms=("exact", "stopcap"),
+        arms=tuple(arms),
         max_shingle_df={"stopcap": stop_shingle_cap(n_docs)},
     )
 
@@ -732,7 +745,9 @@ planted AS (
               ELSE text END AS text
   FROM documents),
 cap AS (
-  SELECT GREATEST(2, COUNT(*) // 100) AS cap FROM documents),
+  -- stop_shingle_cap: fractional 1% term for small corpora, absolute
+  -- 128-doc ceiling for linear pair work at scale (round 13)
+  SELECT LEAST(GREATEST(2, COUNT(*) // 100), 128) AS cap FROM documents),
 cwords AS (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM planted),
 csh0 AS (

@@ -899,11 +899,15 @@ def test_ngram_jaccard_max_shingle_df_prunes_hot_universe(spark):
 
 def test_stop_shingle_cap_derived_operating_point():
     """The cap is a pure-integer function of corpus size (1 in 100
-    docs, floored at 2) so DuckDB re-derives the identical value with
-    ``GREATEST(2, COUNT(*) // 100)`` — no float in the derivation, no
-    engine rounding divergence; and it grows linearly with the corpus
-    so per-hot-shingle join work stays bounded at cap² for shingles
-    that are genuinely corpus-fraction-frequent."""
+    docs, floored at 2, CEILINGED at 128 since round 13) so DuckDB
+    re-derives the identical value with
+    ``LEAST(GREATEST(2, COUNT(*) // 100), 128)`` — no float in the
+    derivation, no engine rounding divergence. The absolute ceiling is
+    the linearity term: the ×30 synthetic tier falsified the
+    fractional-only cap (sub-1%-frequency phrase shingles keep
+    df ∝ n, so Σdf² grew ∝ n² and the capped arm measured ×218 at
+    ×30); with a constant ceiling, pair-join rows ≤ occurrences ×
+    ceiling ∝ n."""
     from real_time_video_streaming_analytics_lakehouse_spark.operators.text import (
         stop_shingle_cap,
     )
@@ -913,9 +917,12 @@ def test_stop_shingle_cap_derived_operating_point():
     assert stop_shingle_cap(200) == 2
     assert stop_shingle_cap(300) == 3
     assert stop_shingle_cap(10_000) == 100
-    assert stop_shingle_cap(1_000_000_000) == 10_000_000
+    assert stop_shingle_cap(12_800) == 128     # fractional = ceiling
+    assert stop_shingle_cap(12_900) == 128     # ceiling takes over
+    assert stop_shingle_cap(1_000_000_000) == 128  # constant at scale
     assert stop_shingle_cap(10_000, per=1000) == 10
     assert stop_shingle_cap(10, floor=5) == 5
+    assert stop_shingle_cap(10**9, ceiling=256) == 256
 
 
 def test_ngram_jaccard_catalog_stacks_exact_and_stopcap(spark):
