@@ -1,0 +1,159 @@
+"""Canonical streaming throughput anchor (round 13).
+
+Rounds 10-12 each measured streaming throughput with ad-hoc scripts
+whose parameters (warm-up, micro-batch count, payload shape) were
+described in BASELINE.md but never committed — so cross-round numbers
+kept diverging for METHOD reasons (round 12's 47.6k ev/s registry
+figure vs round 13's first re-measure at 15k was entirely the
+batch-count difference: a single-batch availableNow drain vs a
+4-micro-batch incremental drain, measured 60.2k vs 21.4k same-session
+same-HEAD). This tool IS the method now:
+
+* bench-style warm-up (one relational query, the Python-worker fleet,
+  the events scan) so the first drain doesn't pay session startup;
+* the three reference pipelines via bench._streaming_throughput
+  (32 source files, maxFilesPerTrigger=8 -> 4 watermarked
+  micro-batches, parquet sink, availableNow), best of ``--passes``;
+* registry-validated ingest (4-property / 3-required JSON payload ->
+  from_json validation -> typed txlog tables + DLQ, exactly-once) in
+  BOTH configurations, best of ``--passes`` each:
+  - ``single_batch``: whole corpus in one trigger — the hot-path
+    ceiling (validation + write throughput, minimal per-batch
+    overhead); comparable to round 12's 47.6k record;
+  - ``incremental``: maxFilesPerTrigger=8 — the steady-trigger figure
+    including per-batch txlog commit + checkpoint overhead.
+
+Prints one ``RESULT {...}`` JSON line with 1-minute loadavg markers
+(start / post-warm / end) so BASELINE.md entries carry their load
+context. Usage: ``python tools/stream_anchor.py [--passes N]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+REGISTRY_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "event_id": {"type": "integer"},
+        "user_id": {"type": "integer"},
+        "event_type": {"type": "string"},
+        "value": {"type": "number"},
+    },
+    "required": ["event_id", "user_id", "event_type"],
+}
+
+
+def _load1() -> float:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover
+        return -1.0
+
+
+def _registry_drain(spark, raw, n: int, single_batch: bool) -> float:
+    from real_time_video_streaming_analytics_lakehouse_spark.sources.registry import (
+        SchemaRegistry,
+    )
+    from real_time_video_streaming_analytics_lakehouse_spark.streaming.pipelines import (
+        run_registry_ingest,
+        stream_events_from_files,
+    )
+
+    work = tempfile.mkdtemp(prefix="stream_anchor_reg_")
+    try:
+        src_dir = f"{work}/src"
+        raw.repartition(32).write.parquet(src_dir)
+        schema = spark.read.parquet(src_dir).schema
+        reg = SchemaRegistry()
+        reg.register("video-events-value", REGISTRY_SCHEMA)
+        kwargs = {} if single_batch else {"max_files_per_trigger": 8}
+        src = stream_events_from_files(spark, src_dir, schema, **kwargs)
+        t0 = time.perf_counter()
+        q = run_registry_ingest(
+            src, reg,
+            table_root=f"{work}/tables",
+            dlq_path=f"{work}/dlq",
+            checkpoint_path=f"{work}/ckpt",
+        )
+        finished = q.awaitTermination(600)
+        elapsed = time.perf_counter() - t0
+        if not finished:
+            q.stop()
+            raise RuntimeError("registry drain did not finish in 600s")
+        return round(n / elapsed, 1)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--passes", type=int, default=2)
+    ap.add_argument(
+        "--sf-dir", default=os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+        )
+    )
+    args = ap.parse_args()
+
+    from bench import _streaming_throughput
+    from real_time_video_streaming_analytics_lakehouse_spark.plans import CATALOG
+    from real_time_video_streaming_analytics_lakehouse_spark.session import get_spark
+    from real_time_video_streaming_analytics_lakehouse_spark.sources.readers import (
+        load_table,
+    )
+
+    spark = get_spark("stream_anchor")
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {"load_start": _load1(), "passes": args.passes}
+
+    # bench-style warm-up: JVM/codegen, the Arrow worker fleet, the
+    # events scan — session startup must not land inside a drain
+    CATALOG["event_type_rank"].fn(spark, args.sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    spark.range(64).repartition(32).mapInPandas(
+        lambda b: b, "id LONG"
+    ).write.format("noop").mode("overwrite").save()
+    events = load_table(spark, args.sf_dir, "events")
+    events.write.format("noop").mode("overwrite").save()
+    out["load_post_warm"] = _load1()
+
+    best: dict = {}
+    for _ in range(args.passes):
+        rates = _streaming_throughput(spark, args.sf_dir)
+        for k, v in rates.items():
+            best[k] = max(best.get(k, 0.0), v)
+    out["pipelines_ev_s"] = best
+
+    n = events.count()
+    raw = events.select(
+        F.lit("video-events").alias("topic"),
+        F.to_json(
+            F.struct("event_id", "user_id", "event_type", "value")
+        ).alias("value"),
+    )
+    for tag, single in (("single_batch", True), ("incremental", False)):
+        rates = [
+            _registry_drain(spark, raw, n, single)
+            for _ in range(args.passes)
+        ]
+        out[f"registry_{tag}_ev_s"] = max(rates)
+        out[f"registry_{tag}_runs"] = rates
+    out["load_end"] = _load1()
+    print("RESULT " + json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
