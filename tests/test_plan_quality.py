@@ -301,7 +301,10 @@ def test_top_query_shuffle_exchange_counts_pinned(spark):
         "sessionize_rollup": 2,
         "star_schema_monthly": 1,
         "supplier_nation_revenue": 2,
-        "text_quality": 20,
+        # round 13: +1 for the q80_keep quantile-gate arm's per-lang
+        # percent_rank window (one exchange on the stratum key — the
+        # operator's exact path, stratum-partitioned by design)
+        "text_quality": 21,
         "top_revenue_orders": 1,
         "training_mix_sample": 1,
         "user_activity_5min": 4,
