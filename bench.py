@@ -69,29 +69,22 @@ from real_time_video_streaming_analytics_lakehouse_spark.session import get_spar
 from real_time_video_streaming_analytics_lakehouse_spark.sources import readers
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # task-time attribution reads the status REST API -> UI on for the
-    # bench session only (must be set before the session is built)
-    os.environ.setdefault("SPARK_GRAFT_UI", "true")
-    spark = get_spark("bench")
-    spark.sparkContext.setLogLevel("ERROR")
+def _load1() -> float:
+    """1-minute loadavg marker (shared with tools/stream_anchor.py so
+    every recorded measurement carries comparable load context)."""
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover - non-POSIX
+        return -1.0
 
-    def _load1() -> float:
-        try:
-            return round(os.getloadavg()[0], 2)
-        except OSError:  # pragma: no cover - non-POSIX
-            return -1.0
 
-    loadavg: dict = {"start": _load1(), "passes": []}
-
-    # Warm-up: JVM, codegen, parquet footer caches — AND the Python
-    # worker fleet (the first mapInPandas in a session forks 32 Arrow
-    # workers, a one-time ~2 s cost that otherwise lands on whichever
-    # catalog query alphabetically reaches Python first instead of on
-    # session startup where it belongs; steady-state per-query numbers
-    # are what this bench reports).
+def warm_up(spark, sf_dir: str) -> None:
+    """Session warm-up: JVM, codegen, parquet footer caches — AND the
+    Python worker fleet (the first mapInPandas in a session forks 32
+    Arrow workers, a one-time ~2 s cost that otherwise lands on
+    whichever measured item reaches Python first instead of on session
+    startup where it belongs). Shared with tools/stream_anchor.py so
+    the two measurement methods cannot drift apart."""
     CATALOG["event_type_rank"].fn(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
@@ -102,6 +95,19 @@ def main() -> None:
         readers.load_table(spark, sf_dir, warm_table).write.format(
             "noop"
         ).mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # task-time attribution reads the status REST API -> UI on for the
+    # bench session only (must be set before the session is built)
+    os.environ.setdefault("SPARK_GRAFT_UI", "true")
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    loadavg: dict = {"start": _load1(), "passes": []}
+    warm_up(spark, sf_dir)
 
     rest_base = None
     if spark.sparkContext.uiWebUrl:
@@ -218,7 +224,10 @@ def main() -> None:
         out["streaming_events_per_sec_by_pipeline"] = rates
     line = json.dumps(out)
     # fail LOUD before the driver's capture window truncates silently
-    assert len(line) < 1950, f"final bench line too long: {len(line)}"
+    # (an explicit raise, not assert — asserts vanish under python -O
+    # and the truncation would return exactly as silently as r12's)
+    if len(line) >= 1950:
+        raise RuntimeError(f"final bench line too long: {len(line)}")
     print(line)
 
 

@@ -86,6 +86,39 @@ def _small_star(e: DataFrame) -> DataFrame:
 DRIVER_CC_MAX_EDGES = 1 << 17
 
 
+def _union_find_labels(pairs) -> list[tuple]:
+    """Path-compressed union-find over an iterable of (u, v) pairs →
+    sorted ``[(node, component_min_id), ...]`` over the edge universe.
+
+    Shared by :func:`connected_components`' adaptive driver path and
+    :func:`connected_components_bounded`'s executor task — ONE
+    implementation so the two paths' "label semantics are identical"
+    contract cannot drift (round-13 review)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    universe = set()
+    for u, v in pairs:
+        universe.add(u)
+        universe.add(v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    comp_min: dict = {}
+    for n in universe:
+        root = find(n)
+        if root not in comp_min or n < comp_min[root]:
+            comp_min[root] = n
+    return [(n, comp_min[find(n)]) for n in sorted(universe)]
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,
@@ -165,32 +198,12 @@ def connected_components(
     if prev_sig[0] <= driver_max_edges:
         # --- adaptive small-graph path: exact union-find on the driver
         rows = e.collect()  # bounded: <= driver_max_edges (u, v) rows
-        parent: dict = {}
-
-        def find(x):
-            root = x
-            while parent.get(root, root) != root:
-                root = parent[root]
-            while parent.get(x, x) != x:  # path compression
-                parent[x], x = root, parent[x]
-            return root
-
-        for r in rows:
-            ru, rv = find(r["u"]), find(r["v"])
-            if ru != rv:
-                parent[max(ru, rv)] = min(ru, rv)
-        universe = {x for r in rows for x in (r["u"], r["v"])}
-        comp_min: dict = {}
-        for n in universe:
-            root = find(n)
-            if root not in comp_min or n < comp_min[root]:
-                comp_min[root] = n
+        labels = _union_find_labels((r["u"], r["v"]) for r in rows)
         if stats is not None:
             stats["rounds"] = 0
         idt = nodes.schema[node_col].dataType.simpleString()
         label_df = nodes.sparkSession.createDataFrame(
-            [(n, comp_min[find(n)]) for n in sorted(universe)],
-            f"u {idt}, label {idt}",
+            labels, f"u {idt}, label {idt}"
         )
         # label_df is bounded (<= 2*driver_max_edges node rows): hint
         # the broadcast so neither join shuffles the (possibly huge)
@@ -323,29 +336,11 @@ def connected_components_bounded(
                 f"the caller-declared bound max_edges={max_edges} — use "
                 f"connected_components (star loop) for unbounded graphs"
             )
-        parent: dict = {}
-
-        def find(x):
-            root = x
-            while parent.get(root, root) != root:
-                root = parent[root]
-            while parent.get(x, x) != x:  # path compression
-                parent[x], x = root, parent[x]
-            return root
-
-        us, vs = pdf["u"].tolist(), pdf["v"].tolist()
-        for a, b in zip(us, vs):
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-        universe = sorted(set(us) | set(vs))
-        comp_min: dict = {}
-        for n in universe:
-            root = find(n)
-            if root not in comp_min or n < comp_min[root]:
-                comp_min[root] = n
+        labels = _union_find_labels(
+            zip(pdf["u"].tolist(), pdf["v"].tolist())
+        )
         return pd.DataFrame(
-            {"u": universe, "label": [comp_min[find(n)] for n in universe]}
+            {"u": [n for n, _ in labels], "label": [b for _, b in labels]}
         )
 
     # one constant group -> one task holding the whole (bounded) edge

@@ -1051,8 +1051,11 @@ _SEMDEDUP_BASIS_DIMS = (0, 16, 32, 48)
 #: this anchor. n_corpus = 2 × the 500-vector anchor cap (originals +
 #: planted copies) is a CONSTANT by construction, so k = 1000 // 250 =
 #: 4 derives identically in Spark (pure Python ints) and in the oracle
-#: (the same integer division over COUNT(*), EMBEDDING_DEDUP_CLUSTERS
-#: SQL `kval` CTE) — no action, no hand-tuned constant.
+#: (the same integer division over the same DECLARED bound in the
+#: EMBEDDING_DEDUP_CLUSTERS SQL `kval` CTE — deliberately not a
+#: COUNT(*): both engines must derive from the bound, or a NULL
+#: anchored embedding would shrink the realized count on one side
+#: only) — no action, no hand-tuned constant.
 _SEMDEDUP_TARGET_CLUSTER = 250
 
 
@@ -1196,7 +1199,13 @@ k4corpus AS (
   UNION ALL
   SELECT vec_id + 1000000, list_transform(e, x -> 2 * x) FROM anchor),
 kval AS (
-  SELECT GREATEST(1, (SELECT COUNT(*) FROM k4corpus) // 250) AS k),
+  -- k derives from the DECLARED corpus bound (2 x the vec_id<500
+  -- anchor cap), the same constant the Spark plan feeds
+  -- semdedup_params_for — NOT the realized row count, which could
+  -- diverge from the plan's constant if an anchored embedding were
+  -- NULL (Spark would still pass k=4 centroids while a COUNT(*)
+  -- oracle would derive a smaller k)
+  SELECT GREATEST(1, (2 * 500) // 250) AS k),
 kdims AS (
   SELECT ci - 1 AS cluster, d FROM (
     SELECT unnest(list_slice([1, 17, 33, 49], 1,

@@ -29,10 +29,12 @@ default (a consumer on the new version can read data produced under
 the old one): a shared property may not change type, and a field newly
 promoted to ``required`` must already exist in the previous version's
 properties. Round 12 completes Confluent's subject-level mode set:
-``compatibility="forward"`` mirrors the algebra (data produced under
-the new version stays valid to readers on the old one — a property the
-old version requires must survive into the new one), ``"full"`` checks
-both directions, and ``"none"`` opts out per registry.
+``compatibility="forward"`` checks the other direction (data produced
+under the new version stays valid to readers on the old one — a
+property the old version requires must survive into the new one, and
+stay required), ``"full"`` checks both directions, and ``"none"`` opts
+out per registry. The two directions are deliberately NOT symmetric
+about required-ness — see :func:`backward_incompatibilities`.
 """
 
 from __future__ import annotations
@@ -111,7 +113,22 @@ def backward_incompatibilities(old: dict, new: dict) -> list[str]:
     compatible): shared properties must keep their declared type, and
     a property required by ``new`` must already exist in ``old``'s
     properties (otherwise data produced under ``old`` is invalid to a
-    consumer expecting ``new``)."""
+    consumer expecting ``new``).
+
+    DELIBERATE RELAXATION vs strict Confluent JSON-schema semantics:
+    promoting an EXISTING optional property to required is admitted
+    here even though some old-produced payloads may then omit a
+    now-required field. Required-ness is this engine's DLQ gate, not a
+    parse-breaking change: post-promotion, such payloads route to the
+    dead-letter table with ``missing:<field>`` for repair-replay (the
+    round-11 mid-stream evolution e2e pins exactly this workflow),
+    whereas a TYPE change or a required field with no property would
+    corrupt the typed table itself and is rejected. The FORWARD
+    direction (:func:`forward_incompatibilities`) is intentionally
+    NOT the mirror image on this point — it rejects the
+    required→optional demotion — because old READERS are outside this
+    registry's control: there is no DLQ on their side to catch a
+    payload missing a field they require."""
     problems = []
     op = old.get("properties") or {}
     np = new.get("properties") or {}
@@ -133,14 +150,17 @@ def backward_incompatibilities(old: dict, new: dict) -> list[str]:
 def forward_incompatibilities(old: dict, new: dict) -> list[str]:
     """Why ``new`` cannot FORWARD-compatibly replace ``old`` (empty =
     compatible): data produced under ``new`` must stay valid to a
-    consumer still reading with ``old`` — the mirror image of
-    :func:`backward_incompatibilities` (the same algebra with the
-    versions swapped): shared properties keep their type; a property
-    ``old`` REQUIRES must stay REQUIRED in ``new`` (merely keeping it
-    optional is not enough — a new-produced payload may then omit a
-    field old readers demand, Confluent JSON-schema semantics).
-    Confluent's FORWARD mode (round 12, VERDICT r11 #4; the
-    required→optional demotion hole closed round 13 per ADVICE r12)."""
+    consumer still reading with ``old``: shared properties keep their
+    type; a property ``old`` REQUIRES must stay REQUIRED in ``new``
+    (merely keeping it optional is not enough — a new-produced payload
+    may then omit a field old readers demand, Confluent JSON-schema
+    semantics). Confluent's FORWARD mode (round 12, VERDICT r11 #4;
+    the required→optional demotion hole closed round 13 per ADVICE
+    r12). NOT the exact mirror of the backward algebra: forward is
+    STRICT about required-ness where backward deliberately relaxes it
+    — see the relaxation note on
+    :func:`backward_incompatibilities` for why the asymmetry is the
+    design (our DLQ exists, old readers' doesn't)."""
     problems = []
     op = old.get("properties") or {}
     np = new.get("properties") or {}

@@ -86,10 +86,29 @@ def test_detail_line_carries_task_attribution():
     assert json.loads(line)["detail"] == "bench_attribution"
 
 
+def test_final_line_headroom_for_catalog_growth():
+    # a few future queries with long names must not overflow either —
+    # this is the early warning that fires BEFORE real growth does
+    line = _final_line(n_queries_extra=3)
+    assert len(line) < FINAL_LINE_BUDGET, (
+        "catalog growth headroom exhausted — move more fields to the "
+        "detail line before adding queries"
+    )
+
+
 def test_bench_source_pins_contract():
-    # the runtime assert and the two-line emit must stay in bench.py
-    src = open("bench.py").read()
+    # the runtime guard and the two-line emit must stay in bench.py
+    # (path derived from this file so pytest may run from any cwd)
+    import os
+
+    bench_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "bench.py"
+    )
+    src = open(bench_path).read()
     assert "bench_attribution" in src
-    assert "1950" in src  # runtime length assert
+    assert "1950" in src  # runtime length guard
+    # the guard must be an explicit raise, not an assert (python -O
+    # strips asserts and the r12 silent-truncation mode would return)
+    assert "raise RuntimeError(f\"final bench line too long" in src
     # task_total must be guarded against partial REST attribution
     assert "task_complete" in src

@@ -54,13 +54,6 @@ REGISTRY_SCHEMA = {
 }
 
 
-def _load1() -> float:
-    try:
-        return round(os.getloadavg()[0], 2)
-    except OSError:  # pragma: no cover
-        return -1.0
-
-
 def _registry_drain(spark, raw, n: int, single_batch: bool) -> float:
     from real_time_video_streaming_analytics_lakehouse_spark.sources.registry import (
         SchemaRegistry,
@@ -106,8 +99,10 @@ def main() -> None:
     )
     args = ap.parse_args()
 
-    from bench import _streaming_throughput
-    from real_time_video_streaming_analytics_lakehouse_spark.plans import CATALOG
+    # the warm-up and loadavg helpers are bench.py's OWN (shared, not
+    # copied): the whole point of this tool is one method that cannot
+    # drift between the batch bench and the streaming anchor
+    from bench import _load1, _streaming_throughput, warm_up
     from real_time_video_streaming_analytics_lakehouse_spark.session import get_spark
     from real_time_video_streaming_analytics_lakehouse_spark.sources.readers import (
         load_table,
@@ -117,16 +112,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     out: dict = {"load_start": _load1(), "passes": args.passes}
 
-    # bench-style warm-up: JVM/codegen, the Arrow worker fleet, the
-    # events scan — session startup must not land inside a drain
-    CATALOG["event_type_rank"].fn(spark, args.sf_dir).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    spark.range(64).repartition(32).mapInPandas(
-        lambda b: b, "id LONG"
-    ).write.format("noop").mode("overwrite").save()
+    warm_up(spark, args.sf_dir)
     events = load_table(spark, args.sf_dir, "events")
-    events.write.format("noop").mode("overwrite").save()
     out["load_post_warm"] = _load1()
 
     best: dict = {}
