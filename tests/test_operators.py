@@ -1140,3 +1140,26 @@ def test_winnow_dup_spans_edges(spark):
     assert by_doc[3]["dup_group"] == by_doc[4]["dup_group"]
     assert by_doc[3]["start"] == by_doc[4]["start"]
     assert by_doc[3]["end"] == by_doc[4]["end"]
+
+
+def test_ngram_arm_subset_matches_fused_run(spark):
+    """Round-13 `arms=` knob (the scale probe measures the stopcap arm
+    alone): a single-arm run must be row-identical to that arm's slice
+    of the fused two-arm run — the knob selects work, never changes
+    results — and an unknown arm name fails loudly."""
+    import pytest
+
+    from real_time_video_streaming_analytics_lakehouse_spark.plans.llm_ops import (
+        ngram_jaccard_top_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    fused = ngram_jaccard_top_pairs(spark, sf).collect()
+    for arm in ("stopcap", "exact"):
+        alone = ngram_jaccard_top_pairs(spark, sf, arms=(arm,)).collect()
+        want = [r for r in fused if r["method"] == arm]
+        key = lambda r: (r["doc_a"], r["doc_b"])  # noqa: E731
+        assert sorted(map(tuple, alone)) == sorted(map(tuple, want)), arm
+        assert alone and all(r["method"] == arm for r in alone)
+    with pytest.raises(ValueError, match="unknown arms"):
+        ngram_jaccard_top_pairs(spark, sf, arms=("bogus",))
