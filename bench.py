@@ -69,6 +69,46 @@ from real_time_video_streaming_analytics_lakehouse_spark.session import get_spar
 from real_time_video_streaming_analytics_lakehouse_spark.sources import readers
 
 
+# Must stay under the driver's observed ~2000-char stdout tail capture
+# with margin; tests/test_bench_contract.py imports this same constant
+# and build_final_line so test and runtime cannot drift (ADVICE r13).
+FINAL_LINE_BUDGET = 1950
+
+
+def build_final_line(
+    timings: dict,
+    *,
+    runs: int,
+    load_start: float,
+    load_end: float,
+    task_total,
+    sf,
+    streaming_rates: dict | None = None,
+) -> str:
+    """Serialize the compact final stdout line the driver parses.
+
+    Single construction point for the line: bench.main() emits exactly
+    this string, and the contract test calls it with worst-case widths
+    — a field added here is automatically budget-checked by the test
+    before it can overflow the driver's capture window at runtime."""
+    out = {
+        "metric": "catalog_total_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "runs": runs,
+        "loadavg_1min": {"start": load_start, "end": load_end},
+        "task_total": task_total,
+        "queries": timings,
+        "sf": sf,
+    }
+    if streaming_rates is not None:
+        # key kept from rounds 5-9 (single-pipeline figure) so
+        # cross-round diffs stay mechanical
+        out["streaming_events_per_sec"] = streaming_rates["user_activity"]
+        out["streaming_events_per_sec_by_pipeline"] = streaming_rates
+    return json.dumps(out)
+
+
 def _load1() -> float:
     """1-minute loadavg marker (shared with tools/stream_anchor.py so
     every recorded measurement carries comparable load context)."""
@@ -180,7 +220,6 @@ def main() -> None:
             _time_query(name)
         loadavg["passes"].append(_load1())
 
-    total = round(sum(timings.values()), 3)
     # A partial task_timings map (REST died mid-bench) would sum to a
     # misleadingly SMALL total that a cross-round diff reads as a big
     # task-time win — emit the total only when every timed query got an
@@ -201,32 +240,26 @@ def main() -> None:
         "rest_degraded": rest_dead[0],
     }
     print(json.dumps(detail))
-    out = {
-        "metric": "catalog_total_wall_clock",
-        "value": total,
-        "unit": "sec",
-        "runs": n_runs,
-        "loadavg_1min": {
-            "start": loadavg["start"],
-            "end": loadavg["passes"][-1] if loadavg["passes"] else -1.0,
-        },
-        "task_total": (
+    rates = (
+        _streaming_throughput(spark, sf_dir)
+        if os.environ.get("SPARK_GRAFT_BENCH_STREAMING")
+        else None
+    )
+    line = build_final_line(
+        timings,
+        runs=n_runs,
+        load_start=loadavg["start"],
+        load_end=loadavg["passes"][-1] if loadavg["passes"] else -1.0,
+        task_total=(
             round(sum(task_timings.values()), 3) if task_complete else None
         ),
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }
-    if os.environ.get("SPARK_GRAFT_BENCH_STREAMING"):
-        rates = _streaming_throughput(spark, sf_dir)
-        # key kept from rounds 5-9 (single-pipeline figure) so
-        # cross-round diffs stay mechanical
-        out["streaming_events_per_sec"] = rates["user_activity"]
-        out["streaming_events_per_sec_by_pipeline"] = rates
-    line = json.dumps(out)
+        sf=float(sf) if sf.replace(".", "").isdigit() else sf,
+        streaming_rates=rates,
+    )
     # fail LOUD before the driver's capture window truncates silently
     # (an explicit raise, not assert — asserts vanish under python -O
     # and the truncation would return exactly as silently as r12's)
-    if len(line) >= 1950:
+    if len(line) >= FINAL_LINE_BUDGET:
         raise RuntimeError(f"final bench line too long: {len(line)}")
     print(line)
 

@@ -1113,9 +1113,14 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # anchor cap fixes by construction — not a hand-picked literal.
     n_planted = 2 * _EXACT_CLUSTER_MAX_VEC  # originals + ×2 copies
     k_derived = semdedup_params_for(n_planted, _SEMDEDUP_TARGET_CLUSTER)
-    assert k_derived <= len(basis), (
-        "derived k outgrew the one-hot basis — widen _SEMDEDUP_BASIS_DIMS"
-    )
+    if k_derived > len(basis):
+        # Explicit raise, not assert: stripped under `python -O`, the
+        # assert would silently pass all len(basis) centroids when the
+        # target-cluster knob or corpus bound changes (ADVICE r13).
+        raise ValueError(
+            f"derived k={k_derived} outgrew the {len(basis)}-vector "
+            "one-hot basis — widen _SEMDEDUP_BASIS_DIMS"
+        )
 
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     corpus = emb.select("vec_id", as_double.alias("embedding")).unionByName(

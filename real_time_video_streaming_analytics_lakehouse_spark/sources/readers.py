@@ -57,11 +57,30 @@ def _perturbed(df: DataFrame) -> DataFrame:
 # Per-(dir, table) schema cache (round 13): every schema-less
 # spark.read.parquet launches a one-task footer-inference job — pure
 # driver latency paid at CONSTRUCTION time by every query, every bench
-# pass. The test tables are immutable for a process lifetime, so the
-# first read's inferred schema is passed explicitly to every subsequent
-# read (zero jobs). Keyed by resolved path; cleared implicitly per
-# process (module state).
+# pass. The first read's inferred schema is passed explicitly to every
+# subsequent read (zero jobs). Keyed by (resolved path, content
+# fingerprint) so a table REWRITTEN at the same path within a process
+# (fixture regeneration, synthetic scale tiers) invalidates the entry
+# instead of silently applying a stale schema (ADVICE r13).
 _SCHEMA_CACHE: dict = {}
+
+
+def _table_fingerprint(path: str) -> tuple:
+    """Cheap content stamp: (mtime_ns, size) for a single-file table;
+    for a directory table, the aggregate over its data files."""
+    st = os.stat(path)
+    import stat as _stat
+
+    if not _stat.S_ISDIR(st.st_mode):
+        return (st.st_mtime_ns, st.st_size)
+    parts = []
+    with os.scandir(path) as it:
+        for e in it:
+            if e.name.startswith(("_", ".")):
+                continue
+            s = e.stat()
+            parts.append((e.name, s.st_mtime_ns, s.st_size))
+    return tuple(sorted(parts))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -69,12 +88,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     apply_runtime_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     key = os.path.abspath(path)
+    fp = _table_fingerprint(path)
     cached = _SCHEMA_CACHE.get(key)
-    if cached is not None:
-        df = spark.read.schema(cached).parquet(path)
+    if cached is not None and cached[0] == fp:
+        df = spark.read.schema(cached[1]).parquet(path)
     else:
         df = spark.read.parquet(path)
-        _SCHEMA_CACHE[key] = df.schema
+        _SCHEMA_CACHE[key] = (fp, df.schema)
     # Normalize any int64-nanosecond column produced by nanosAsLong back to
     # a timestamp. Only `events.ts` matches in this corpus; detection is by
     # (name, type) so other tables pass through untouched.

@@ -108,7 +108,9 @@ def _compile_type(name: str, spec: dict):
         ) from None
 
 
-def backward_incompatibilities(old: dict, new: dict) -> list[str]:
+def backward_incompatibilities(
+    old: dict, new: dict, strict: bool = False
+) -> list[str]:
     """Why ``new`` cannot BACKWARD-compatibly replace ``old`` (empty =
     compatible): shared properties must keep their declared type, and
     a property required by ``new`` must already exist in ``old``'s
@@ -128,10 +130,16 @@ def backward_incompatibilities(old: dict, new: dict) -> list[str]:
     NOT the mirror image on this point — it rejects the
     required→optional demotion — because old READERS are outside this
     registry's control: there is no DLQ on their side to catch a
-    payload missing a field they require."""
+    payload missing a field they require.
+
+    ``strict=True`` (ADVICE r13) opts into Confluent-parity semantics
+    for deployments whose consumers are NOT behind this engine's DLQ:
+    the optional→required promotion is then rejected too, exactly as
+    Confluent's BACKWARD checker would."""
     problems = []
     op = old.get("properties") or {}
     np = new.get("properties") or {}
+    old_required = set(old.get("required") or [])
     for name in op.keys() & np.keys():
         if op[name].get("type", "string") != np[name].get("type", "string"):
             problems.append(
@@ -143,6 +151,12 @@ def backward_incompatibilities(old: dict, new: dict) -> list[str]:
             problems.append(
                 f"property {name!r} is newly required but absent from "
                 f"the previous version's properties"
+            )
+        elif strict and name not in old_required:
+            problems.append(
+                f"property {name!r} promoted optional -> required "
+                f"(rejected in strict/Confluent-parity mode: payloads "
+                f"produced under the old schema may omit it)"
             )
     return problems
 
@@ -198,11 +212,17 @@ class SchemaRegistry:
     """
 
     def __init__(self, root: str | None = None,
-                 compatibility: str = "backward") -> None:
+                 compatibility: str = "backward",
+                 strict: bool = False) -> None:
+        """``strict=True`` applies Confluent-parity BACKWARD semantics
+        (optional→required promotions rejected) instead of this
+        engine's documented DLQ-gated relaxation — for deployments
+        whose old consumers are not behind the DLQ (ADVICE r13)."""
         if compatibility not in ("backward", "forward", "full", "none"):
             raise ValueError(f"unknown compatibility mode {compatibility!r}")
         self.root = root
         self.compatibility = compatibility
+        self.strict = strict
         self._mem: dict[str, dict[int, dict]] = {}
         if root:
             os.makedirs(root, exist_ok=True)
@@ -238,12 +258,14 @@ class SchemaRegistry:
                     "none": (),
                 }[self.compatibility]
                 for direction in directions:
-                    check = (
-                        backward_incompatibilities
-                        if direction == "backward"
-                        else forward_incompatibilities
-                    )
-                    problems = check(have[latest], schema)
+                    if direction == "backward":
+                        problems = backward_incompatibilities(
+                            have[latest], schema, strict=self.strict
+                        )
+                    else:
+                        problems = forward_incompatibilities(
+                            have[latest], schema
+                        )
                     if problems:
                         raise ValueError(
                             f"schema for {subject!r} v{latest + 1} is not "

@@ -17,27 +17,36 @@ import json
 
 from real_time_video_streaming_analytics_lakehouse_spark.plans import CATALOG
 
-# must match the driver's observed tail-capture window (~2000 chars)
-# minus safety margin; bench.py asserts the same bound at runtime.
-FINAL_LINE_BUDGET = 1950
+# Imported from bench.py (ADVICE r13): the test and the runtime share
+# ONE line builder and ONE budget constant, so a field added to the
+# real final line is budget-checked here automatically instead of
+# drifting past a hand-mirrored copy and raising mid-bench.
+from bench import FINAL_LINE_BUDGET, build_final_line
 
 
-def _final_line(n_queries_extra: int = 0) -> str:
-    """Rebuild bench.main()'s final JSON line at worst-case widths."""
+def _final_line(n_queries_extra: int = 0, streaming: bool = False) -> str:
+    """bench.main()'s final JSON line at worst-case value widths."""
     timings = {k: 999.999 for k in sorted(CATALOG)}
     for i in range(n_queries_extra):
         timings[f"future_query_with_a_long_name_{i:02d}"] = 999.999
-    out = {
-        "metric": "catalog_total_wall_clock",
-        "value": 99999.999,
-        "unit": "sec",
-        "runs": 33,
-        "loadavg_1min": {"start": 99.99, "end": 99.99},
-        "task_total": 99999.999,
-        "queries": timings,
-        "sf": 0.1,
-    }
-    return json.dumps(out)
+    rates = (
+        {
+            "user_activity": 99999.9,
+            "content_popularity": 99999.9,
+            "anomaly": 99999.9,
+        }
+        if streaming
+        else None
+    )
+    return build_final_line(
+        timings,
+        runs=33,
+        load_start=99.99,
+        load_end=99.99,
+        task_total=99999.999,
+        sf=0.1,
+        streaming_rates=rates,
+    )
 
 
 def test_final_line_fits_driver_window():
@@ -54,21 +63,11 @@ def test_final_line_fits_driver_window():
 
 def test_final_line_headroom_for_streaming_keys():
     # SPARK_GRAFT_BENCH_STREAMING adds two keys (~200 chars); the
-    # budget must absorb them too.
-    line = _final_line()
-    streaming_extra = len(
-        json.dumps(
-            {
-                "streaming_events_per_sec": 99999.9,
-                "streaming_events_per_sec_by_pipeline": {
-                    "user_activity": 99999.9,
-                    "content_popularity": 99999.9,
-                    "anomaly": 99999.9,
-                },
-            }
-        )
-    )
-    assert len(line) + streaming_extra < FINAL_LINE_BUDGET
+    # budget must absorb them too — built by the REAL builder.
+    line = _final_line(streaming=True)
+    assert len(line) < FINAL_LINE_BUDGET
+    parsed = json.loads(line)
+    assert parsed["streaming_events_per_sec"] == 99999.9
 
 
 def test_detail_line_carries_task_attribution():

@@ -130,6 +130,39 @@ def test_backward_compatibility_gate():
     assert loose.register("v-value", changed) == 2
 
 
+def test_backward_strict_mode_rejects_required_promotion():
+    """ADVICE r13: default backward mode deliberately admits promoting
+    an existing OPTIONAL property to required (the DLQ catches old
+    payloads that omit it); strict=True restores Confluent-parity
+    rejection for deployments without the DLQ gate."""
+    optional_field = next(
+        p for p in VIDEO["properties"] if p not in VIDEO["required"]
+    )
+    promoted = {
+        "type": "object",
+        "properties": VIDEO["properties"],
+        "required": VIDEO["required"] + [optional_field],
+    }
+    # engine default: admitted (documented relaxation)
+    assert backward_incompatibilities(VIDEO, promoted) == []
+    reg = SchemaRegistry()
+    reg.register("v-value", VIDEO)
+    assert reg.register("v-value", promoted) == 2
+    # strict/Confluent-parity: rejected at the function AND registry
+    assert backward_incompatibilities(VIDEO, promoted, strict=True)
+    strict_reg = SchemaRegistry(strict=True)
+    strict_reg.register("v-value", VIDEO)
+    with pytest.raises(ValueError, match="optional -> required"):
+        strict_reg.register("v-value", promoted)
+    # strict mode still admits a genuinely compatible evolution
+    widened = {
+        "type": "object",
+        "properties": {**VIDEO["properties"], "extra": {"type": "string"}},
+        "required": VIDEO["required"],
+    }
+    assert strict_reg.register("v-value", widened) == 2
+
+
 def test_topic_subject_resolution():
     reg = SchemaRegistry()
     reg.register("video_events-value", VIDEO)
