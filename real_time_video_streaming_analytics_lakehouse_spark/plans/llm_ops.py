@@ -386,7 +386,11 @@ LEFT JOIN q80 q ON d.doc_id = q.doc_id
 
 # --- exact dedup + content fingerprints (one per-doc surface) --------------
 
-def doc_dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_dedup_fingerprints(
+    spark: SparkSession,
+    sf_dir: str,
+    arms: tuple[str, ...] = ("holdout", "winnow", "span"),
+) -> DataFrame:
     """Per-doc dedup + fingerprint surface (formerly the separate
     ``dedup_exact_docs`` / ``doc_fingerprints`` / ``rolling_fingerprints``
     queries, folded so the catalog fits the driver's 50-query check
@@ -435,35 +439,27 @@ def doc_dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection with ``list_position`` over the same portable
     polynomial hashes, then the identical LAG + running-sum merge.
     Exact-duplicate texts in the corpus guarantee the arm fires
-    (their spans cover ~the whole doc)."""
+    (their spans cover ~the whole doc).
+
+    ``arms`` (round 14, VERDICT r13 #1): this entry's arms are COLUMN
+    FAMILIES over one row per doc, not stacked rows — ``holdout``
+    (13-gram decontamination hits), ``winnow`` (fingerprint count +
+    holdout-shared count), ``span`` (duplicate-span stats). The base
+    columns (exact-dup group stats, shingle-set fingerprint, rolling
+    hash) always compute; deselected families skip their scans/joins
+    and their columns are absent from the output, so the scale probe
+    attributes per-family growth. Single-family output is
+    column-projected row-identical to the fused result (test-pinned).
+    """
     from ..operators.text import contaminated_ids, winnow_dup_spans
+
+    _ARM_NAMES = ("holdout", "winnow", "span")
+    unknown = set(arms) - set(_ARM_NAMES)
+    if unknown:
+        raise ValueError(f"unknown arms {sorted(unknown)}")
 
     d = _docs(spark, sf_dir)
     groups = exact_dedup_groups(d, "text", "doc_id")
-    holdout = d.filter(F.col("doc_id") % 37 == 0)
-    hits = contaminated_ids(d, holdout).withColumnRenamed(
-        "hits", "holdout_hits"
-    )
-    span_agg = (
-        winnow_dup_spans(d, min_anchors=2)
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("dup_spans"),
-            F.sum(F.col("end") - F.col("start")).alias("dup_span_chars"),
-            F.min("dup_group").alias("dup_span_group"),
-        )
-    )
-    wd = d.select(
-        "doc_id", winnow_fingerprints_vec("text").alias("_wfps")
-    ).localCheckpoint(eager=False)
-    wfp = wd.select("doc_id", F.explode("_wfps").alias("fp"))
-    whold = wfp.filter(F.col("doc_id") % 37 == 0).select("fp").distinct()
-    whits = wfp.join(whold, "fp").groupBy("doc_id").agg(
-        F.count("*").alias("winnow_hits")
-    )
-    wcnt = wd.select(
-        "doc_id", F.size("_wfps").cast("long").alias("winnow_fp_count")
-    )
     per_doc = d.select(
         "doc_id",
         F.md5("text").alias("text_hash"),
@@ -474,32 +470,73 @@ def doc_dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # still appear (grouped together), matching rolling_hash_col's
     # documented missing≠empty semantics — a plain equi-join would
     # silently drop every NULL-text doc.
-    joined = (
-        per_doc.join(groups, per_doc.text_hash.eqNullSafe(groups.text_hash))
-        .join(hits, "doc_id", "left_outer")
-        .join(wcnt, "doc_id", "left_outer")
-        .join(whits, "doc_id", "left_outer")
-        .join(span_agg, "doc_id", "left_outer")
+    joined = per_doc.join(
+        groups, per_doc.text_hash.eqNullSafe(groups.text_hash)
     )
-    return joined.select(
-        per_doc.doc_id, per_doc.text_hash, "dup_count", "canonical_doc_id",
-        "fingerprint", "rhash", "winnow_fp_count",
-        F.coalesce(F.col("holdout_hits"), F.lit(0).cast("long")).alias(
-            "holdout_hits"
-        ),
-        F.coalesce(F.col("winnow_hits"), F.lit(0).cast("long")).alias(
-            "winnow_hits"
-        ),
-        F.coalesce(F.col("dup_spans"), F.lit(0).cast("long")).alias(
-            "dup_spans"
-        ),
-        F.coalesce(F.col("dup_span_chars"), F.lit(0).cast("long")).alias(
-            "dup_span_chars"
-        ),
-        F.coalesce(F.col("dup_span_group"), F.lit(-1).cast("long")).alias(
-            "dup_span_group"
-        ),
-    )
+    cols = [
+        per_doc.doc_id, per_doc.text_hash, F.col("dup_count"),
+        F.col("canonical_doc_id"), F.col("fingerprint"), F.col("rhash"),
+    ]
+    if "winnow" in arms:
+        wd = d.select(
+            "doc_id", winnow_fingerprints_vec("text").alias("_wfps")
+        ).localCheckpoint(eager=False)
+        wfp = wd.select("doc_id", F.explode("_wfps").alias("fp"))
+        whold = wfp.filter(F.col("doc_id") % 37 == 0).select(
+            "fp"
+        ).distinct()
+        whits = wfp.join(whold, "fp").groupBy("doc_id").agg(
+            F.count("*").alias("winnow_hits")
+        )
+        wcnt = wd.select(
+            "doc_id", F.size("_wfps").cast("long").alias("winnow_fp_count")
+        )
+        joined = joined.join(wcnt, "doc_id", "left_outer").join(
+            whits, "doc_id", "left_outer"
+        )
+        cols.append(F.col("winnow_fp_count"))
+    if "holdout" in arms:
+        holdout = d.filter(F.col("doc_id") % 37 == 0)
+        hits = contaminated_ids(d, holdout).withColumnRenamed(
+            "hits", "holdout_hits"
+        )
+        joined = joined.join(hits, "doc_id", "left_outer")
+        cols.append(
+            F.coalesce(F.col("holdout_hits"), F.lit(0).cast("long")).alias(
+                "holdout_hits"
+            )
+        )
+    if "winnow" in arms:
+        cols.append(
+            F.coalesce(F.col("winnow_hits"), F.lit(0).cast("long")).alias(
+                "winnow_hits"
+            )
+        )
+    if "span" in arms:
+        span_agg = (
+            winnow_dup_spans(d, min_anchors=2)
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("dup_spans"),
+                F.sum(F.col("end") - F.col("start")).alias(
+                    "dup_span_chars"
+                ),
+                F.min("dup_group").alias("dup_span_group"),
+            )
+        )
+        joined = joined.join(span_agg, "doc_id", "left_outer")
+        cols.extend([
+            F.coalesce(F.col("dup_spans"), F.lit(0).cast("long")).alias(
+                "dup_spans"
+            ),
+            F.coalesce(
+                F.col("dup_span_chars"), F.lit(0).cast("long")
+            ).alias("dup_span_chars"),
+            F.coalesce(
+                F.col("dup_span_group"), F.lit(-1).cast("long")
+            ).alias("dup_span_group"),
+        ])
+    return joined.select(*cols)
 
 
 DOC_DEDUP_FINGERPRINTS_SQL = r"""
@@ -795,7 +832,11 @@ _PLANT_OFFSET = 1_000_000
 _PLANT_MOD = 10
 
 
-def hash_dedup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hash_dedup_candidates(
+    spark: SparkSession,
+    sf_dir: str,
+    arms: tuple[str, ...] = ("minhash", "simhash"),
+) -> DataFrame:
     """Both hash-sketch near-dup candidate generators in one output,
     stacked by ``method`` (formerly the separate ``minhash_lsh_pairs``
     and ``simhash_pairs`` queries, folded so the catalog fits the
@@ -829,7 +870,14 @@ def hash_dedup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured 3.4 s → 5.4 s warm at sf0.1) — materializing exploded
     token arrays costs more than the columnar parquet re-scan plus the
     codegen'd split they would save, at this and any scale where text
-    compresses better than its token array."""
+    compresses better than its token array.
+
+    ``arms`` (round 14, VERDICT r13 #1) selects which sketch families
+    run — the catalog always runs both; the scale probe measures each
+    alone so the ×N tiers attribute growth per family instead of
+    hiding one family's pathology inside the fused wall (the round-13
+    ngram stopcap lesson). Single-arm output is row-identical to the
+    fused result filtered to that ``method`` (test-pinned)."""
     d = _docs(spark, sf_dir).select("doc_id", "text")
     planted = d.filter(
         (F.col("doc_id") % _PLANT_MOD == 0) & F.col("text").isNotNull()
@@ -837,19 +885,30 @@ def hash_dedup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + F.lit(_PLANT_OFFSET)).alias("doc_id"), "text"
     )
     corpus = d.unionByName(planted)
-    mh = minhash_lsh_candidates(corpus, min_est_jaccard=0.2).select(
-        F.lit("minhash").alias("method"),
-        "id_a",
-        "id_b",
-        F.col("est_jaccard").cast("double").alias("score"),
-    )
-    sh = simhash_candidates(corpus, max_hamming=3).select(
-        F.lit("simhash").alias("method"),
-        "id_a",
-        "id_b",
-        F.col("hamming").cast("double").alias("score"),
-    )
-    return mh.unionByName(sh).filter(
+    builders = {
+        "minhash": lambda: minhash_lsh_candidates(
+            corpus, min_est_jaccard=0.2
+        ).select(
+            F.lit("minhash").alias("method"),
+            "id_a",
+            "id_b",
+            F.col("est_jaccard").cast("double").alias("score"),
+        ),
+        "simhash": lambda: simhash_candidates(corpus, max_hamming=3).select(
+            F.lit("simhash").alias("method"),
+            "id_a",
+            "id_b",
+            F.col("hamming").cast("double").alias("score"),
+        ),
+    }
+    unknown = set(arms) - set(builders)
+    if unknown or not arms:
+        raise ValueError(f"unknown arms {sorted(unknown)}")
+    out = None
+    for a in arms:
+        part = builders[a]()
+        out = part if out is None else out.unionByName(part)
+    return out.filter(
         F.col("id_b") - F.col("id_a") == F.lit(_PLANT_OFFSET)
     )
 
@@ -1059,7 +1118,11 @@ _SEMDEDUP_BASIS_DIMS = (0, 16, 32, 48)
 _SEMDEDUP_TARGET_CLUSTER = 250
 
 
-def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_dedup_clusters(
+    spark: SparkSession,
+    sf_dir: str,
+    arms: tuple[str, ...] = ("exact", "centroid_outlier", "semdedup_k4"),
+) -> DataFrame:
     """SemDeDup (Abbas et al. arXiv:2303.09540) driver-oracled at
     THREE operating points, stacked as arms of one result (the
     stop-shingle-arm pattern):
@@ -1100,8 +1163,22 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     DEMOTED to an oracle anchor (round-5): inputs are capped at
     ``vec_id < 500`` — identical to the full corpus at oracle scale
     (sf≤0.01), bounded-quadratic everywhere else. The production-scale
-    clustering path is :func:`embedding_dedup_clusters_lsh`."""
+    clustering path is :func:`embedding_dedup_clusters_lsh`.
+
+    ``arms`` (round 14, VERDICT r13 #1) selects which operating points
+    run — the catalog always runs all three; the scale probe measures
+    each alone for per-arm ×N attribution. ``exact`` and
+    ``centroid_outlier`` alone still go through the shared
+    ``semantic_dedup`` pass (with a single keep policy the expensive
+    pairing/CC stages are the same — only the extra policy's
+    aggregate is skipped); single-arm output is row-identical to the
+    fused result filtered to that ``arm`` (test-pinned)."""
     from ..operators.similarity import semantic_dedup, semdedup_params_for
+
+    _ARM_NAMES = ("exact", "centroid_outlier", "semdedup_k4")
+    unknown = set(arms) - set(_ARM_NAMES)
+    if unknown or not arms:
+        raise ValueError(f"unknown arms {sorted(unknown)}")
 
     emb = _emb(spark, sf_dir).filter(F.col("vec_id") < _EXACT_CLUSTER_MAX_VEC)
     basis = [
@@ -1141,10 +1218,16 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # anchor corpora — 4 blocks' 10 tasks were pure Python-worker
     # overhead at this size; at real scale pick B ~ corpus/task-size
     # (operator docstring).
+    pair_policies = tuple(
+        "min_id" if a == "exact" else a
+        for a in ("exact", "centroid_outlier")
+        if a in arms
+    )
+
     def build_both() -> DataFrame:
         return semantic_dedup(
             emb, threshold=0.4, num_blocks=2, centroids=[basis[0]],
-            keep_policy=("min_id", "centroid_outlier"),
+            keep_policy=pair_policies,
             cc_strategy="bounded_lazy",
         ).select(
             F.when(F.col("policy") == "min_id", F.lit("exact"))
@@ -1169,7 +1252,15 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # jobs (pinned in tests/test_plan_quality.py), which removed the
     # round-12 ThreadPoolExecutor that existed only to overlap the two
     # arms' construction-time CC actions.
-    return build_both().unionByName(build_k4())
+    parts = []
+    if pair_policies:
+        parts.append(build_both())
+    if "semdedup_k4" in arms:
+        parts.append(build_k4())
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 EMBEDDING_DEDUP_CLUSTERS_SQL = """

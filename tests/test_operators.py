@@ -1192,3 +1192,99 @@ def test_schema_cache_invalidates_on_rewrite(spark, tmp_path):
     # footer re-inference; behavioral check: schema identical)
     third = load_table(spark, sf_dir, "documents")
     assert third.schema == second.schema
+
+
+def test_hash_dedup_arm_subset_matches_fused_run(spark):
+    """Round-14 `arms=` knob (VERDICT r13 #1, the ngram precedent
+    generalized): a single-family run of hash_dedup_candidates must be
+    row-identical to that family's slice of the fused run."""
+    import pytest
+
+    from real_time_video_streaming_analytics_lakehouse_spark.plans.llm_ops import (
+        hash_dedup_candidates,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    fused = hash_dedup_candidates(spark, sf).collect()
+    assert fused
+    for arm in ("minhash", "simhash"):
+        alone = hash_dedup_candidates(spark, sf, arms=(arm,)).collect()
+        want = [r for r in fused if r["method"] == arm]
+        assert sorted(map(tuple, alone)) == sorted(map(tuple, want)), arm
+        assert alone and all(r["method"] == arm for r in alone)
+    with pytest.raises(ValueError, match="unknown arms"):
+        hash_dedup_candidates(spark, sf, arms=("bogus",))
+    with pytest.raises(ValueError, match="unknown arms"):
+        hash_dedup_candidates(spark, sf, arms=())
+
+
+def test_embedding_dedup_arm_subset_matches_fused_run(spark):
+    """Round-14 `arms=` knob: each operating point of
+    embedding_dedup_clusters alone equals its slice of the fused
+    three-arm run — including `exact`/`centroid_outlier` alone, which
+    still route through the shared semantic_dedup pass with a single
+    keep policy."""
+    import pytest
+
+    from real_time_video_streaming_analytics_lakehouse_spark.plans.llm_ops import (
+        embedding_dedup_clusters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    fused = embedding_dedup_clusters(spark, sf).collect()
+    assert fused
+    for arm in ("exact", "centroid_outlier", "semdedup_k4"):
+        alone = embedding_dedup_clusters(spark, sf, arms=(arm,)).collect()
+        want = [r for r in fused if r["arm"] == arm]
+        assert sorted(map(tuple, alone)) == sorted(map(tuple, want)), arm
+        assert alone and all(r["arm"] == arm for r in alone)
+    # the two shared-pass arms together must also slice identically
+    both = embedding_dedup_clusters(
+        spark, sf, arms=("exact", "centroid_outlier")
+    ).collect()
+    want = [r for r in fused if r["arm"] != "semdedup_k4"]
+    assert sorted(map(tuple, both)) == sorted(map(tuple, want))
+    with pytest.raises(ValueError, match="unknown arms"):
+        embedding_dedup_clusters(spark, sf, arms=("bogus",))
+
+
+def test_doc_dedup_arm_subset_matches_fused_projection(spark):
+    """Round-14 `arms=` knob: doc_dedup_fingerprints' arms are COLUMN
+    FAMILIES — a single-family run must equal the fused result
+    projected to (base + that family's) columns, and the base-only run
+    must equal the fused base projection."""
+    import pytest
+
+    from real_time_video_streaming_analytics_lakehouse_spark.plans.llm_ops import (
+        doc_dedup_fingerprints,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    fused = doc_dedup_fingerprints(spark, sf)
+    fused_rows = fused.collect()
+    assert fused_rows
+    base_cols = [
+        "doc_id", "text_hash", "dup_count", "canonical_doc_id",
+        "fingerprint", "rhash",
+    ]
+    families = {
+        "holdout": ["holdout_hits"],
+        "winnow": ["winnow_fp_count", "winnow_hits"],
+        "span": ["dup_spans", "dup_span_chars", "dup_span_group"],
+    }
+    key = lambda r: r[0]  # noqa: E731 — doc_id leads every projection
+    for arm, fam_cols in families.items():
+        alone = doc_dedup_fingerprints(spark, sf, arms=(arm,))
+        assert set(alone.columns) == set(base_cols + fam_cols), arm
+        want = [
+            tuple(r[c] for c in alone.columns) for r in fused_rows
+        ]
+        got = [tuple(r) for r in alone.collect()]
+        assert sorted(got, key=key) == sorted(want, key=key), arm
+    base = doc_dedup_fingerprints(spark, sf, arms=())
+    assert list(base.columns) == base_cols
+    want = [tuple(r[c] for c in base_cols) for r in fused_rows]
+    got = [tuple(r) for r in base.collect()]
+    assert sorted(got, key=key) == sorted(want, key=key)
+    with pytest.raises(ValueError, match="unknown arms"):
+        doc_dedup_fingerprints(spark, sf, arms=("bogus",))

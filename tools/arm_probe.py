@@ -1,0 +1,161 @@
+"""Per-ARM scale attribution for the fused catalog entries.
+
+The round-13 lesson (VERDICT r12 #5 → r13 #1): a fused multi-arm query
+measured as one wall hides an individual arm's super-linearity — the
+`ngram_jaccard_top_pairs` stop-shingle cap's df² pathology sat invisible
+inside the fused ×30 number until the arms were measured separately.
+This probe generalizes that ad-hoc round-13 measurement into committed
+method (the tools/stream_anchor.py precedent): every fused entry with an
+``arms=`` knob is timed PER ARM at sf0.1 and on the synthetic ×N tier
+(default ×30), with Spark job counts, using the exact timed-noop runner
+the main scale probe uses.
+
+For the stacked-row entries (hash_dedup_candidates,
+embedding_dedup_clusters, ngram_jaccard_top_pairs) an arm is one slice
+of the output; for doc_dedup_fingerprints the arms are COLUMN FAMILIES
+over a shared base, so the probe also times the base alone — a family's
+attributable cost is (family − base), since every family run carries the
+base scan/joins.
+
+Usage::
+
+    python tools/arm_probe.py [--runs N] [--copies N] [--out SCALING.json]
+                              [queries ...]
+
+Writes/merges a top-level ``arm_split_x{N}`` section into ``--out``
+(scale_probe's merge preserves sections it does not own). The ngram
+exact arm is EXCLUDED by default (super-linear by contract, needs ~48g
+driver memory at ×30 — round-13 measured it once at 307.5 s); pass
+``ngram_jaccard_top_pairs`` explicitly to re-measure the stopcap arm.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scale_probe import SF_DIRS, _materialize_tier, timed_noop  # noqa: E402
+
+from real_time_video_streaming_analytics_lakehouse_spark.plans import llm_ops  # noqa: E402
+from real_time_video_streaming_analytics_lakehouse_spark.session import get_spark  # noqa: E402
+
+#: per query: the arm tuples to time separately. () = base only
+#: (doc_dedup's column families share a base that must be subtracted).
+SPECS: dict[str, list[tuple[str, ...]]] = {
+    "hash_dedup_candidates": [("minhash",), ("simhash",)],
+    "embedding_dedup_clusters": [
+        ("exact",), ("centroid_outlier",), ("semdedup_k4",),
+    ],
+    "doc_dedup_fingerprints": [(), ("holdout",), ("winnow",), ("span",)],
+    # stopcap only: the exact arm is super-linear BY CONTRACT (all
+    # pairs over duplicate-saturated input) and needs ~48g driver
+    # memory at x30 — measured once in round 13 (SCALING.json
+    # ngram_arm_split_x30), not worth re-paying per probe run.
+    "ngram_jaccard_top_pairs": [("stopcap",)],
+}
+
+#: measured by default — ngram needs explicit selection (see above).
+DEFAULT_QUERIES = [
+    "hash_dedup_candidates",
+    "embedding_dedup_clusters",
+    "doc_dedup_fingerprints",
+]
+
+
+def _arm_label(arms: tuple[str, ...]) -> str:
+    return "+".join(arms) if arms else "base"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--copies", type=int, default=30)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("queries", nargs="*", help="subset of SPECS keys")
+    args = ap.parse_args()
+
+    names = args.queries or DEFAULT_QUERIES
+    unknown = set(names) - set(SPECS)
+    if unknown:
+        raise SystemExit(f"no arm spec for: {sorted(unknown)}")
+
+    spark = get_spark("arm_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    base_dir = SF_DIRS[-1][1]  # sf0.1
+    sf_equiv = f"{0.1 * args.copies:.1f}"
+    tier_dir = _materialize_tier(
+        spark, base_dir, f"/tmp/spark_graft_sf{sf_equiv}_full", args.copies
+    )
+    # warm-up absorbs JVM/codegen startup
+    timed_noop(
+        spark,
+        lambda: llm_ops.hash_dedup_candidates(spark, base_dir),
+        "warmup",
+    )
+
+    xkey = f"x{args.copies}"
+    report: dict[str, dict[str, dict]] = {}
+    for name in names:
+        fn = getattr(llm_ops, name)
+        report[name] = {}
+        for arms in SPECS[name]:
+            label = _arm_label(arms)
+            best: dict[str, float] = {}
+            jobs: dict[str, int] = {}
+            for _ in range(args.runs):
+                for tier, d in (("0.1", base_dir), (xkey, tier_dir)):
+                    el, j = timed_noop(
+                        spark,
+                        lambda: fn(spark, d, arms=arms),
+                        f"{name}[{label}] @ {d}",
+                    )
+                    if tier not in best or el < best[tier]:
+                        best[tier] = el
+                    jobs[tier] = max(jobs.get(tier, 0), j)
+            entry = {
+                "0.1": best["0.1"],
+                xkey: best[xkey],
+                f"{xkey}_ratio": round(best[xkey] / best["0.1"], 2),
+                "jobs": jobs["0.1"],
+                f"jobs_{xkey}": jobs[xkey],
+            }
+            report[name][label] = entry
+            print(json.dumps({name: {label: entry}}))
+
+    section = f"arm_split_{xkey}"
+    out_obj = {
+        section: {
+            "note": (
+                "per-arm walls via the arms= knobs (VERDICT r13 #1); "
+                "min-of-%d, jobs = max; doc_dedup_fingerprints arms are "
+                "column families over a shared base — attribute a "
+                "family as (family - base)" % args.runs
+            ),
+            "runs": args.runs,
+            "queries": report,
+        }
+    }
+    if args.out:
+        prior = {}
+        if os.path.exists(args.out):
+            try:
+                with open(args.out) as f:
+                    prior = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                prior = {}
+        sec = prior.setdefault(section, {})
+        sec.update(out_obj[section] | {
+            "queries": {**sec.get("queries", {}), **report},
+        })
+        with open(args.out, "w") as f:
+            f.write(json.dumps(prior) + "\n")
+    print(json.dumps(out_obj))
+
+
+if __name__ == "__main__":
+    main()

@@ -228,9 +228,9 @@ def _x3_stamp() -> str:
 _probe_seq = 0
 
 
-def _timed_run(spark, name: str, sf_dir: str) -> tuple[float, int]:
-    """Run one catalog query to a noop sink inside a unique job group;
-    return (wall seconds, Spark JOB count).
+def timed_noop(spark, build, label: str) -> tuple[float, int]:
+    """Build a DataFrame via ``build()`` and drain it to a noop sink
+    inside a unique job group; return (wall seconds, Spark JOB count).
 
     The job count is the round-9 forensics metric: driver job
     round-trips — not data volume — were the catalog's dominant noise
@@ -239,22 +239,31 @@ def _timed_run(spark, name: str, sf_dir: str) -> tuple[float, int]:
     size has a driver loop whose trip count depends on the data
     (e.g. diameter-bound label propagation) — the shape that multiplies
     scheduler latency at 100×. Counted immediately after the run so
-    `spark.ui.retainedJobs` eviction can't undercount."""
+    `spark.ui.retainedJobs` eviction can't undercount.
+
+    Round 14: factored out of ``_timed_run`` so tools/arm_probe.py
+    measures per-ARM builders with the identical method."""
     global _probe_seq
     _probe_seq += 1
     group = f"scale-probe-{_probe_seq}"
     sc = spark.sparkContext
-    sc.setJobGroup(group, f"{name} @ {sf_dir}")
+    sc.setJobGroup(group, label)
     try:
         start = time.perf_counter()
-        CATALOG[name].fn(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        build().write.format("noop").mode("overwrite").save()
         el = round(time.perf_counter() - start, 3)
     finally:
         sc.setJobGroup("", "")
     jobs = len(sc.statusTracker().getJobIdsForGroup(group))
     return el, jobs
+
+
+def _timed_run(spark, name: str, sf_dir: str) -> tuple[float, int]:
+    return timed_noop(
+        spark,
+        lambda: CATALOG[name].fn(spark, sf_dir),
+        f"{name} @ {sf_dir}",
+    )
 
 
 def main() -> None:
