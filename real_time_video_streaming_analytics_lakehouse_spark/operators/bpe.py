@@ -36,10 +36,99 @@ rule ``a+a`` → ``[aa, a]``), matching the reference algorithm.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import tokens
+
+#: ASCII \s+, NOT str.split(): Python's default split breaks on
+#: unicode whitespace (U+00A0 etc.) that Spark's Java '\s+' tokenizer
+#: — the one train_bpe uses — does NOT treat as a separator; diverging
+#: here would encode word boundaries the trained vocabulary never saw.
+_WS_ASCII = re.compile(r"\s+", re.ASCII)
+
+
+def merge_word(syms: list, a: str, b: str) -> list:
+    """Pure-Python left-to-right non-overlapping merge of one ``a, b``
+    adjacency list — the SAME semantics as :func:`apply_merge`'s fold
+    expression. ONE shared implementation (the graph module's
+    ``_union_find_labels`` precedent) used by :func:`bpe_encode`'s
+    UDF, :func:`train_bpe_bounded` and
+    :func:`bpe_encode_sequential_bounded`, so the Python and Catalyst
+    paths cannot drift."""
+    out: list = []
+    pend = None
+    for x in syms:
+        if pend is None:
+            pend = x
+        elif pend == a and x == b:
+            out.append(a + b)
+            pend = None
+        else:
+            out.append(pend)
+            pend = x
+    if pend is not None:
+        out.append(pend)
+    return out
+
+
+def train_merges_py(
+    word_counts,
+    num_merges: int,
+    min_frequency: int = 2,
+    end_of_word: str | None = None,
+) -> list[tuple[str, str]]:
+    """The BPE merge loop as a pure function of the word bag —
+    byte-identical semantics to :func:`train_bpe`'s distributed loop
+    (argmax by count desc, ties lexicographic on (a, b); stop below
+    ``min_frequency``), pinned equal in tests/test_bpe.py. Runs
+    driver- or executor-side on a BOUNDED word-type table."""
+    from collections import Counter
+
+    words = []
+    for w, cnt in word_counts:
+        syms = list(w)
+        if end_of_word:
+            syms.append(end_of_word)
+        words.append((syms, int(cnt)))
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pc: Counter = Counter()
+        for syms, cnt in words:
+            for p in zip(syms, syms[1:]):
+                pc[p] += cnt
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_frequency:
+            break
+        merges.append((a, b))
+        words = [(merge_word(s, a, b), c) for s, c in words]
+    return merges
+
+
+def encode_word_greedy(
+    w: str,
+    ranks: dict[tuple[str, str], int],
+    end_of_word: str | None = None,
+) -> list[str]:
+    """Rank-greedy BPE encode of one word (GPT-2's encoder loop:
+    repeatedly merge the present pair with the LOWEST training rank)."""
+    syms = list(w)
+    if end_of_word:
+        syms.append(end_of_word)
+    while len(syms) >= 2:
+        best_rank, best = None, None
+        for p in zip(syms, syms[1:]):
+            r = ranks.get(p)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best = r, p
+        if best is None:
+            break
+        syms = merge_word(syms, best[0], best[1])
+    return syms
 
 
 def _chars(col: Column) -> Column:
@@ -193,50 +282,15 @@ def bpe_encode(
 
         def enc_word(w: str) -> list[str]:
             got = cache.get(w)
-            if got is not None:
-                return got
-            syms = list(w)
-            if marker:
-                syms.append(marker)
-            while len(syms) >= 2:
-                best_rank, best = None, None
-                for p in zip(syms, syms[1:]):
-                    r = ranks.get(p)
-                    if r is not None and (best_rank is None or r < best_rank):
-                        best_rank, best = r, p
-                if best is None:
-                    break
-                a, b = best
-                out, pend = [], None
-                for x in syms:
-                    if pend is None:
-                        pend = x
-                    elif pend == a and x == b:
-                        out.append(a + b)
-                        pend = None
-                    else:
-                        out.append(pend)
-                        pend = x
-                if pend is not None:
-                    out.append(pend)
-                syms = out
-            cache[w] = syms
-            return syms
-
-        import re
-
-        # ASCII \s+, NOT str.split(): Python's default split breaks on
-        # unicode whitespace (U+00A0 etc.) that Spark's Java '\s+'
-        # tokenizer — the one train_bpe used — does NOT treat as a
-        # separator; diverging here would encode word boundaries the
-        # trained vocabulary never saw.
-        ws = re.compile(r"\s+", re.ASCII)
+            if got is None:
+                got = cache[w] = encode_word_greedy(w, ranks, marker)
+            return got
 
         def enc_text(t):
             if t is None:
                 return None
             out: list[str] = []
-            for w in ws.split(t):
+            for w in _WS_ASCII.split(t):
                 if w:
                     out.extend(enc_word(w))
             return out
@@ -244,3 +298,128 @@ def bpe_encode(
         return pd.Series([enc_text(t) for t in texts])
 
     return df.withColumn(out_col, enc(F.col(text_col)))
+
+
+def train_bpe_bounded(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 100,
+    min_frequency: int = 2,
+    end_of_word: str | None = None,
+    max_word_types: int = 200_000,
+) -> DataFrame:
+    """BPE training for a BOUNDED corpus as one LAZY plan — returns a
+    DataFrame ``(rank INT, a STRING, b STRING)`` of the learned merge
+    rules in order, launching ZERO Spark jobs at construction (the
+    ``connected_components_bounded`` precedent).
+
+    :func:`train_bpe` is the scale path: its per-merge global argmax
+    is a bounded one-row collect per iteration — correct at 100 TB but
+    ``num_merges`` driver round-trips at construction time. When the
+    corpus is construction-bounded (an oracle anchor, a per-tenant
+    vocabulary), the word-type table is small enough that the SAME
+    merge loop (:func:`train_merges_py` — one shared implementation,
+    equality with the distributed loop pinned in tests/test_bpe.py)
+    runs in a single ``applyInPandas`` task executor-side.
+    ``max_word_types`` makes the boundedness an enforced contract: the
+    task raises loudly instead of grinding on an unbounded corpus."""
+    words = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(tokens(text_col)).alias("_w"))
+        .filter(F.length("_w") > 0)
+        .groupBy("_w")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+    def train(pdf):
+        import pandas as pd
+
+        if len(pdf) > max_word_types:
+            raise ValueError(
+                f"train_bpe_bounded: {len(pdf)} word types exceeds the "
+                f"declared bound {max_word_types} — use the distributed "
+                f"train_bpe for unbounded corpora"
+            )
+        merges = train_merges_py(
+            zip(pdf["_w"], pdf["cnt"]), num_merges, min_frequency,
+            end_of_word,
+        )
+        return pd.DataFrame(
+            {
+                "rank": range(len(merges)),
+                "a": [m[0] for m in merges],
+                "b": [m[1] for m in merges],
+            }
+        )
+
+    return (
+        words.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(train, "rank INT, a STRING, b STRING")
+    )
+
+
+def bpe_encode_sequential_bounded(
+    df: DataFrame,
+    merges_df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+    end_of_word: str | None = None,
+) -> DataFrame:
+    """Encode with a merge TABLE (not a driver-side list), applying the
+    rules SEQUENTIALLY in rank order — Sennrich et al. 2016's original
+    encoder, each rule one full left-to-right pass via
+    :func:`merge_word`. Fully lazy: the merge rows aggregate to one
+    array that broadcast-joins onto the documents, so no collect at
+    construction (unlike :func:`bpe_encode`, whose ``merges`` list is
+    driver state).
+
+    vs :func:`bpe_encode` (GPT-2's rank-greedy loop): on a merge list
+    produced by BPE TRAINING the two orders agree wherever no later
+    rule re-creates an earlier rule's constituent symbol string —
+    equality on this corpus is pinned in tests/test_bpe.py. Sequential
+    semantics is what a SQL oracle can mirror exactly (a chain of
+    non-overlapping string replaces in rank order)."""
+    from pyspark.sql.functions import pandas_udf
+
+    marker = end_of_word
+    marr = merges_df.agg(
+        F.collect_list(F.struct("rank", "a", "b")).alias("_m")
+    )
+
+    @pandas_udf("array<string>")
+    def enc(texts, mlists):
+        import pandas as pd
+
+        out = []
+        rules_cache: tuple | None = None
+        cache: dict[str, list[str]] = {}
+        for t, ml in zip(texts, mlists):
+            rules = tuple(
+                (m["a"], m["b"])
+                for m in sorted(ml, key=lambda m: m["rank"])
+            ) if ml is not None else ()
+            if rules != rules_cache:
+                rules_cache, cache = rules, {}
+            if t is None:
+                out.append(None)
+                continue
+            toks: list[str] = []
+            for w in _WS_ASCII.split(t):
+                if not w:
+                    continue
+                got = cache.get(w)
+                if got is None:
+                    syms = list(w)
+                    if marker:
+                        syms.append(marker)
+                    for a, b in rules:
+                        syms = merge_word(syms, a, b)
+                    got = cache[w] = syms
+                toks.extend(got)
+            out.append(toks)
+        return pd.Series(out)
+
+    return df.crossJoin(F.broadcast(marr)).withColumn(
+        out_col, enc(F.col(text_col), F.col("_m"))
+    ).drop("_m")

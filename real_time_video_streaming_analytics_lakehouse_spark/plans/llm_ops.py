@@ -53,37 +53,208 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RE_TOKEN_PATTERN = r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"
 
 
+#: BPE oracle-arm parameters (round 14, VERDICT r13 #2): the merge
+#: loop trains on the every-17th-doc mini-corpus (the %37 holdout
+#: precedent) with a bounded merge budget — small enough that the
+#: DuckDB oracle re-derives the FULL training loop (unrolled argmax +
+#: left-to-right merge application via delimiter-wrapped string
+#: replace) and the sequential encode, yet the whole operator pipeline
+#: (word-type table → merge loop → rank-ordered encode) runs end-to-end.
+_BPE_MINI_MOD = 17
+_BPE_NUM_MERGES = 8
+
+
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language token stats: whitespace tokens AND the
-    word/punctuation regex tokenizer (the 'BPE-ish' tokenizer of the
-    north-star list; formerly the separate ``regex_token_counts``
-    query, folded here so the catalog fits the driver's 50-query
-    check window)."""
+    """Per-language token stats PLUS the BPE tokenizer surfaces,
+    stacked by ``surface``:
+
+    * ``lang_stats`` — whitespace tokens AND the word/punctuation
+      regex tokenizer (the 'BPE-ish' tokenizer of the north-star
+      list; formerly the separate ``regex_token_counts`` query,
+      folded here so the catalog fits the driver's 50-query check
+      window), one row per language.
+    * ``bpe_merge`` (round 14, VERDICT r13 #2) — the learned BPE merge
+      rules, in rank order, trained on the every-17th-doc mini-corpus
+      with ``num_merges=8, min_frequency=2``: ``ord`` = rank, ``sval``
+      = ``'a b'``. Training runs through
+      :func:`..operators.bpe.train_bpe_bounded` — the same merge loop
+      as the distributed :func:`..operators.bpe.train_bpe` (shared
+      :func:`..operators.bpe.train_merges_py`, equality test-pinned)
+      in ONE lazy executor task, zero construction jobs. The DuckDB
+      oracle re-derives the entire loop: per-iteration weighted pair
+      counts, argmax (count desc, ties lexicographic), and the
+      left-to-right non-overlapping merge application (delimiter-
+      wrapped string replace — byte-equivalent to the fold).
+    * ``bpe_encode`` — each mini-corpus doc encoded with the learned
+      rules applied sequentially in rank order
+      (:func:`..operators.bpe.bpe_encode_sequential_bounded`, Sennrich
+      2016's encoder; equality with the GPT-2 rank-greedy
+      :func:`..operators.bpe.bpe_encode` on this corpus is pinned in
+      tests/test_bpe.py): ``ord`` = doc_id, ``sval`` = space-joined
+      subword tokens (BPE symbols never contain whitespace — words
+      come from a ``\\s+`` split — so the join is unambiguous; the
+      driver hasher takes strings, not arrays).
+
+    The long format's unused measure columns are NULL per surface
+    (ints/doubles/strings only — no nullable booleans)."""
+    from ..operators.bpe import (
+        bpe_encode_sequential_bounded,
+        train_bpe_bounded,
+    )
+
     d = _docs(spark, sf_dir)
     n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
     re_tokens = F.size(
         F.regexp_extract_all("text", F.lit(_RE_TOKEN_PATTERN), F.lit(0))
     )
-    return d.groupBy("lang").agg(
+    nl = F.lit(None).cast("long")
+    stats = d.groupBy("lang").agg(
         F.count("*").alias("docs"),
         (F.sum(n_tokens) / F.count("*")).alias("avg_tokens"),
         F.max(n_tokens).alias("max_tokens"),
         (F.sum("n_chars") / F.count("*")).alias("avg_chars"),
         F.sum(re_tokens).alias("re_tokens"),
         (F.sum(re_tokens) / F.sum(n_tokens)).alias("re_ws_ratio"),
+    ).select(
+        F.lit("lang_stats").alias("surface"),
+        "lang", "docs", "avg_tokens", "max_tokens", "avg_chars",
+        "re_tokens", "re_ws_ratio",
+        nl.alias("ord"),
+        F.lit(None).cast("string").alias("sval"),
+    )
+    mini = d.filter(
+        (F.col("doc_id") % _BPE_MINI_MOD == 0) & F.col("text").isNotNull()
+    )
+    merges = train_bpe_bounded(
+        mini, num_merges=_BPE_NUM_MERGES, min_frequency=2
     )
 
+    def _pad(surface: str, ord_col, sval_col) -> list:
+        return [
+            F.lit(surface).alias("surface"),
+            F.lit(None).cast("string").alias("lang"),
+            nl.alias("docs"),
+            F.lit(None).cast("double").alias("avg_tokens"),
+            F.lit(None).cast("int").alias("max_tokens"),
+            F.lit(None).cast("double").alias("avg_chars"),
+            nl.alias("re_tokens"),
+            F.lit(None).cast("double").alias("re_ws_ratio"),
+            ord_col.cast("long").alias("ord"),
+            sval_col.alias("sval"),
+        ]
 
-DOC_TOKEN_STATS_SQL = r"""
-SELECT lang, COUNT(*) AS docs,
-       SUM(len(string_split_regex(trim(text), '\s+'))) / COUNT(*) AS avg_tokens,
-       CAST(MAX(len(string_split_regex(trim(text), '\s+'))) AS INTEGER) AS max_tokens,
+    merge_rows = merges.select(
+        *_pad("bpe_merge", F.col("rank"), F.concat_ws(" ", "a", "b"))
+    )
+    enc_rows = bpe_encode_sequential_bounded(
+        mini.select("doc_id", "text"), merges
+    ).select(
+        *_pad("bpe_encode", F.col("doc_id"), F.concat_ws(" ", "bpe_tokens"))
+    )
+    return stats.unionByName(merge_rows).unionByName(enc_rows)
+
+
+def _bpe_oracle_sql(n_merges: int, mini_mod: int) -> str:
+    """The full BPE training loop + sequential encode in DuckDB SQL,
+    UNROLLED for a bounded merge budget (VERDICT r13 #2's recursive-CTE
+    suggestion, done as an unrolled chain — aggregates are not allowed
+    in a recursive term, and the budget is a construction constant).
+
+    Representation trick: a symbol array round-trips through a
+    delimiter-wrapped string — ``\\x1F sym \\x1E`` per symbol (both
+    delimiters are outside the corpus charset, pre-verified ASCII) —
+    so "apply merge (a, b) left-to-right non-overlapping" is exactly
+    one ``replace()`` (SQL replace scans left-to-right and resumes
+    AFTER each replacement, byte-equivalent to the engine's fold /
+    ``merge_word``; adjacent matches share no delimiter chars because
+    each wrapped symbol is self-contained). Each iteration i:
+    ``p{i}`` weighted adjacent-pair counts, ``m{i}`` the argmax rule
+    (count desc, ties lexicographic, dropped below min_frequency=2 —
+    once empty, every later iteration is a provable no-op), ``s{i}``
+    the merged state. The encode chain ``e{i}`` applies the same
+    ``m{i}`` rules to the mini-corpus docs in rank order (sequential
+    semantics — what the engine arm computes)."""
+    lo, hi = "chr(31)", "chr(30)"  # wrap: lo || sym || hi
+    sep = f"{hi}||{lo}"  # between adjacent wrapped symbols
+    cte = [f"""mini AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % {mini_mod} = 0 AND text IS NOT NULL),
+w0 AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM mini)
+  WHERE len(w) > 0 GROUP BY 1),
+s0 AS MATERIALIZED (SELECT string_split(w, '') AS syms, cnt FROM w0),
+tok AS MATERIALIZED (
+  SELECT doc_id, t.i AS pos,
+         {lo} || array_to_string(string_split(x.wl[t.i], ''), {sep})
+             || {hi} AS st
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS wl
+        FROM mini) x,
+       unnest(generate_series(1, len(x.wl))) AS t(i)
+  WHERE len(x.wl[t.i]) > 0)"""]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        cte.append(f"""p{i} AS MATERIALIZED (
+  SELECT s.syms[t.i] AS a, s.syms[t.i + 1] AS b,
+         CAST(SUM(s.cnt) AS BIGINT) AS n
+  FROM s{p} s, unnest(generate_series(1, len(s.syms) - 1)) AS t(i)
+  WHERE len(s.syms) >= 2 GROUP BY 1, 2),
+m{i} AS MATERIALIZED (
+  SELECT a, b,
+         {lo} || a || {sep} || b || {hi} AS pat,
+         {lo} || a || b || {hi} AS rep
+  FROM p{i} WHERE n >= 2 ORDER BY n DESC, a, b LIMIT 1),
+s{i} AS MATERIALIZED (
+  SELECT CASE WHEN NOT EXISTS (SELECT 1 FROM m{i}) THEN syms
+              ELSE string_split(substr(r2, 2, length(r2) - 2), {sep})
+         END AS syms, cnt
+  FROM (SELECT syms, cnt,
+               replace({lo} || array_to_string(syms, {sep}) || {hi},
+                       (SELECT pat FROM m{i}),
+                       (SELECT rep FROM m{i})) AS r2
+        FROM s{p})),
+e{i} AS MATERIALIZED (
+  SELECT doc_id, pos,
+         CASE WHEN NOT EXISTS (SELECT 1 FROM m{i}) THEN st
+              ELSE replace(st, (SELECT pat FROM m{i}),
+                           (SELECT rep FROM m{i}))
+         END AS st
+  FROM {"tok" if i == 1 else f"e{p}"})""")
+    merge_union = "\n  UNION ALL ".join(
+        f"SELECT CAST({i - 1} AS BIGINT) AS ord, a || ' ' || b AS sval "
+        f"FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    cte.append(f"""merges AS MATERIALIZED (
+  {merge_union}),
+enc AS MATERIALIZED (
+  SELECT doc_id,
+         string_agg(replace(substr(st, 2, length(st) - 2), {sep}, ' '),
+                    ' ' ORDER BY pos) AS sval
+  FROM e{n_merges} GROUP BY doc_id)""")
+    return f"""
+WITH {", ".join(cte)}
+SELECT 'lang_stats' AS surface, lang, COUNT(*) AS docs,
+       SUM(len(string_split_regex(trim(text), '\\s+'))) / COUNT(*) AS avg_tokens,
+       CAST(MAX(len(string_split_regex(trim(text), '\\s+'))) AS INTEGER) AS max_tokens,
        SUM(n_chars) / COUNT(*) AS avg_chars,
-       CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS re_tokens,
-       SUM(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')))
-         / SUM(len(string_split_regex(trim(text), '\s+'))) AS re_ws_ratio
+       CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]'))) AS BIGINT) AS re_tokens,
+       SUM(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')))
+         / SUM(len(string_split_regex(trim(text), '\\s+'))) AS re_ws_ratio,
+       CAST(NULL AS BIGINT) AS ord, CAST(NULL AS VARCHAR) AS sval
 FROM documents GROUP BY lang
+UNION ALL
+SELECT 'bpe_merge', NULL, NULL, NULL, NULL, NULL, NULL, NULL, ord, sval
+FROM merges
+UNION ALL
+SELECT 'bpe_encode', NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+       CAST(doc_id AS BIGINT), sval
+FROM enc
 """
+
+
+DOC_TOKEN_STATS_SQL = _bpe_oracle_sql(_BPE_NUM_MERGES, _BPE_MINI_MOD)
 
 
 # --- per-doc quality features + language ID --------------------------------

@@ -265,7 +265,11 @@ def test_top_query_shuffle_exchange_counts_pinned(spark):
         "device_platform_quality": 2,
         "dim_time_generate": 0,
         "doc_dedup_fingerprints": 9,
-        "doc_token_stats": 1,
+        # round 14: +5 for the BPE arms, all over the BOUNDED
+        # every-17th-doc mini-corpus — word-type groupBy, the
+        # single-group applyInPandas trainer, the merge-array agg
+        # (partial+final) feeding the broadcast encode join
+        "doc_token_stats": 6,
         "dq_validation_events": 2,
         "embedding_centroids": 4,
         "embedding_cosine_pairs": 1,
