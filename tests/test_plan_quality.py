@@ -308,7 +308,11 @@ def test_top_query_shuffle_exchange_counts_pinned(spark):
         # round 13: +1 for the q80_keep quantile-gate arm's per-lang
         # percent_rank window (one exchange on the stratum key — the
         # operator's exact path, stratum-partitioned by design)
-        "text_quality": 21,
+        # round 14: +2 for the q80_keep_approx arm — the approx path's
+        # per-stratum percentile_approx aggregate (partial+final on the
+        # tiny lang-keyed table; the corpus pass itself joins the
+        # broadcast thresholds map-only, the 100 TB contract)
+        "text_quality": 23,
         "top_revenue_orders": 1,
         "training_mix_sample": 1,
         "user_activity_5min": 4,
