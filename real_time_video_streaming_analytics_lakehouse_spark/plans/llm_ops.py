@@ -866,10 +866,23 @@ _BOILERPLATE = (
 )
 
 
+#: corpus ceiling for the exact (all-pairs-by-contract) ngram arm —
+#: above this the arm raises unless explicitly opted in. Set one
+#: decade above the bench corpus (sf0.1 ≈ 5k docs) and well below the
+#: ×30 tier (150k docs), where the arm measured 307.5 s / ≳48 g driver
+#: (SCALING.json ngram_arm_split_x30): the arm's super-linearity is a
+#: documented CONTRACT, and this makes it an enforced one (VERDICT
+#: r13 What's-wrong #2) instead of a footgun a library user can hit by
+#: running the fused default on a large corpus.
+_NGRAM_EXACT_MAX_DOCS = 50_000
+
+
 def ngram_jaccard_top_pairs(
     spark: SparkSession,
     sf_dir: str,
     arms: tuple[str, ...] = ("exact", "stopcap"),
+    allow_exact_above: bool = False,
+    exact_max_docs: int = _NGRAM_EXACT_MAX_DOCS,
 ) -> DataFrame:
     """Exact n-gram Jaccard top pairs, TWO stacked arms by ``method``:
 
@@ -906,7 +919,15 @@ def ngram_jaccard_top_pairs(
     ×N tiers attribute growth per arm (the exact arm's all-pairs
     contract is super-linear BY DESIGN on duplicate-saturated input;
     the capped arm is the 100 TB path whose linearity is the claim
-    worth measuring — SCALING.md)."""
+    worth measuring — SCALING.md).
+
+    Round 14 (VERDICT r13 What's-wrong #2): the exact arm's contract
+    is now ENFORCED — above ``exact_max_docs``
+    (:data:`_NGRAM_EXACT_MAX_DOCS`) a run whose ``arms`` include
+    ``"exact"`` raises with the escape hatch named, unless
+    ``allow_exact_above=True``. Bit-identical at anchor/bench sizes
+    (the guard never fires below the ceiling); the ×30 probe opts in
+    explicitly when it re-measures the arm."""
     from ..operators.text import (
         ngram_jaccard_pairs_grouped,
         shingle_array,
@@ -917,6 +938,18 @@ def ngram_jaccard_top_pairs(
 
     docs = _docs(spark, sf_dir)
     n_docs = docs.count()  # parquet metadata count (lsh_params precedent)
+    if (
+        "exact" in arms
+        and n_docs > exact_max_docs
+        and not allow_exact_above
+    ):
+        raise ValueError(
+            f"ngram exact arm over {n_docs} docs exceeds the "
+            f"{exact_max_docs}-doc ceiling: the arm is all-pairs by "
+            f"contract (x30 measured 307.5 s, >=48g driver — "
+            f"SCALING.json). Run arms=('stopcap',) (the capped 100 TB "
+            f"path) or pass allow_exact_above=True to opt in."
+        )
     boiler_w = F.split(F.lit(_BOILERPLATE), " ")
     w_df = ensure_parallelism(docs).select(
         "doc_id", tokens("text").alias("_w")

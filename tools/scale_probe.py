@@ -314,6 +314,7 @@ def main() -> None:
     xkey = f"x{copies}"
     # sf-equivalent label: 3 copies of sf0.1 -> "0.3", 10 -> "1.0"
     sf_equiv = f"{0.1 * copies:.1f}"
+    guarded: dict[str, str] = {}
     if args.extra_tier:
         tier_dir = _materialize_tier(
             spark,
@@ -323,7 +324,16 @@ def main() -> None:
         )
         for _ in range(args.runs):
             for name in names:
-                el, jobs = _timed_run(spark, name, tier_dir)
+                try:
+                    el, jobs = _timed_run(spark, name, tier_dir)
+                except ValueError as e:
+                    # a scale guardrail fired (round 14: the ngram
+                    # exact arm's corpus ceiling) — record the refusal
+                    # instead of aborting the probe; the guarded arm's
+                    # last measured number stays in the committed
+                    # SCALING.json history
+                    guarded[name] = str(e)
+                    continue
                 if name not in extra or el < extra[name]:
                     extra[name] = el
                 jobs_x3[name] = max(jobs_x3.get(name, 0), jobs)
@@ -350,6 +360,8 @@ def main() -> None:
             # Anything beyond means a data-bound driver loop.
             if jobs_x3[name] > jobs_hi[name] + 4:
                 flagged_jobs.append(name)
+        if name in guarded:
+            report[name][f"{xkey}_guarded"] = guarded[name]
         if ratio > FLAG_RATIO and t[hi] > 1.0:
             flagged.append(name)
 
