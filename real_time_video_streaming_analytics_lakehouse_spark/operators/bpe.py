@@ -391,16 +391,21 @@ def bpe_encode_sequential_bounded(
     def enc(texts, mlists):
         import pandas as pd
 
-        out = []
-        rules_cache: tuple | None = None
+        # the merge array comes from a 1-row broadcast cross join, so
+        # it is identical on every row of a batch — build the rules
+        # tuple ONCE per batch, not per row (per-row sorted() would be
+        # O(rows × merges log merges) for a realistically sized table)
+        rules: tuple = ()
+        for ml in mlists:
+            if ml is not None:
+                rules = tuple(
+                    (m["a"], m["b"])
+                    for m in sorted(ml, key=lambda m: m["rank"])
+                )
+                break
         cache: dict[str, list[str]] = {}
-        for t, ml in zip(texts, mlists):
-            rules = tuple(
-                (m["a"], m["b"])
-                for m in sorted(ml, key=lambda m: m["rank"])
-            ) if ml is not None else ()
-            if rules != rules_cache:
-                rules_cache, cache = rules, {}
+        out = []
+        for t in texts:
             if t is None:
                 out.append(None)
                 continue

@@ -8,6 +8,14 @@ import shutil
 from pyspark.sql import DataFrame
 
 
+class ScaleGuardrailError(ValueError):
+    """An operator refused to run because a derived corpus bound was
+    exceeded without an explicit opt-in (round 14: the ngram exact
+    arm's all-pairs ceiling). A DEDICATED type so tooling (the scale
+    probe) can distinguish an intentional refusal from any other
+    ValueError a construction path might raise."""
+
+
 def require_local_dir(path: str) -> str:
     """Validate that ``path`` is a local-filesystem directory path.
 

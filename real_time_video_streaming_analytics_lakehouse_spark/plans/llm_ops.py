@@ -160,6 +160,15 @@ def _bpe_oracle_sql(n_merges: int, mini_mod: int) -> str:
     suggestion, done as an unrolled chain — aggregates are not allowed
     in a recursive term, and the budget is a construction constant).
 
+    Corpus-charset contract (shared with every token oracle in this
+    module): the synthetic documents are printable ASCII — verified
+    with a regex sweep (no control chars, no non-ASCII). This is what
+    makes (a) the \\x1F/\\x1E delimiters collision-free and (b) the
+    three tokenizers in play (Spark's Java ``\\s``, the encoder's
+    Python ``re.ASCII \\s``, DuckDB/RE2's ``\\s``) agree — they
+    disagree on exotic whitespace such as ``\\x0B`` (Java/Python
+    include it, RE2 does not), which the contract excludes.
+
     Representation trick: a symbol array round-trips through a
     delimiter-wrapped string — ``\\x1F sym \\x1E`` per symbol (both
     delimiters are outside the corpus charset, pre-verified ASCII) —
@@ -228,11 +237,17 @@ e{i} AS MATERIALIZED (
     )
     cte.append(f"""merges AS MATERIALIZED (
   {merge_union}),
-enc AS MATERIALIZED (
+enc0 AS MATERIALIZED (
   SELECT doc_id,
          string_agg(replace(substr(st, 2, length(st) - 2), {sep}, ' '),
                     ' ' ORDER BY pos) AS sval
-  FROM e{n_merges} GROUP BY doc_id)""")
+  FROM e{n_merges} GROUP BY doc_id),
+-- LEFT join back to mini: a non-NULL but empty/whitespace-only text
+-- has NO tokens (tok filters zero-length words), yet the engine's
+-- encoder still emits its row with sval = '' — the oracle must too
+enc AS MATERIALIZED (
+  SELECT m.doc_id, COALESCE(e.sval, '') AS sval
+  FROM mini m LEFT JOIN enc0 e ON m.doc_id = e.doc_id)""")
     return f"""
 WITH {", ".join(cte)}
 SELECT 'lang_stats' AS surface, lang, COUNT(*) AS docs,
@@ -934,7 +949,7 @@ def ngram_jaccard_top_pairs(
         stop_shingle_cap,
         tokens,
     )
-    from ..operators.util import ensure_parallelism
+    from ..operators.util import ScaleGuardrailError, ensure_parallelism
 
     docs = _docs(spark, sf_dir)
     n_docs = docs.count()  # parquet metadata count (lsh_params precedent)
@@ -943,7 +958,7 @@ def ngram_jaccard_top_pairs(
         and n_docs > exact_max_docs
         and not allow_exact_above
     ):
-        raise ValueError(
+        raise ScaleGuardrailError(
             f"ngram exact arm over {n_docs} docs exceeds the "
             f"{exact_max_docs}-doc ceiling: the arm is all-pairs by "
             f"contract (x30 measured 307.5 s, >=48g driver — "
@@ -1146,8 +1161,10 @@ def hash_dedup_candidates(
         ),
     }
     unknown = set(arms) - set(builders)
-    if unknown or not arms:
+    if unknown:
         raise ValueError(f"unknown arms {sorted(unknown)}")
+    if not arms:
+        raise ValueError("arms must name at least one sketch family")
     out = None
     for a in arms:
         part = builders[a]()
@@ -1421,8 +1438,10 @@ def embedding_dedup_clusters(
 
     _ARM_NAMES = ("exact", "centroid_outlier", "semdedup_k4")
     unknown = set(arms) - set(_ARM_NAMES)
-    if unknown or not arms:
+    if unknown:
         raise ValueError(f"unknown arms {sorted(unknown)}")
+    if not arms:
+        raise ValueError("arms must name at least one operating point")
 
     emb = _emb(spark, sf_dir).filter(F.col("vec_id") < _EXACT_CLUSTER_MAX_VEC)
     basis = [

@@ -322,16 +322,22 @@ def main() -> None:
             f"/tmp/spark_graft_sf{sf_equiv}_full",
             copies,
         )
+        from real_time_video_streaming_analytics_lakehouse_spark.operators.util import (
+            ScaleGuardrailError,
+        )
+
         for _ in range(args.runs):
             for name in names:
                 try:
                     el, jobs = _timed_run(spark, name, tier_dir)
-                except ValueError as e:
+                except ScaleGuardrailError as e:
                     # a scale guardrail fired (round 14: the ngram
                     # exact arm's corpus ceiling) — record the refusal
                     # instead of aborting the probe; the guarded arm's
                     # last measured number stays in the committed
-                    # SCALING.json history
+                    # SCALING.json history. ONLY the dedicated type:
+                    # any other ValueError is a real failure and must
+                    # crash the probe, not masquerade as a refusal.
                     guarded[name] = str(e)
                     continue
                 if name not in extra or el < extra[name]:
