@@ -1315,3 +1315,30 @@ def test_ngram_exact_arm_corpus_ceiling(spark):
     ).collect()
     normal = ngram_jaccard_top_pairs(spark, sf, arms=("exact",)).collect()
     assert sorted(map(tuple, opted)) == sorted(map(tuple, normal))
+
+
+def test_arm_probe_specs_stay_valid(spark):
+    """tools/arm_probe.py's SPECS table names query functions and arm
+    tuples by hand — pin that every (query, arms) combination still
+    constructs, so a renamed arm or signature change breaks HERE, not
+    in the next probe run."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    from arm_probe import DEFAULT_QUERIES, SPECS
+
+    from real_time_video_streaming_analytics_lakehouse_spark.plans import llm_ops
+
+    assert set(DEFAULT_QUERIES) <= set(SPECS)
+    sf = "/root/testdata/sf0.001"
+    for name, arm_list in SPECS.items():
+        fn = getattr(llm_ops, name)
+        for arms in arm_list:
+            fn(spark, sf, arms=arms)  # must construct without error
