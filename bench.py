@@ -118,6 +118,26 @@ def _load1() -> float:
         return -1.0
 
 
+def cpu_ref_sec() -> float:
+    """Single-core CPU reference: seconds to sha256 a fixed buffer a
+    fixed number of times. Round 14: four same-HEAD quiet-start bench
+    runs spread over one hour measured 57.8→72.4 s wall with loadavg
+    ~0 at each start — the GUEST-visible load markers cannot see
+    hypervisor-level contention/thermal drift, so each pass now
+    records this reference too. Comparing walls across runs, divide
+    out the ref ratio; a wall rise WITH a flat ref is real added work,
+    a proportional rise of both is the host."""
+    import hashlib
+    import time as _time
+
+    buf = b"\xa5" * 4096
+    start = _time.perf_counter()
+    h = hashlib.sha256()
+    for _ in range(20_000):
+        h.update(buf)
+    return round(_time.perf_counter() - start, 4)
+
+
 def warm_up(spark, sf_dir: str) -> None:
     """Session warm-up: JVM, codegen, parquet footer caches — AND the
     Python worker fleet (the first mapInPandas in a session forks 32
@@ -203,6 +223,7 @@ def main() -> None:
                     task_timings[name] = task
 
     loadavg["post_warmup"] = _load1()
+    cpu_refs = [cpu_ref_sec()]
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     top_runs = int(os.environ.get("SPARK_GRAFT_BENCH_TOP_RUNS", "5"))
     timings: dict[str, float] = {}
@@ -211,6 +232,7 @@ def main() -> None:
         for name in sorted(CATALOG):
             _time_query(name)
         loadavg["passes"].append(_load1())
+        cpu_refs.append(cpu_ref_sec())
     # Extra min-of-N passes for the queries that dominate the total
     # (and its noise): their current minima pick the top-10, then each
     # gets (top_runs - n_runs) more timed executions.
@@ -237,6 +259,7 @@ def main() -> None:
         "task_sec": task_timings,
         "top10_runs": max(top_runs, n_runs),
         "loadavg_1min": loadavg,
+        "cpu_ref_sec": cpu_refs,
         "rest_degraded": rest_dead[0],
     }
     print(json.dumps(detail))
