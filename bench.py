@@ -138,6 +138,27 @@ def cpu_ref_sec() -> float:
     return round(_time.perf_counter() - start, 4)
 
 
+def mem_ref_sec() -> float:
+    """Memory-bandwidth reference: seconds to reduce a 256 MB float64
+    array (far beyond cache, numpy C loop — bandwidth-bound). The
+    round-14 drift held cpu_ref flat while walls swung ±25 %, pointing
+    at shared memory bandwidth as the contended resource; recording
+    both references per pass lets a cross-run diff separate
+    slower-cores (cpu_ref moves) from starved-bandwidth (mem_ref
+    moves) from genuinely-added work (neither moves)."""
+    import time as _time
+
+    import numpy as np
+
+    a = np.ones(32 * 1024 * 1024, dtype=np.float64)  # 256 MB
+    a[::4096] = 2.0  # defeat any constant-folding
+    start = _time.perf_counter()
+    s = float(a.sum())
+    el = _time.perf_counter() - start
+    assert s > 0
+    return round(el, 4)
+
+
 def warm_up(spark, sf_dir: str) -> None:
     """Session warm-up: JVM, codegen, parquet footer caches — AND the
     Python worker fleet (the first mapInPandas in a session forks 32
@@ -224,6 +245,7 @@ def main() -> None:
 
     loadavg["post_warmup"] = _load1()
     cpu_refs = [cpu_ref_sec()]
+    mem_refs = [mem_ref_sec()]
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     top_runs = int(os.environ.get("SPARK_GRAFT_BENCH_TOP_RUNS", "5"))
     timings: dict[str, float] = {}
@@ -233,6 +255,7 @@ def main() -> None:
             _time_query(name)
         loadavg["passes"].append(_load1())
         cpu_refs.append(cpu_ref_sec())
+        mem_refs.append(mem_ref_sec())
     # Extra min-of-N passes for the queries that dominate the total
     # (and its noise): their current minima pick the top-10, then each
     # gets (top_runs - n_runs) more timed executions.
@@ -260,6 +283,7 @@ def main() -> None:
         "top10_runs": max(top_runs, n_runs),
         "loadavg_1min": loadavg,
         "cpu_ref_sec": cpu_refs,
+        "mem_ref_sec": mem_refs,
         "rest_degraded": rest_dead[0],
     }
     print(json.dumps(detail))
