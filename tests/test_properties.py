@@ -495,3 +495,46 @@ def test_winnow_dup_spans_matches_reference_on_random_corpora(
         for r in winnow_dup_spans(df, min_anchors=2).collect()
     }
     assert got == _ref_winnow_spans(texts)
+
+
+def test_percentile_approx_equals_duckdb_discrete_quantile(spark):
+    """The q80_keep_approx oracle (round 14) rests on one cross-engine
+    identity: on integer scores, Spark's percentile_approx equals
+    DuckDB's quantile_disc. The catalog verifies it on the fixed
+    corpus; this pins it on 60 seeded RANDOM groups (sizes 1..400,
+    duplicate-heavy and spread values, quantiles 0.5/0.8/0.95) in ONE
+    Spark job per quantile — if either engine's discrete-quantile
+    definition drifts, this fails before the driver gate does."""
+    import random
+
+    import duckdb
+    import pyspark.sql.functions as F
+
+    rng = random.Random(1404)
+    rows = []
+    for g in range(60):
+        n = rng.randint(1, 400)
+        hi = rng.choice([3, 10, 100, 10_000])
+        for _ in range(n):
+            rows.append((g, rng.randint(0, hi)))
+    df = spark.createDataFrame(rows, "g INT, x INT")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (g INT, x INT)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    for q in (0.5, 0.8, 0.95):
+        got = {
+            r["g"]: r["p"]
+            for r in df.groupBy("g")
+            .agg(F.percentile_approx("x", q).alias("p"))
+            .collect()
+        }
+        want = dict(
+            con.execute(
+                f"SELECT g, quantile_disc(x, {q}) FROM t GROUP BY g"
+            ).fetchall()
+        )
+        assert got == want, (q, {
+            g: (got[g], want[g]) for g in got if got[g] != want[g]
+        })
