@@ -3,6 +3,7 @@ from .merge import merge_upsert
 from .quality import dq_summary
 from .sessionize import gap_sessionize
 from .temporal import asof_join, interval_join, scd2_from_history
+from .util import ScaleGuardrailError
 from .similarity import cosine_topk, label_centroid_norms
 from .text import (
     add_text_features,
@@ -20,6 +21,7 @@ from .text import (
 )
 
 __all__ = [
+    "ScaleGuardrailError",
     "add_text_features",
     "asof_join",
     "bm25_scores",
