@@ -1313,10 +1313,42 @@ SELECT 'ivfpq_persisted' AS method, * FROM topk
 """
 
 
-def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import cosine_pairs
+#: vector ceiling for the exact all-pairs cosine entry — the catalog's
+#: OTHER by-contract quadratic surface (the ngram exact arm's round-14
+#: guardrail, applied consistently). The ×30 tier (60k vectors) runs
+#: at 35 s and stays measurable below the ceiling; the 100 TB path is
+#: embedding_dedup_clusters_lsh's bucketed candidates.
+_COSINE_PAIRS_MAX_VECTORS = 100_000
 
-    return cosine_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+def embedding_cosine_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    allow_exact_above: bool = False,
+    exact_max_vectors: int = _COSINE_PAIRS_MAX_VECTORS,
+) -> DataFrame:
+    """Exact threshold-cosine pairs over ALL vectors — the distributed
+    block-pair matmul, O(n²) pair work BY CONTRACT (the provably-exact
+    baseline the bucketed LSH path is judged against; SCALING.json
+    x30_ratio 44.7 at 60k vectors is the quadratic regime arriving on
+    schedule). Round 14: the contract is enforced like the ngram exact
+    arm's — above ``exact_max_vectors`` the query raises
+    :class:`..operators.util.ScaleGuardrailError` naming the LSH path
+    and the opt-in; bit-identical below the ceiling."""
+    from ..operators.similarity import cosine_pairs
+    from ..operators.util import ScaleGuardrailError
+
+    emb = _emb(spark, sf_dir)
+    n_vec = emb.count()  # parquet metadata count
+    if n_vec > exact_max_vectors and not allow_exact_above:
+        raise ScaleGuardrailError(
+            f"exact all-pairs cosine over {n_vec} vectors exceeds the "
+            f"{exact_max_vectors}-vector ceiling (O(n^2) by contract). "
+            f"Use embedding_dedup_clusters_lsh's bucketed candidates "
+            f"(the 100 TB path) or pass allow_exact_above=True to opt "
+            f"in."
+        )
+    return cosine_pairs(emb, threshold=0.4)
 
 
 EMBEDDING_COSINE_PAIRS_SQL = """

@@ -1342,3 +1342,28 @@ def test_arm_probe_specs_stay_valid(spark):
         fn = getattr(llm_ops, name)
         for arms in arm_list:
             fn(spark, sf, arms=arms)  # must construct without error
+
+
+def test_cosine_pairs_vector_ceiling(spark):
+    """Round-14 consistency: the catalog's other by-contract quadratic
+    entry (exact all-pairs cosine) gets the same enforced ceiling as
+    the ngram exact arm — raise above the bound, opt-in constructs,
+    identical rows below it."""
+    import pytest
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.util import (
+        ScaleGuardrailError,
+    )
+    from real_time_video_streaming_analytics_lakehouse_spark.plans.llm_ops import (
+        embedding_cosine_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    with pytest.raises(ScaleGuardrailError, match="allow_exact_above"):
+        embedding_cosine_pairs(spark, sf, exact_max_vectors=10)
+    opted = embedding_cosine_pairs(
+        spark, sf, exact_max_vectors=10, allow_exact_above=True
+    ).collect()
+    normal = embedding_cosine_pairs(spark, sf).collect()
+    assert sorted(map(tuple, opted)) == sorted(map(tuple, normal))
+    assert normal  # the threshold pairs exist at anchor scale
