@@ -159,6 +159,33 @@ def mem_ref_sec() -> float:
     return round(el, 4)
 
 
+def mem_ref_mt_sec(n_threads: int = 32) -> float:
+    """AGGREGATE memory-bandwidth reference: wall seconds for
+    ``n_threads`` concurrent 64 MB numpy reductions (sum releases the
+    GIL, so the threads genuinely compete for bandwidth the way the
+    executor's 32 task threads do). The single-thread
+    :func:`mem_ref_sec` stayed near-flat through round-14 runs whose
+    walls swung ±25 % — one thread cannot saturate the bus, so it
+    under-observes contention that only binds under full parallel
+    load; this reference observes it directly."""
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    arrays = [
+        np.ones(8 * 1024 * 1024, dtype=np.float64) for _ in range(n_threads)
+    ]
+    for a in arrays:
+        a[::4096] = 2.0
+    start = _time.perf_counter()
+    with ThreadPoolExecutor(n_threads) as ex:
+        totals = list(ex.map(lambda a: float(a.sum()), arrays))
+    el = _time.perf_counter() - start
+    assert all(t > 0 for t in totals)
+    return round(el, 4)
+
+
 def warm_up(spark, sf_dir: str) -> None:
     """Session warm-up: JVM, codegen, parquet footer caches — AND the
     Python worker fleet (the first mapInPandas in a session forks 32
@@ -246,6 +273,7 @@ def main() -> None:
     loadavg["post_warmup"] = _load1()
     cpu_refs = [cpu_ref_sec()]
     mem_refs = [mem_ref_sec()]
+    mem_mt_refs = [mem_ref_mt_sec()]
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     top_runs = int(os.environ.get("SPARK_GRAFT_BENCH_TOP_RUNS", "5"))
     timings: dict[str, float] = {}
@@ -256,6 +284,7 @@ def main() -> None:
         loadavg["passes"].append(_load1())
         cpu_refs.append(cpu_ref_sec())
         mem_refs.append(mem_ref_sec())
+        mem_mt_refs.append(mem_ref_mt_sec())
     # Extra min-of-N passes for the queries that dominate the total
     # (and its noise): their current minima pick the top-10, then each
     # gets (top_runs - n_runs) more timed executions.
@@ -284,6 +313,7 @@ def main() -> None:
         "loadavg_1min": loadavg,
         "cpu_ref_sec": cpu_refs,
         "mem_ref_sec": mem_refs,
+        "mem_ref_mt_sec": mem_mt_refs,
         "rest_degraded": rest_dead[0],
     }
     print(json.dumps(detail))
