@@ -1028,7 +1028,11 @@ def session_rollup_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_rollup(gap_sessionize(e, gap_sec=1800))
 
 
-def sessionize_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sessionize_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    arms: tuple[str, ...] = ("gap_lag", "native_window"),
+) -> DataFrame:
     """Both sessionization paths stacked by ``method`` (round-5 fold of
     the former separate ``session_rollup_30min`` and
     ``session_window_rollup`` catalog entries, freeing a slot for
@@ -1044,28 +1048,46 @@ def sessionize_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the boundary-semantics difference (> vs >=) is visible in the
     per-arm rows and mirrored in the oracle. The arm-specific columns
     (``session_num``/``duration_sec``) remain on the un-stacked
-    builders, which tests cover directly."""
-    gap = session_rollup_30min(spark, sf_dir).select(
-        F.lit("gap_lag").alias("method"),
-        "user_id",
-        F.col("start_us").alias("session_start_us"),
-        F.col("end_us").alias("session_end_us"),
-        "events",
-        "distinct_event_types",
-        "total_value",
-        "purchases",
-    )
-    native = session_window_rollup(spark, sf_dir).select(
-        F.lit("native_window").alias("method"),
-        "user_id",
-        "session_start_us",
-        "session_end_us",
-        "events",
-        "distinct_event_types",
-        "total_value",
-        "purchases",
-    )
-    return gap.unionByName(native)
+    builders, which tests cover directly.
+
+    ``arms`` (round 14, the per-arm attribution knob, same contract as
+    the dedup entries): single-arm runs are row-identical to the fused
+    result's slice (test-pinned), so the scale probe attributes growth
+    per sessionization strategy."""
+    builders = {
+        "gap_lag": lambda: session_rollup_30min(spark, sf_dir).select(
+            F.lit("gap_lag").alias("method"),
+            "user_id",
+            F.col("start_us").alias("session_start_us"),
+            F.col("end_us").alias("session_end_us"),
+            "events",
+            "distinct_event_types",
+            "total_value",
+            "purchases",
+        ),
+        "native_window": lambda: session_window_rollup(
+            spark, sf_dir
+        ).select(
+            F.lit("native_window").alias("method"),
+            "user_id",
+            "session_start_us",
+            "session_end_us",
+            "events",
+            "distinct_event_types",
+            "total_value",
+            "purchases",
+        ),
+    }
+    unknown = set(arms) - set(builders)
+    if unknown:
+        raise ValueError(f"unknown arms {sorted(unknown)}")
+    if not arms:
+        raise ValueError("arms must name at least one session strategy")
+    out = None
+    for a in arms:
+        part = builders[a]()
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1190,7 +1190,13 @@ FROM planted
 
 # --- vector similarity ---------------------------------------------------------
 
-def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    arms: tuple[str, ...] = (
+        "brute", "ivf_full_probe", "pq_full_refine", "ivfpq_persisted",
+    ),
+) -> DataFrame:
     """Both ANN paths stacked by ``method`` (formerly the separate
     ``ann_cosine_topk`` and ``ann_ivf_topk`` catalog entries, which
     shared one oracle — folded to free a catalog slot for
@@ -1230,25 +1236,40 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ann_ivf_topk, pq_topk
 
     emb = _emb(spark, sf_dir)
-    brute = cosine_topk(emb, F.col("vec_id") < 5, k=5)
-    ivf = ann_ivf_topk(emb, F.col("vec_id") < 5, k=5, n_clusters=16,
-                       n_probe=16)
-    pq = pq_topk(emb, F.col("vec_id") < 5, k=5, n_subspaces=8,
-                 n_codes=16, refine=1 << 30)
-    from ..operators.ann_index import ann_index_topk
+    builders = {
+        "brute": lambda: cosine_topk(emb, F.col("vec_id") < 5, k=5),
+        "ivf_full_probe": lambda: ann_ivf_topk(
+            emb, F.col("vec_id") < 5, k=5, n_clusters=16, n_probe=16
+        ),
+        "pq_full_refine": lambda: pq_topk(
+            emb, F.col("vec_id") < 5, k=5, n_subspaces=8, n_codes=16,
+            refine=1 << 30,
+        ),
+    }
 
-    persisted = ann_index_topk(
-        spark, _ann_index_for(spark, sf_dir), emb, F.col("vec_id") < 5,
-        k=5, n_probe=16, refine=1 << 30,
-    )
-    return (
-        brute.select(F.lit("brute").alias("method"), "*")
-        .unionByName(ivf.select(F.lit("ivf_full_probe").alias("method"), "*"))
-        .unionByName(pq.select(F.lit("pq_full_refine").alias("method"), "*"))
-        .unionByName(
-            persisted.select(F.lit("ivfpq_persisted").alias("method"), "*")
+    def _persisted() -> DataFrame:
+        from ..operators.ann_index import ann_index_topk
+
+        return ann_index_topk(
+            spark, _ann_index_for(spark, sf_dir), emb,
+            F.col("vec_id") < 5, k=5, n_probe=16, refine=1 << 30,
         )
-    )
+
+    builders["ivfpq_persisted"] = _persisted
+    unknown = set(arms) - set(builders)
+    if unknown:
+        raise ValueError(f"unknown arms {sorted(unknown)}")
+    if not arms:
+        raise ValueError("arms must name at least one ANN method")
+    # arms= (round 14, the per-arm attribution knob, same contract as
+    # the dedup entries): each selected method still runs end-to-end;
+    # a single-arm run is row-identical to the fused result's slice
+    # (test-pinned), so the scale probe attributes growth per method.
+    out = None
+    for a in arms:
+        part = builders[a]().select(F.lit(a).alias("method"), "*")
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 #: one persisted ANN index per (process, sf_dir): the first ann_topk

@@ -1332,14 +1332,12 @@ def test_arm_probe_specs_stay_valid(spark):
             "tools",
         ),
     )
-    from arm_probe import DEFAULT_QUERIES, SPECS
-
-    from real_time_video_streaming_analytics_lakehouse_spark.plans import llm_ops
+    from arm_probe import DEFAULT_QUERIES, SPECS, _query_fn
 
     assert set(DEFAULT_QUERIES) <= set(SPECS)
     sf = "/root/testdata/sf0.001"
     for name, arm_list in SPECS.items():
-        fn = getattr(llm_ops, name)
+        fn = _query_fn(name)
         for arms in arm_list:
             fn(spark, sf, arms=arms)  # must construct without error
 
@@ -1367,3 +1365,38 @@ def test_cosine_pairs_vector_ceiling(spark):
     normal = embedding_cosine_pairs(spark, sf).collect()
     assert sorted(map(tuple, opted)) == sorted(map(tuple, normal))
     assert normal  # the threshold pairs exist at anchor scale
+
+
+def test_ann_and_sessionize_arm_subsets_match_fused_runs(spark):
+    """Round-14 completion of the per-arm pattern: the two remaining
+    fused entries (ann_topk's four ANN methods, sessionize_rollup's
+    two strategies) gain the same arms= knob — single-arm ≡ that
+    method's slice of the fused run."""
+    import pytest
+
+    from real_time_video_streaming_analytics_lakehouse_spark.plans.events_views import (
+        sessionize_rollup,
+    )
+    from real_time_video_streaming_analytics_lakehouse_spark.plans.llm_ops import ann_topk
+
+    sf = "/root/testdata/sf0.001"
+    fused = ann_topk(spark, sf).collect()
+    assert fused
+    for arm in ("brute", "ivf_full_probe", "pq_full_refine",
+                "ivfpq_persisted"):
+        alone = ann_topk(spark, sf, arms=(arm,)).collect()
+        want = [r for r in fused if r["method"] == arm]
+        assert sorted(map(tuple, alone)) == sorted(map(tuple, want)), arm
+        assert alone and all(r["method"] == arm for r in alone)
+    with pytest.raises(ValueError, match="unknown arms"):
+        ann_topk(spark, sf, arms=("bogus",))
+
+    fused = sessionize_rollup(spark, sf).collect()
+    assert fused
+    for arm in ("gap_lag", "native_window"):
+        alone = sessionize_rollup(spark, sf, arms=(arm,)).collect()
+        want = [r for r in fused if r["method"] == arm]
+        assert sorted(map(tuple, alone)) == sorted(map(tuple, want)), arm
+        assert alone and all(r["method"] == arm for r in alone)
+    with pytest.raises(ValueError, match="at least one"):
+        sessionize_rollup(spark, sf, arms=())

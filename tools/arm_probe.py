@@ -41,7 +41,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from scale_probe import SF_DIRS, _materialize_tier, timed_noop  # noqa: E402
 
-from real_time_video_streaming_analytics_lakehouse_spark.plans import llm_ops  # noqa: E402
+from real_time_video_streaming_analytics_lakehouse_spark.plans import (  # noqa: E402
+    events_views,
+    llm_ops,
+)
 from real_time_video_streaming_analytics_lakehouse_spark.session import get_spark  # noqa: E402
 
 #: per query: the arm tuples to time separately. () = base only
@@ -52,6 +55,11 @@ SPECS: dict[str, list[tuple[str, ...]]] = {
         ("exact",), ("centroid_outlier",), ("semdedup_k4",),
     ],
     "doc_dedup_fingerprints": [(), ("holdout",), ("winnow",), ("span",)],
+    "ann_topk": [
+        ("brute",), ("ivf_full_probe",), ("pq_full_refine",),
+        ("ivfpq_persisted",),
+    ],
+    "sessionize_rollup": [("gap_lag",), ("native_window",)],
     # stopcap only: the exact arm is super-linear BY CONTRACT (all
     # pairs over duplicate-saturated input) and needs ~48g driver
     # memory at x30 — measured once in round 13 (SCALING.json
@@ -64,7 +72,17 @@ DEFAULT_QUERIES = [
     "hash_dedup_candidates",
     "embedding_dedup_clusters",
     "doc_dedup_fingerprints",
+    "ann_topk",
+    "sessionize_rollup",
 ]
+
+
+def _query_fn(name: str):
+    for mod in (llm_ops, events_views):
+        fn = getattr(mod, name, None)
+        if fn is not None:
+            return fn
+    raise AttributeError(f"no plans module defines {name}")
 
 
 def _arm_label(arms: tuple[str, ...]) -> str:
@@ -101,7 +119,7 @@ def main() -> None:
     xkey = f"x{args.copies}"
     report: dict[str, dict[str, dict]] = {}
     for name in names:
-        fn = getattr(llm_ops, name)
+        fn = _query_fn(name)
         report[name] = {}
         for arms in SPECS[name]:
             label = _arm_label(arms)
