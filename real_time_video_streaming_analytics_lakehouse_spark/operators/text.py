@@ -906,6 +906,7 @@ def filter_by_quantile(
     quantile: float,
     strata_col: str | None = None,
     exact: bool = False,
+    accuracy: int | None = None,
 ) -> DataFrame:
     """Keep rows whose ``score_col`` is at or above the ``quantile``
     cut of their stratum — the "top (1-q) by quality score" gate every
@@ -918,9 +919,16 @@ def filter_by_quantile(
     * default (``exact=False``): per-stratum thresholds via
       ``percentile_approx`` — one tiny aggregate broadcast back as an
       equi-join, so the corpus pass is map-only. This is the 100 TB
-      path; the approximation moves only the cut point (accuracy set
-      by the function's default accuracy parameter), never reorders
-      rows.
+      path; the approximation moves only the cut point, never reorders
+      rows. ``accuracy`` is percentile_approx's sketch knob (Spark
+      default 10000; rank error ≤ N/accuracy per stratum): the sketch
+      is EXACT — the discrete quantile — while the stratum row count
+      stays ≤ ``accuracy`` (the GK summary keeps every value until its
+      compression budget binds). Callers that oracle this path across
+      engines must pass an ``accuracy`` at or above their largest
+      stratum so the exactness precondition is ENFORCED, not assumed
+      (ADVICE r14); at true 100 TB the default accuracy is the
+      intended approximate operating point.
     * ``exact=True``: ``percent_rank`` over a per-stratum window —
       exact, but sorts each stratum; right for modest corpora and for
       pinning the approx path in tests.
@@ -935,8 +943,11 @@ def filter_by_quantile(
             .filter(F.col("_pr") >= quantile)
             .drop("_pr")
         )
+    pa_args = (score_col, quantile) + (
+        (F.lit(accuracy),) if accuracy is not None else ()
+    )
     thr = df.groupBy(*strata).agg(
-        F.percentile_approx(score_col, quantile).alias("_thr")
+        F.percentile_approx(*pa_args).alias("_thr")
     )
     if strata:
         # eqNullSafe: a NULL stratum (missing language/domain) forms

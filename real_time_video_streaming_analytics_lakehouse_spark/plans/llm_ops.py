@@ -47,6 +47,30 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+#: per-(path, content-fingerprint) row counts for the derived scale
+#: knobs and guardrail ceilings (ADVICE r14: the round-14 cosine guard
+#: added an eager count() job to EVERY construction of the entry —
+#: bench passes, tests, compositions; with the cache only the first
+#: construction per table content pays the one metadata-count job,
+#: exactly the _ANN_INDEX_CACHE precedent). Keyed by the same stat
+#: fingerprint as the schema cache, so a rewritten table re-counts.
+_COUNT_CACHE: dict[tuple, int] = {}
+
+
+def _table_count(spark: SparkSession, sf_dir: str, name: str) -> int:
+    import os
+
+    from ..sources.readers import _table_fingerprint
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (os.path.realpath(path), _table_fingerprint(path))
+    n = _COUNT_CACHE.get(key)
+    if n is None:
+        # parquet metadata count (footer row counts; no data scan)
+        n = _COUNT_CACHE[key] = load_table(spark, sf_dir, name).count()
+    return n
+
+
 # --- token statistics (incl. BPE-ish regex tokenization, folded from
 # the former regex_token_counts query) -------------------------------------
 
@@ -411,8 +435,17 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate = filter_by_quantile(
         scored, "n_tokens", 0.8, strata_col="lang", exact=True,
     ).select("doc_id", F.lit(1).alias("q80_keep"))
+    # accuracy=1e6 (ADVICE r14): percentile_approx is the EXACT
+    # discrete quantile while every stratum holds ≤ accuracy rows (the
+    # GK sketch keeps all values until its budget binds) — 1e6 is 200×
+    # the largest sf0.1 stratum, so the quantile_disc oracle identity
+    # is an enforced precondition, not an assumption that a larger
+    # corpus could silently break. (At a true 100 TB stratum the
+    # operator's default accuracy is the intended approximate point —
+    # outside the oracle's scope by design.)
     gate_a = filter_by_quantile(
         scored, "n_tokens", 0.8, strata_col="lang", exact=False,
+        accuracy=1_000_000,
     ).select("doc_id", F.lit(1).alias("q80_keep_approx"))
     # LEFT join: a doc with no profile overlap (or NULL/empty text)
     # gets predicted_lang NULL — the quality surface must still emit
@@ -952,7 +985,8 @@ def ngram_jaccard_top_pairs(
     from ..operators.util import ScaleGuardrailError, ensure_parallelism
 
     docs = _docs(spark, sf_dir)
-    n_docs = docs.count()  # parquet metadata count (lsh_params precedent)
+    # cached metadata count (lsh_params precedent; ADVICE r14 cache)
+    n_docs = _table_count(spark, sf_dir, "documents")
     if (
         "exact" in arms
         and n_docs > exact_max_docs
@@ -1360,7 +1394,9 @@ def embedding_cosine_pairs(
     from ..operators.util import ScaleGuardrailError
 
     emb = _emb(spark, sf_dir)
-    n_vec = emb.count()  # parquet metadata count
+    # cached metadata count (ADVICE r14): construction is job-free
+    # after the first count per (process, table content)
+    n_vec = _table_count(spark, sf_dir, "embeddings")
     if n_vec > exact_max_vectors and not allow_exact_above:
         raise ScaleGuardrailError(
             f"exact all-pairs cosine over {n_vec} vectors exceeds the "
@@ -1736,8 +1772,8 @@ def embedding_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    # base rows + their copies; .count() on parquet is a metadata scan
-    n_corpus = 2 * emb.count()
+    # base rows + their copies; cached metadata count (ADVICE r14)
+    n_corpus = 2 * _table_count(spark, sf_dir, "embeddings")
     k, b = lsh_params_for(n_corpus, threshold=0.9)
     pairs = lsh_cosine_pairs(
         corpus, threshold=0.9, num_hyperplanes=k, num_bands=b, dim=64

@@ -65,12 +65,27 @@ def _perturbed(df: DataFrame) -> DataFrame:
 _SCHEMA_CACHE: dict = {}
 
 
-def _table_fingerprint(path: str) -> tuple:
+def _table_fingerprint(path: str) -> tuple | None:
     """Cheap content stamp: (mtime_ns, size) for a single-file table;
-    for a directory table, the aggregate over its data files."""
-    st = os.stat(path)
+    for a directory table, the aggregate over its data files,
+    recursing ONE level into subdirectories so a Hive-partitioned
+    table (``<root>/<col>=<val>/<files>``) rewritten in place changes
+    its stamp (ADVICE r14 — the flat scandir missed nested rewrites).
+    Deeper nesting (multi-level partitioning) is outside this corpus;
+    such layouts fall back to the level-2 entry's own (name, mtime,
+    size), which still changes whenever files are added/removed/
+    renamed there but not on a same-name same-size in-place rewrite —
+    callers with deeper layouts should bypass the cache.
+
+    Returns ``None`` for a missing path: the caller then falls through
+    to a plain ``spark.read.parquet`` so the user sees Spark's clearer
+    PATH_NOT_FOUND analysis error, not an os.stat traceback."""
     import stat as _stat
 
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
     if not _stat.S_ISDIR(st.st_mode):
         return (st.st_mtime_ns, st.st_size)
     parts = []
@@ -79,7 +94,18 @@ def _table_fingerprint(path: str) -> tuple:
             if e.name.startswith(("_", ".")):
                 continue
             s = e.stat()
-            parts.append((e.name, s.st_mtime_ns, s.st_size))
+            if e.is_dir():
+                with os.scandir(e.path) as it2:
+                    for e2 in it2:
+                        if e2.name.startswith(("_", ".")):
+                            continue
+                        s2 = e2.stat()
+                        parts.append(
+                            (f"{e.name}/{e2.name}",
+                             s2.st_mtime_ns, s2.st_size)
+                        )
+            else:
+                parts.append((e.name, s.st_mtime_ns, s.st_size))
     return tuple(sorted(parts))
 
 
@@ -90,11 +116,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = os.path.abspath(path)
     fp = _table_fingerprint(path)
     cached = _SCHEMA_CACHE.get(key)
-    if cached is not None and cached[0] == fp:
+    if fp is not None and cached is not None and cached[0] == fp:
         df = spark.read.schema(cached[1]).parquet(path)
     else:
+        # fp None (missing table): read uncached so Spark raises its
+        # own PATH_NOT_FOUND error message (ADVICE r14)
         df = spark.read.parquet(path)
-        _SCHEMA_CACHE[key] = (fp, df.schema)
+        if fp is not None:
+            _SCHEMA_CACHE[key] = (fp, df.schema)
     # Normalize any int64-nanosecond column produced by nanosAsLong back to
     # a timestamp. Only `events.ts` matches in this corpus; detection is by
     # (name, type) so other tables pass through untouched.
