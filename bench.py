@@ -44,6 +44,18 @@ round-trips) is by design NOT in task_sec — a wall-vs-task gap that
 persists on a quiet host measures driver orchestration, real cost
 too; judge totals on wall, attribute deltas with task.
 
+Round 15 (VERDICT r14 What's-wrong #2): the bench ACTS on its own
+references — every timing pass is bracketed by a reference vector
+(``ref_vector``: single-core sha256, single-thread and 32-thread
+memory-bandwidth reductions), a pass whose ``mem_ref_mt_sec`` bracket
+leaves the committed quiet band (``MEM_REF_MT_QUIET_MAX``) is flagged
+degraded, and if NO full pass ran quiet the bench adds up to
+``MAX_CONTENTION_RETRIES`` extra full passes so min-of-N has a
+defensible member. The final line carries ``degraded_passes`` so the
+driver artifact itself states whether the headline wall is
+trustworthy or should be read via task_total + the detail line's
+reference vectors.
+
 Round 13 (VERDICT r12 #1): the driver captures only the last ~2000
 stdout chars, and round 12's task_sec map pushed the single line past
 that window (BENCH_r12.json parsed null). Output is now TWO lines:
@@ -74,6 +86,99 @@ from real_time_video_streaming_analytics_lakehouse_spark.sources import readers
 # and build_final_line so test and runtime cannot drift (ADVICE r13).
 FINAL_LINE_BUDGET = 1950
 
+#: Committed quiet-band ceiling for :func:`mem_ref_mt_sec` on this
+#: host (round 15, VERDICT r14 What's-wrong #2). Round-14 observed:
+#: quiet passes 0.025–0.047 s; hypervisor-contended passes
+#: 0.114–0.197 s (3.5–6× with cpu_ref flat) — 0.07 is the geometric
+#: midpoint, separating the two populations with margin on both sides
+#: (mild self-load right after a pass measured up to ~0.06, which must
+#: NOT flag). A pass bracketed by a sample above the band is flagged
+#: ``degraded`` and the bench re-runs full passes (bounded by
+#: :data:`MAX_CONTENTION_RETRIES`) until at least one full pass ran
+#: quiet — so min-of-N has a defensible member, and when the host
+#: never offers one the final line's ``degraded_passes`` says so in
+#: the driver artifact itself.
+MEM_REF_MT_QUIET_MAX = 0.07
+
+#: extra full catalog passes the contention gate may add (bounded: a
+#: persistently noisy host must not turn the bench into a spin loop).
+MAX_CONTENTION_RETRIES = 2
+
+
+def ref_vector() -> dict:
+    """One sample of the three host references (shared by bench.py,
+    tools/stream_anchor.py and tools/arm_probe.py — VERDICT r14
+    What's-wrong #1: wall-only tool outputs were uninterpretable on a
+    drift-prone host)."""
+    return {
+        "cpu_ref_sec": cpu_ref_sec(),
+        "mem_ref_sec": mem_ref_sec(),
+        "mem_ref_mt_sec": mem_ref_mt_sec(),
+    }
+
+
+def degraded_pass_indices(
+    mem_mt_samples: list[float],
+    quiet_max: float = MEM_REF_MT_QUIET_MAX,
+) -> list[int]:
+    """Indices of timing passes flagged as contention-degraded.
+
+    Pass ``i`` runs between reference samples ``i`` (taken before it)
+    and ``i+1`` (taken right after it); the pass is degraded when
+    EITHER bracketing ``mem_ref_mt_sec`` sample exceeds the quiet
+    band — conservative by design (a spike on one side means the bus
+    was contended within seconds of the pass), and retries are bounded
+    so over-flagging costs at most two extra passes."""
+    return [
+        i
+        for i in range(max(0, len(mem_mt_samples) - 1))
+        if max(mem_mt_samples[i], mem_mt_samples[i + 1]) > quiet_max
+    ]
+
+
+class TaskTimeWatermark:
+    """Attribute executor task time to timed sections via the status
+    REST API's per-stage ``executorRunTime`` and a stage-id watermark
+    (stage ids are globally sequential, so eviction of OLD retained
+    stages never corrupts a delta — see the module docstring).
+    Factored out of ``main()`` (round 15) so the committed tools stamp
+    the same attribution; a REST failure degrades to wall-only
+    (``delta_ms`` returns None and ``dead`` latches), never a crash."""
+
+    def __init__(self, spark) -> None:
+        self.rest_base = None
+        self.dead = False
+        self._watermark = -1
+        if spark.sparkContext.uiWebUrl:
+            self.rest_base = (
+                f"{spark.sparkContext.uiWebUrl}/api/v1/applications/"
+                f"{spark.sparkContext.applicationId}/stages"
+                f"?status=complete&status=active&status=failed"
+            )
+
+    def delta_ms(self) -> int | None:
+        """Sum executorRunTime of stages created since the watermark,
+        then advance it. One HTTP GET per call."""
+        import urllib.request
+
+        if self.rest_base is None or self.dead:
+            return None
+        try:
+            with urllib.request.urlopen(self.rest_base, timeout=30) as r:
+                rows = json.load(r)
+        except Exception:
+            self.dead = True
+            return None
+        new = [r for r in rows if r["stageId"] > self._watermark]
+        if rows:
+            self._watermark = max(
+                self._watermark, max(r["stageId"] for r in rows)
+            )
+        return sum(r.get("executorRunTime", 0) for r in new)
+
+    def advance(self) -> None:
+        self.delta_ms()
+
 
 def build_final_line(
     timings: dict,
@@ -84,13 +189,21 @@ def build_final_line(
     task_total,
     sf,
     streaming_rates: dict | None = None,
+    degraded_passes: int = 0,
 ) -> str:
     """Serialize the compact final stdout line the driver parses.
 
     Single construction point for the line: bench.main() emits exactly
     this string, and the contract test calls it with worst-case widths
     — a field added here is automatically budget-checked by the test
-    before it can overflow the driver's capture window at runtime."""
+    before it can overflow the driver's capture window at runtime.
+
+    ``degraded_passes`` (round 15): how many timing passes ran with
+    the aggregate memory-bandwidth reference outside its quiet band —
+    0 means every pass's wall is defensible; equal to the total pass
+    count means the host never offered a quiet window and the headline
+    should be read via task_total + the detail line's reference
+    vectors instead."""
     out = {
         "metric": "catalog_total_wall_clock",
         "value": round(sum(timings.values()), 3),
@@ -98,6 +211,7 @@ def build_final_line(
         "runs": runs,
         "loadavg_1min": {"start": load_start, "end": load_end},
         "task_total": task_total,
+        "degraded_passes": degraded_passes,
         "queries": timings,
         "sf": sf,
     }
@@ -217,45 +331,10 @@ def main() -> None:
     loadavg: dict = {"start": _load1(), "passes": []}
     warm_up(spark, sf_dir)
 
-    rest_base = None
-    if spark.sparkContext.uiWebUrl:
-        rest_base = (
-            f"{spark.sparkContext.uiWebUrl}/api/v1/applications/"
-            f"{spark.sparkContext.applicationId}/stages"
-            f"?status=complete&status=active&status=failed"
-        )
-    stage_watermark = [-1]
-
-    rest_dead = [False]
-
-    def _new_stage_task_ms() -> int | None:
-        """Sum executorRunTime of stages created since the watermark
-        (then advance it). One HTTP GET per timed execution; stage ids
-        are globally sequential, so eviction of OLD retained stages
-        cannot corrupt the delta — only a single query creating more
-        stages than spark.ui.retainedStages (1000) could, far beyond
-        any catalog plan. Task time is attribution metadata: a REST
-        failure degrades to wall-clock-only, never a crashed bench."""
-        import urllib.request
-
-        if rest_dead[0]:
-            return None
-        try:
-            with urllib.request.urlopen(rest_base, timeout=30) as resp:
-                rows = json.load(resp)
-        except Exception:
-            rest_dead[0] = True
-            return None
-        new = [r for r in rows if r["stageId"] > stage_watermark[0]]
-        if rows:
-            stage_watermark[0] = max(
-                stage_watermark[0], max(r["stageId"] for r in rows)
-            )
-        return sum(r.get("executorRunTime", 0) for r in new)
+    wm = TaskTimeWatermark(spark)
 
     def _time_query(name: str) -> None:
-        if rest_base:
-            _new_stage_task_ms()  # advance the watermark pre-query
+        wm.advance()  # move the watermark to just-before the query
         start = time.perf_counter()
         CATALOG[name].fn(spark, sf_dir).write.format("noop").mode(
             "overwrite"
@@ -263,36 +342,50 @@ def main() -> None:
         elapsed = round(time.perf_counter() - start, 3)
         if name not in timings or elapsed < timings[name]:
             timings[name] = elapsed
-        if rest_base:
-            task_ms = _new_stage_task_ms()
-            if task_ms is not None:
-                task = round(task_ms / 1000.0, 3)
-                if name not in task_timings or task < task_timings[name]:
-                    task_timings[name] = task
+        task_ms = wm.delta_ms()
+        if task_ms is not None:
+            task = round(task_ms / 1000.0, 3)
+            if name not in task_timings or task < task_timings[name]:
+                task_timings[name] = task
 
     loadavg["post_warmup"] = _load1()
-    cpu_refs = [cpu_ref_sec()]
-    mem_refs = [mem_ref_sec()]
-    mem_mt_refs = [mem_ref_mt_sec()]
+    refs = [ref_vector()]
+
+    def _timed_pass(names) -> None:
+        for name in names:
+            _time_query(name)
+        loadavg["passes"].append(_load1())
+        refs.append(ref_vector())
+
+    def _mem_mt() -> list[float]:
+        return [r["mem_ref_mt_sec"] for r in refs]
+
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     top_runs = int(os.environ.get("SPARK_GRAFT_BENCH_TOP_RUNS", "5"))
     timings: dict[str, float] = {}
     task_timings: dict[str, float] = {}
     for run in range(n_runs):
-        for name in sorted(CATALOG):
-            _time_query(name)
-        loadavg["passes"].append(_load1())
-        cpu_refs.append(cpu_ref_sec())
-        mem_refs.append(mem_ref_sec())
-        mem_mt_refs.append(mem_ref_mt_sec())
+        _timed_pass(sorted(CATALOG))
+    # Contention gate (round 15, VERDICT r14 What's-wrong #2): if NO
+    # full pass ran with the bandwidth reference inside its quiet
+    # band, min-of-N is min-of-degraded — add full passes (bounded)
+    # until one is quiet or the retry budget is spent. The flags are
+    # recomputed over the growing sample list each time.
+    contention_retries = 0
+    while (
+        contention_retries < MAX_CONTENTION_RETRIES
+        and len(degraded_pass_indices(_mem_mt())) >= len(loadavg["passes"])
+    ):
+        contention_retries += 1
+        _timed_pass(sorted(CATALOG))
     # Extra min-of-N passes for the queries that dominate the total
     # (and its noise): their current minima pick the top-10, then each
-    # gets (top_runs - n_runs) more timed executions.
+    # gets (top_runs - n_runs) more timed executions. Also bracketed
+    # by reference samples so the degraded accounting covers them.
     top10 = sorted(timings, key=timings.get, reverse=True)[:10]
     for _ in range(max(0, top_runs - n_runs)):
-        for name in top10:
-            _time_query(name)
-        loadavg["passes"].append(_load1())
+        _timed_pass(top10)
+    degraded = degraded_pass_indices(_mem_mt())
 
     # A partial task_timings map (REST died mid-bench) would sum to a
     # misleadingly SMALL total that a cross-round diff reads as a big
@@ -311,10 +404,12 @@ def main() -> None:
         "task_sec": task_timings,
         "top10_runs": max(top_runs, n_runs),
         "loadavg_1min": loadavg,
-        "cpu_ref_sec": cpu_refs,
-        "mem_ref_sec": mem_refs,
-        "mem_ref_mt_sec": mem_mt_refs,
-        "rest_degraded": rest_dead[0],
+        "cpu_ref_sec": [r["cpu_ref_sec"] for r in refs],
+        "mem_ref_sec": [r["mem_ref_sec"] for r in refs],
+        "mem_ref_mt_sec": [r["mem_ref_mt_sec"] for r in refs],
+        "degraded_pass_indices": degraded,
+        "contention_retries": contention_retries,
+        "rest_degraded": wm.dead,
     }
     print(json.dumps(detail))
     rates = (
@@ -332,6 +427,7 @@ def main() -> None:
         ),
         sf=float(sf) if sf.replace(".", "").isdigit() else sf,
         streaming_rates=rates,
+        degraded_passes=len(degraded),
     )
     # fail LOUD before the driver's capture window truncates silently
     # (an explicit raise, not assert — asserts vanish under python -O

@@ -46,6 +46,7 @@ def _final_line(n_queries_extra: int = 0, streaming: bool = False) -> str:
         task_total=99999.999,
         sf=0.1,
         streaming_rates=rates,
+        degraded_passes=99,
     )
 
 
@@ -111,3 +112,48 @@ def test_bench_source_pins_contract():
     assert "raise RuntimeError(f\"final bench line too long" in src
     # task_total must be guarded against partial REST attribution
     assert "task_complete" in src
+
+
+def test_final_line_carries_degraded_passes():
+    # round 15: the contention gate's self-report must reach the
+    # driver artifact — and at worst-case width still fit the budget
+    line = _final_line()
+    parsed = json.loads(line)
+    assert parsed["degraded_passes"] == 99
+
+
+def test_degraded_pass_detection_and_band():
+    """Pins the contention gate's semantics (VERDICT r14 #1): pass i
+    is bracketed by samples i and i+1; EITHER bracket above the
+    committed quiet band flags it. The band itself must separate the
+    two observed round-14 populations (quiet 0.025-0.047, contended
+    0.114-0.197)."""
+    from bench import MEM_REF_MT_QUIET_MAX, degraded_pass_indices
+
+    assert 0.047 < MEM_REF_MT_QUIET_MAX < 0.114
+    quiet = [0.03, 0.04, 0.028, 0.047]
+    assert degraded_pass_indices(quiet) == []
+    # spike after pass 1 degrades passes 1 AND 2 (both brackets touch)
+    spiked = [0.03, 0.04, 0.197, 0.03]
+    assert degraded_pass_indices(spiked) == [1, 2]
+    # all-degraded run self-reports fully
+    stormy = [0.15, 0.2, 0.18]
+    assert degraded_pass_indices(stormy) == [0, 1]
+    # degenerate inputs never crash
+    assert degraded_pass_indices([]) == []
+    assert degraded_pass_indices([0.2]) == []
+
+
+def test_bench_contention_gate_is_wired():
+    """The retry loop and the degraded count must stay in bench.main()
+    — a refactor that drops either silently reverts the round-15
+    contention defense."""
+    import os
+
+    bench_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "bench.py"
+    )
+    src = open(bench_path).read()
+    assert "MAX_CONTENTION_RETRIES" in src
+    assert "degraded_pass_indices(_mem_mt())" in src
+    assert "degraded_passes=len(degraded)" in src
