@@ -437,12 +437,20 @@ def main() -> None:
     print(line)
 
 
-def _streaming_throughput(spark, sf_dir: str) -> dict[str, float]:
+def _streaming_throughput(
+    spark, sf_dir: str, task_out: dict | None = None
+) -> dict[str, float]:
     """Drain the events table through each of the reference's three
     streaming pipelines (file source → watermarked window agg →
     parquet sink) via Trigger.AvailableNow and report events/second
     per pipeline. Opt-in (SPARK_GRAFT_BENCH_STREAMING=1) so the
-    driver's default bench run stays fast."""
+    driver's default bench run stays fast.
+
+    ``task_out`` (round 15, for tools/stream_anchor.py): when given a
+    dict, it is filled with per-pipeline executor task seconds via
+    :class:`TaskTimeWatermark` — the load-resistant companion to the
+    wall-derived rate (requires the UI; silently absent without)."""
+    wm = TaskTimeWatermark(spark) if task_out is not None else None
     import shutil
     import tempfile
     import time as _t
@@ -478,6 +486,8 @@ def _streaming_throughput(spark, sf_dir: str) -> dict[str, float]:
             src = stream_events_from_files(
                 spark, src_dir, schema, max_files_per_trigger=8
             )
+            if wm is not None:
+                wm.advance()
             start = _t.perf_counter()
             q = (
                 build(src)
@@ -500,6 +510,10 @@ def _streaming_throughput(spark, sf_dir: str) -> dict[str, float]:
                     f"reported"
                 )
             rates[tag] = round(n / elapsed, 1)
+            if wm is not None:
+                task_ms = wm.delta_ms()
+                if task_ms is not None:
+                    task_out[tag] = round(task_ms / 1000.0, 3)
         return rates
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -303,7 +303,23 @@ DOC_TOKEN_STATS_SQL = _bpe_oracle_sql(_BPE_NUM_MERGES, _BPE_MINI_MOD)
 _BM25_QUERY = ("spark", "query", "join")
 
 
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: text_quality's column families, in output order (round 15, VERDICT
+#: r14 What's-wrong #3): each key is an ``arms`` value selecting one
+#: family of columns over the shared checkpointed feature scan, so the
+#: arm probe attributes per-family cost as (family − base) — the
+#: doc_dedup_fingerprints precedent — without un-fusing the catalog
+#: plan (the round-4 multi-scan regression).
+_TQ_FAMILIES = (
+    "lang_id", "lm", "repetition", "tfidf", "bm25",
+    "gate_exact", "gate_approx",
+)
+
+
+def text_quality(
+    spark: SparkSession,
+    sf_dir: str,
+    arms: tuple[str, ...] = _TQ_FAMILIES,
+) -> DataFrame:
     """Per-doc quality features plus the corpus-trained unigram
     language ID (operators/text.py::predict_language — formerly the
     separate ``lang_id_confusion`` query; the per-doc (lang,
@@ -376,8 +392,22 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``quantile_disc`` re-derives exactly (verified per stratum at
     sf0.001/0.01/0.1 and at max accuracy), so BOTH physical paths now
     flow through the driver gate; the percent_rank/approx equivalence
-    stays pinned in tests/test_operators.py."""
+    stays pinned in tests/test_operators.py.
+
+    ``arms`` (round 15, VERDICT r14 What's-wrong #3): selects which
+    COLUMN FAMILIES attach to the base feature columns (which always
+    compute) — :data:`_TQ_FAMILIES`; deselected families skip their
+    joins/aggregations and their columns are absent, so the scale
+    probe attributes per-family growth as (family − base) over the
+    SAME shared checkpointed scan. Single-family output is
+    column-projected row-identical to the fused result (test-pinned);
+    the catalog default runs all families — the fused plan is
+    byte-identical to round 14's."""
     from ..operators.lm import score_documents, train_bigram_lm
+
+    unknown = set(arms) - set(_TQ_FAMILIES)
+    if unknown:
+        raise ValueError(f"unknown arms {sorted(unknown)}")
 
     d = _docs(spark, sf_dir)
     feat = add_text_features(
@@ -449,56 +479,59 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.lit(1).alias("q80_keep_approx"))
     # LEFT join: a doc with no profile overlap (or NULL/empty text)
     # gets predicted_lang NULL — the quality surface must still emit
-    # EVERY doc, exactly like the pre-fold per-doc query did.
-    return (
-        feat.drop("_w")
-        .join(pred, "doc_id", "left_outer")
-        .join(lm, "doc_id", "left_outer")
-        .join(rep, "doc_id", "left_outer")
-        .join(tfidf, "doc_id", "left_outer")
-        .join(bm, "doc_id", "left_outer")
-        .join(gate, "doc_id", "left_outer")
-        .join(gate_a, "doc_id", "left_outer")
-        .select(
-            "doc_id", "n_tokens", "n_chars_measured", "avg_token_len",
-            "vowel_ratio", "punct_ratio", "stopword_ratio", "quality",
-            "lang", "predicted_lang",
-            F.coalesce("lm_bigrams", F.lit(0).cast("long")).alias(
-                "lm_bigrams"
-            ),
-            F.coalesce("lm_hits", F.lit(0).cast("long")).alias("lm_hits"),
-            F.coalesce("lm_hit_weight", F.lit(0).cast("long")).alias(
-                "lm_hit_weight"
-            ),
-            "n_distinct_tokens", "dup_token_frac",
-            F.coalesce("top_token_count", F.lit(0).cast("long")).alias(
-                "top_token_count"
-            ),
-            F.coalesce("top_bigram_count", F.lit(0).cast("long")).alias(
-                "top_bigram_count"
-            ),
-            "top_tfidf_term",
-            F.coalesce("top_tfidf_tf", F.lit(0).cast("long")).alias(
-                "top_tfidf_tf"
-            ),
-            F.coalesce("top_tfidf_df", F.lit(0).cast("long")).alias(
-                "top_tfidf_df"
-            ),
-            F.coalesce("bm25_q_hits", F.lit(0).cast("long")).alias(
-                "bm25_q_hits"
-            ),
-            F.coalesce("bm25_q_tf", F.lit(0).cast("long")).alias(
-                "bm25_q_tf"
-            ),
-            F.coalesce("bm25_q_df_sum", F.lit(0).cast("long")).alias(
-                "bm25_q_df_sum"
-            ),
+    # EVERY doc, exactly like the pre-fold per-doc query did. Each
+    # family's join + output columns attach only when its arm is
+    # selected (everything above is lazy plan construction — free);
+    # with all families on, the joins and column order are identical
+    # to the pre-knob plan.
+    zl = F.lit(0).cast("long")
+    families: dict[str, tuple[DataFrame, list]] = {
+        "lang_id": (pred, [F.col("predicted_lang")]),
+        "lm": (lm, [
+            F.coalesce("lm_bigrams", zl).alias("lm_bigrams"),
+            F.coalesce("lm_hits", zl).alias("lm_hits"),
+            F.coalesce("lm_hit_weight", zl).alias("lm_hit_weight"),
+        ]),
+        "repetition": (rep, [
+            F.col("n_distinct_tokens"), F.col("dup_token_frac"),
+            F.coalesce("top_token_count", zl).alias("top_token_count"),
+            F.coalesce("top_bigram_count", zl).alias("top_bigram_count"),
+        ]),
+        "tfidf": (tfidf, [
+            F.col("top_tfidf_term"),
+            F.coalesce("top_tfidf_tf", zl).alias("top_tfidf_tf"),
+            F.coalesce("top_tfidf_df", zl).alias("top_tfidf_df"),
+        ]),
+        "bm25": (bm, [
+            F.coalesce("bm25_q_hits", zl).alias("bm25_q_hits"),
+            F.coalesce("bm25_q_tf", zl).alias("bm25_q_tf"),
+            F.coalesce("bm25_q_df_sum", zl).alias("bm25_q_df_sum"),
+        ]),
+        "gate_exact": (gate, [
             F.coalesce("q80_keep", F.lit(0)).alias("q80_keep"),
+        ]),
+        "gate_approx": (gate_a, [
             F.coalesce("q80_keep_approx", F.lit(0)).alias(
                 "q80_keep_approx"
             ),
+        ]),
+    }
+    out = feat.drop("_w")
+    cols: list = [
+        F.col(c)
+        for c in (
+            "doc_id", "n_tokens", "n_chars_measured", "avg_token_len",
+            "vowel_ratio", "punct_ratio", "stopword_ratio", "quality",
+            "lang",
         )
-    )
+    ]
+    for fam in _TQ_FAMILIES:  # declaration order == output order
+        if fam not in arms:
+            continue
+        fdf, fcols = families[fam]
+        out = out.join(fdf, "doc_id", "left_outer")
+        cols.extend(fcols)
+    return out.select(*cols)
 
 
 TEXT_QUALITY_SQL = r"""

@@ -1498,3 +1498,50 @@ def test_guardrail_count_is_cached_and_construction_job_free(spark):
     # probe: its lazy localCheckpoint makes AQE materialize the
     # stop-shingle broadcast stage at construction — 3 jobs, deliberate
     # and pre-existing; the count it needs now comes from this cache.)
+
+
+def test_text_quality_family_arms_match_fused_projection(spark):
+    """Round 15 (VERDICT r14 What's-wrong #3): text_quality's column
+    families gain the arms= knob so the scale probe can attribute
+    per-family cost as (family - base) WITHOUT un-fusing the catalog
+    plan. Contract (the doc_dedup_fingerprints precedent): a
+    single-family run is column-projected row-identical to the fused
+    result, and the fused default's columns are unchanged."""
+    import math
+
+    import pytest
+
+    from real_time_video_streaming_analytics_lakehouse_spark.plans.llm_ops import (
+        _TQ_FAMILIES,
+        text_quality,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    fused = text_quality(spark, sf)
+    fused_rows = {r["doc_id"]: r.asDict() for r in fused.collect()}
+    base_cols = [
+        "doc_id", "n_tokens", "n_chars_measured", "avg_token_len",
+        "vowel_ratio", "punct_ratio", "stopword_ratio", "quality",
+        "lang",
+    ]
+
+    def same(a, b):
+        if isinstance(a, float) and isinstance(b, float):
+            return (math.isnan(a) and math.isnan(b)) or a == b
+        return a == b
+
+    base = text_quality(spark, sf, arms=())
+    assert base.columns == base_cols
+    assert {r["doc_id"] for r in base.collect()} == set(fused_rows)
+    for fam in _TQ_FAMILIES:
+        alone = text_quality(spark, sf, arms=(fam,))
+        extra = [c for c in alone.columns if c not in base_cols]
+        assert extra, f"family {fam} contributed no columns"
+        rows = alone.collect()
+        assert len(rows) == len(fused_rows), fam
+        for r in rows:
+            want = fused_rows[r["doc_id"]]
+            for c in alone.columns:
+                assert same(r[c], want[c]), (fam, r["doc_id"], c)
+    with pytest.raises(ValueError, match="unknown arms"):
+        text_quality(spark, sf, arms=("bogus",))

@@ -12,10 +12,19 @@ the main scale probe uses.
 
 For the stacked-row entries (hash_dedup_candidates,
 embedding_dedup_clusters, ngram_jaccard_top_pairs) an arm is one slice
-of the output; for doc_dedup_fingerprints the arms are COLUMN FAMILIES
-over a shared base, so the probe also times the base alone — a family's
-attributable cost is (family − base), since every family run carries the
-base scan/joins.
+of the output; for doc_dedup_fingerprints and text_quality the arms are
+COLUMN FAMILIES over a shared base, so the probe also times the base
+alone — a family's attributable cost is (family − base), since every
+family run carries the base scan/joins.
+
+Round 15 (VERDICT r14 What's-wrong #1): each per-arm entry also carries
+``task_sec`` per tier (executor task time via the same REST stage
+watermark bench.py uses) and the section records the bench reference
+vectors (cpu / memory-bandwidth probes) sampled around the run — so an
+arm row is interpretable on a host that can silently lose 25–50 %
+throughput to hypervisor contention: wall up + task flat + mem_ref_mt
+spiking = host, not plan. Default runs bumped 2 → 3 to match the
+bench/scale-probe min-of-N methodology.
 
 Usage::
 
@@ -23,9 +32,11 @@ Usage::
                               [queries ...]
 
 Writes/merges a top-level ``arm_split_x{N}`` section into ``--out``
-(scale_probe's merge preserves sections it does not own). The ngram
-exact arm is EXCLUDED by default (super-linear by contract, needs ~48g
-driver memory at ×30 — round-13 measured it once at 307.5 s); pass
+(scale_probe's merge preserves sections it does not own; per-query
+entries carry their own ``runs`` so a subset re-measure cannot
+misattribute a prior run's metadata — ADVICE r14). The ngram exact arm
+is EXCLUDED by default (super-linear by contract, needs ~48g driver
+memory at ×30 — round-13 measured it once at 307.5 s); pass
 ``ngram_jaccard_top_pairs`` explicitly to re-measure the stopcap arm.
 """
 
@@ -39,8 +50,13 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# task-time attribution reads the status REST API -> UI on for this
+# session (must be set before the session is built)
+os.environ.setdefault("SPARK_GRAFT_UI", "true")
+
 from scale_probe import SF_DIRS, _materialize_tier, timed_noop  # noqa: E402
 
+from bench import TaskTimeWatermark, ref_vector  # noqa: E402
 from real_time_video_streaming_analytics_lakehouse_spark.plans import (  # noqa: E402
     events_views,
     llm_ops,
@@ -48,7 +64,8 @@ from real_time_video_streaming_analytics_lakehouse_spark.plans import (  # noqa:
 from real_time_video_streaming_analytics_lakehouse_spark.session import get_spark  # noqa: E402
 
 #: per query: the arm tuples to time separately. () = base only
-#: (doc_dedup's column families share a base that must be subtracted).
+#: (doc_dedup's and text_quality's column families share a base that
+#: must be subtracted).
 SPECS: dict[str, list[tuple[str, ...]]] = {
     "hash_dedup_candidates": [("minhash",), ("simhash",)],
     "embedding_dedup_clusters": [
@@ -60,6 +77,13 @@ SPECS: dict[str, list[tuple[str, ...]]] = {
         ("ivfpq_persisted",),
     ],
     "sessionize_rollup": [("gap_lag",), ("native_window",)],
+    # round 15 (VERDICT r14 What's-wrong #3): text_quality's column
+    # families over the shared checkpointed scan — attribute a family
+    # as (family - base); the catalog plan itself stays fused.
+    "text_quality": [
+        (), ("lang_id",), ("lm",), ("repetition",), ("tfidf",),
+        ("bm25",), ("gate_exact",), ("gate_approx",),
+    ],
     # stopcap only: the exact arm is super-linear BY CONTRACT (all
     # pairs over duplicate-saturated input) and needs ~48g driver
     # memory at x30 — measured once in round 13 (SCALING.json
@@ -74,6 +98,7 @@ DEFAULT_QUERIES = [
     "doc_dedup_fingerprints",
     "ann_topk",
     "sessionize_rollup",
+    "text_quality",
 ]
 
 
@@ -91,7 +116,7 @@ def _arm_label(arms: tuple[str, ...]) -> str:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--copies", type=int, default=30)
     ap.add_argument("--out", default=None)
     ap.add_argument("queries", nargs="*", help="subset of SPECS keys")
@@ -104,6 +129,8 @@ def main() -> None:
 
     spark = get_spark("arm_probe")
     spark.sparkContext.setLogLevel("ERROR")
+    wm = TaskTimeWatermark(spark)
+    refs = [ref_vector()]
     base_dir = SF_DIRS[-1][1]  # sf0.1
     sf_equiv = f"{0.1 * args.copies:.1f}"
     tier_dir = _materialize_tier(
@@ -115,6 +142,7 @@ def main() -> None:
         lambda: llm_ops.hash_dedup_candidates(spark, base_dir),
         "warmup",
     )
+    refs.append(ref_vector())
 
     xkey = f"x{args.copies}"
     report: dict[str, dict[str, dict]] = {}
@@ -124,38 +152,55 @@ def main() -> None:
         for arms in SPECS[name]:
             label = _arm_label(arms)
             best: dict[str, float] = {}
+            task_best: dict[str, float] = {}
             jobs: dict[str, int] = {}
             for _ in range(args.runs):
                 for tier, d in (("0.1", base_dir), (xkey, tier_dir)):
+                    wm.advance()
                     el, j = timed_noop(
                         spark,
                         lambda: fn(spark, d, arms=arms),
                         f"{name}[{label}] @ {d}",
                     )
+                    task_ms = wm.delta_ms()
                     if tier not in best or el < best[tier]:
                         best[tier] = el
+                    if task_ms is not None:
+                        t = round(task_ms / 1000.0, 3)
+                        if tier not in task_best or t < task_best[tier]:
+                            task_best[tier] = t
                     jobs[tier] = max(jobs.get(tier, 0), j)
+            refs.append(ref_vector())
             entry = {
                 "0.1": best["0.1"],
                 xkey: best[xkey],
                 f"{xkey}_ratio": round(best[xkey] / best["0.1"], 2),
                 "jobs": jobs["0.1"],
                 f"jobs_{xkey}": jobs[xkey],
+                "runs": args.runs,
             }
+            if task_best:
+                entry["task_sec"] = task_best.get("0.1")
+                entry[f"task_sec_{xkey}"] = task_best.get(xkey)
             report[name][label] = entry
             print(json.dumps({name: {label: entry}}))
 
     section = f"arm_split_{xkey}"
+    note = (
+        "per-arm walls via the arms= knobs (VERDICT r13 #1); min-of-N "
+        "per entry ('runs' key), jobs = max; doc_dedup_fingerprints "
+        "and text_quality arms are column families over a shared base "
+        "— attribute a family as (family - base); task_sec = executor "
+        "task time (REST stage watermark, min over the same runs); "
+        "'refs' = bench.ref_vector() samples (start, post-warm, after "
+        "each arm) for the queries in 'refs_queries' (VERDICT r14 #1)"
+    )
     out_obj = {
         section: {
-            "note": (
-                "per-arm walls via the arms= knobs (VERDICT r13 #1); "
-                "min-of-%d, jobs = max; doc_dedup_fingerprints arms are "
-                "column families over a shared base — attribute a "
-                "family as (family - base)" % args.runs
-            ),
-            "runs": args.runs,
+            "note": note,
             "queries": report,
+            "refs": refs,
+            "refs_queries": names,
         }
     }
     if args.out:
@@ -167,9 +212,17 @@ def main() -> None:
             except (OSError, json.JSONDecodeError):
                 prior = {}
         sec = prior.setdefault(section, {})
-        sec.update(out_obj[section] | {
-            "queries": {**sec.get("queries", {}), **report},
-        })
+        # per-entry metadata travels WITH the entry (ADVICE r14): a
+        # subset re-measure must not rewrite section-level fields that
+        # describe surviving entries from earlier invocations — the
+        # note is method description (update freely), the refs are
+        # labeled with the queries they covered, and 'runs' lives in
+        # each entry.
+        sec["note"] = note
+        sec["queries"] = {**sec.get("queries", {}), **report}
+        sec["refs"] = refs
+        sec["refs_queries"] = names
+        sec.pop("runs", None)  # superseded by per-entry runs
         with open(args.out, "w") as f:
             f.write(json.dumps(prior) + "\n")
     print(json.dumps(out_obj))

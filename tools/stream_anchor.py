@@ -25,7 +25,15 @@ same-HEAD). This tool IS the method now:
 
 Prints one ``RESULT {...}`` JSON line with 1-minute loadavg markers
 (start / post-warm / end) so BASELINE.md entries carry their load
-context. Usage: ``python tools/stream_anchor.py [--passes N]``.
+context. Round 15 (VERDICT r14 What's-wrong #1): the line also carries
+the bench reference vectors (``refs`` — cpu / single- and 32-thread
+memory-bandwidth probes at start / post-warm / between sections / end)
+and executor task seconds per pipeline and per registry drain (the
+same REST stage watermark bench.py uses) — so a throughput dip is
+attributable to the host (task flat, mem_ref_mt spiking) vs the code
+(task up) from the committed artifact alone, instead of the round-14
+situation where a 25–50 % all-surface dip was only *probably* host.
+Usage: ``python tools/stream_anchor.py [--passes N]``.
 """
 
 from __future__ import annotations
@@ -39,6 +47,10 @@ import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# task attribution reads the status REST API -> UI on for this session
+# (must be set before the session is built)
+os.environ.setdefault("SPARK_GRAFT_UI", "true")
 
 from pyspark.sql import functions as F
 
@@ -54,7 +66,9 @@ REGISTRY_SCHEMA = {
 }
 
 
-def _registry_drain(spark, raw, n: int, single_batch: bool) -> float:
+def _registry_drain(
+    spark, raw, n: int, single_batch: bool, wm=None, tasks=None
+) -> float:
     from real_time_video_streaming_analytics_lakehouse_spark.sources.registry import (
         SchemaRegistry,
     )
@@ -72,6 +86,8 @@ def _registry_drain(spark, raw, n: int, single_batch: bool) -> float:
         reg.register("video-events-value", REGISTRY_SCHEMA)
         kwargs = {} if single_batch else {"max_files_per_trigger": 8}
         src = stream_events_from_files(spark, src_dir, schema, **kwargs)
+        if wm is not None:
+            wm.advance()
         t0 = time.perf_counter()
         q = run_registry_ingest(
             src, reg,
@@ -84,6 +100,10 @@ def _registry_drain(spark, raw, n: int, single_batch: bool) -> float:
         if not finished:
             q.stop()
             raise RuntimeError("registry drain did not finish in 600s")
+        if wm is not None and tasks is not None:
+            task_ms = wm.delta_ms()
+            if task_ms is not None:
+                tasks.append(round(task_ms / 1000.0, 3))
         return round(n / elapsed, 1)
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -99,10 +119,17 @@ def main() -> None:
     )
     args = ap.parse_args()
 
-    # the warm-up and loadavg helpers are bench.py's OWN (shared, not
-    # copied): the whole point of this tool is one method that cannot
-    # drift between the batch bench and the streaming anchor
-    from bench import _load1, _streaming_throughput, warm_up
+    # the warm-up, loadavg, reference and task-attribution helpers are
+    # bench.py's OWN (shared, not copied): the whole point of this
+    # tool is one method that cannot drift between the batch bench and
+    # the streaming anchor
+    from bench import (
+        TaskTimeWatermark,
+        _load1,
+        _streaming_throughput,
+        ref_vector,
+        warm_up,
+    )
     from real_time_video_streaming_analytics_lakehouse_spark.session import get_spark
     from real_time_video_streaming_analytics_lakehouse_spark.sources.readers import (
         load_table,
@@ -110,18 +137,29 @@ def main() -> None:
 
     spark = get_spark("stream_anchor")
     spark.sparkContext.setLogLevel("ERROR")
+    wm = TaskTimeWatermark(spark)
+    refs = [ref_vector()]
     out: dict = {"load_start": _load1(), "passes": args.passes}
 
     warm_up(spark, args.sf_dir)
     events = load_table(spark, args.sf_dir, "events")
     out["load_post_warm"] = _load1()
+    refs.append(ref_vector())
 
     best: dict = {}
+    task_best: dict = {}
     for _ in range(args.passes):
-        rates = _streaming_throughput(spark, args.sf_dir)
+        tasks: dict = {}
+        rates = _streaming_throughput(spark, args.sf_dir, task_out=tasks)
         for k, v in rates.items():
             best[k] = max(best.get(k, 0.0), v)
+        for k, v in tasks.items():
+            # min task = the least-disturbed execution (bench rule)
+            task_best[k] = min(task_best.get(k, float("inf")), v)
+        refs.append(ref_vector())
     out["pipelines_ev_s"] = best
+    if task_best:
+        out["pipelines_task_sec"] = task_best
 
     n = events.count()
     raw = events.select(
@@ -131,13 +169,18 @@ def main() -> None:
         ).alias("value"),
     )
     for tag, single in (("single_batch", True), ("incremental", False)):
+        tasks_l: list = []
         rates = [
-            _registry_drain(spark, raw, n, single)
+            _registry_drain(spark, raw, n, single, wm=wm, tasks=tasks_l)
             for _ in range(args.passes)
         ]
         out[f"registry_{tag}_ev_s"] = max(rates)
         out[f"registry_{tag}_runs"] = rates
+        if tasks_l:
+            out[f"registry_{tag}_task_sec"] = min(tasks_l)
+        refs.append(ref_vector())
     out["load_end"] = _load1()
+    out["refs"] = refs
     print("RESULT " + json.dumps(out))
     spark.stop()
 
