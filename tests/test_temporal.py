@@ -524,3 +524,40 @@ def test_interval_join_auto_bin_width_bounds_replication(
     copies = durs // width + 1
     assert copies.mean() <= 3.0
     assert copies.max() <= durs.max() / width + 1
+
+
+def test_interval_join_bin_replication_guard(spark):
+    """Round 15 (VERDICT r14 #6): a degenerate bin width (tiny vs the
+    interval lengths) must raise at execution instead of silently
+    exploding each row into millions of bin copies; the default
+    ceiling never fires on sane widths; None opts in."""
+    import datetime as dt
+
+    import pytest
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.temporal import (
+        interval_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, t0, t0 + dt.timedelta(hours=1))], "id INT, s TIMESTAMP, e TIMESTAMP"
+    )
+    right = spark.createDataFrame(
+        [(2, t0 + dt.timedelta(minutes=30), t0 + dt.timedelta(hours=2))],
+        "rid INT, s2 TIMESTAMP, e2 TIMESTAMP",
+    )
+    # sane width: overlap found, guard silent
+    ok = interval_join(left, right, "s", "e", "s2", "e2",
+                       bin_width_us=3_600_000_000)
+    assert ok.count() == 1
+    # degenerate width: 1h / 100us = 36M bins per row -> raises
+    bad = interval_join(left, right, "s", "e", "s2", "e2",
+                        bin_width_us=100)
+    with pytest.raises(Exception, match="max_bins_per_row"):
+        bad.count()
+    # explicit opt-in restores the old behavior at a small scale
+    small = interval_join(left, right, "s", "e", "s2", "e2",
+                          bin_width_us=60_000_000,
+                          max_bins_per_row=None)
+    assert small.count() == 1
