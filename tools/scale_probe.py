@@ -290,10 +290,17 @@ def main() -> None:
 
     spark = get_spark("scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
+    # host-reference samples around every pass (round 15, VERDICT r14
+    # What's-wrong #1 — the same context stamp bench.py and the other
+    # tools carry, so a ratio from a contended window is identifiable)
+    from bench import ref_vector
+
+    refs = [ref_vector()]
     # warm-up absorbs JVM/codegen startup
     CATALOG["event_type_rank"].fn(spark, SF_DIRS[0][1]).write.format(
         "noop"
     ).mode("overwrite").save()
+    refs.append(ref_vector())
 
     timings: dict[str, dict[str, float]] = {n: {} for n in names}
     jobs_hi: dict[str, int] = {}
@@ -307,6 +314,7 @@ def main() -> None:
                 if sf == SF_DIRS[-1][0]:
                     # max across runs: caching never lowers the bound
                     jobs_hi[name] = max(jobs_hi.get(name, 0), jobs)
+        refs.append(ref_vector())
 
     extra: dict[str, float] = {}
     jobs_x3: dict[str, int] = {}
@@ -343,6 +351,7 @@ def main() -> None:
                 if name not in extra or el < extra[name]:
                     extra[name] = el
                 jobs_x3[name] = max(jobs_x3.get(name, 0), jobs)
+            refs.append(ref_vector())
 
     report: dict[str, dict] = {}
     flagged: list[str] = []
@@ -380,6 +389,11 @@ def main() -> None:
         "queries": report,
         "flagged_superlinear": sorted(flagged),
         "flagged_job_growth": sorted(flagged_jobs),
+        # bench.ref_vector() samples bracketing every pass (start,
+        # post-warm, after each base-tiers pass, after each extra-tier
+        # pass) — the host context that makes wall ratios from a
+        # contended window identifiable (VERDICT r14 #1)
+        "refs": refs,
     }
     if args.out:
         # Merge with any prior file instead of clobbering it. Two
