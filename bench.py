@@ -374,6 +374,7 @@ def main() -> None:
     contention_retries = 0
     while (
         contention_retries < MAX_CONTENTION_RETRIES
+        and len(loadavg["passes"]) > 0  # RUNS=0: nothing to defend
         and len(degraded_pass_indices(_mem_mt())) >= len(loadavg["passes"])
     ):
         contention_retries += 1

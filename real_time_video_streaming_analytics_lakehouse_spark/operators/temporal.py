@@ -320,9 +320,15 @@ def interval_join(
                 - floor_div(s_us, bin_width_us)
                 + F.lit(1)
             )
+            # nb.isNull() passes the guard: a NULL start/end yields a
+            # NULL sequence, whose explode() drops the row — the
+            # operator's pre-guard behavior; assert_true on the bare
+            # comparison would RAISE on NULL input instead (and only
+            # the optimizer's inferred IsNotNull filters mask it
+            # under default configs — review finding, round 15).
             df = df.filter(
                 F.assert_true(
-                    nb <= F.lit(max_bins_per_row),
+                    nb.isNull() | (nb <= F.lit(max_bins_per_row)),
                     F.concat_ws(
                         "",
                         F.lit("ScaleGuardrail: an interval spans "),

@@ -240,6 +240,11 @@ def customer_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # run ~2 years): replication stays ~2 copies/order without the
     # hard-coded 730-day constant this plan carried before, and the
     # bound holds unchanged if the data's interval scale shifts.
+    # max_bins_per_row=None: the embedding_cosine_pairs precedent —
+    # the catalog entry's plan stays free of the library-level lazy
+    # guard (its pinned shape and round-over-round walls are
+    # load-bearing), and the derived p75 width already bounds
+    # replication at ~2 copies/order here by construction.
     pairs = interval_join(
         iv,
         iv,
@@ -248,6 +253,7 @@ def customer_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_start="fs",
         right_end="fe",
         on="o_custkey",
+        max_bins_per_row=None,
     ).filter(F.col("o_orderkey") < F.col("o_orderkey_right"))
     overlaps = pairs.groupBy("o_custkey").agg(
         F.count("*").alias("overlapping_order_pairs")

@@ -89,23 +89,30 @@ def _table_fingerprint(path: str) -> tuple | None:
     if not _stat.S_ISDIR(st.st_mode):
         return (st.st_mtime_ns, st.st_size)
     parts = []
-    with os.scandir(path) as it:
-        for e in it:
-            if e.name.startswith(("_", ".")):
-                continue
-            s = e.stat()
-            if e.is_dir():
-                with os.scandir(e.path) as it2:
-                    for e2 in it2:
-                        if e2.name.startswith(("_", ".")):
-                            continue
-                        s2 = e2.stat()
-                        parts.append(
-                            (f"{e.name}/{e2.name}",
-                             s2.st_mtime_ns, s2.st_size)
-                        )
-            else:
-                parts.append((e.name, s.st_mtime_ns, s.st_size))
+    try:
+        # the per-entry stats can race a concurrent rewrite (a probe
+        # re-materializing a /tmp tier mid-read): any entry vanishing
+        # between scandir and stat degrades to an UNCACHED read (None)
+        # rather than crashing load_table (review finding, round 15)
+        with os.scandir(path) as it:
+            for e in it:
+                if e.name.startswith(("_", ".")):
+                    continue
+                s = e.stat()
+                if e.is_dir():
+                    with os.scandir(e.path) as it2:
+                        for e2 in it2:
+                            if e2.name.startswith(("_", ".")):
+                                continue
+                            s2 = e2.stat()
+                            parts.append(
+                                (f"{e.name}/{e2.name}",
+                                 s2.st_mtime_ns, s2.st_size)
+                            )
+                else:
+                    parts.append((e.name, s.st_mtime_ns, s.st_size))
+    except OSError:
+        return None
     return tuple(sorted(parts))
 
 

@@ -561,3 +561,37 @@ def test_interval_join_bin_replication_guard(spark):
                           bin_width_us=60_000_000,
                           max_bins_per_row=None)
     assert small.count() == 1
+
+
+def test_interval_join_guard_passes_null_intervals(spark):
+    """Review finding (round 15): assert_true raises on NULL input, so
+    the guard condition must treat a NULL bin count as pass-through —
+    NULL start/end rows are dropped by explode(sequence(NULL,..)) as
+    before, never turned into a job abort. Pinned with constraint
+    propagation disabled (the default config masks the bug via
+    inferred IsNotNull filters)."""
+    import datetime as dt
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.temporal import (
+        interval_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, t0, t0 + dt.timedelta(hours=1)), (2, None, t0)],
+        "id INT, s TIMESTAMP, e TIMESTAMP",
+    )
+    right = spark.createDataFrame(
+        [(3, t0 + dt.timedelta(minutes=30), t0 + dt.timedelta(hours=2))],
+        "rid INT, s2 TIMESTAMP, e2 TIMESTAMP",
+    )
+    old = spark.conf.get("spark.sql.constraintPropagation.enabled", "true")
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    try:
+        out = interval_join(
+            left, right, "s", "e", "s2", "e2",
+            bin_width_us=3_600_000_000,
+        ).collect()
+    finally:
+        spark.conf.set("spark.sql.constraintPropagation.enabled", old)
+    assert [r["id"] for r in out] == [1]

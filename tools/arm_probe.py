@@ -222,7 +222,14 @@ def main() -> None:
         sec["queries"] = {**sec.get("queries", {}), **report}
         sec["refs"] = refs
         sec["refs_queries"] = names
-        sec.pop("runs", None)  # superseded by per-entry runs
+        # retire the section-level 'runs' — but first backfill it into
+        # any SURVIVING pre-round-15 entries so their run count is not
+        # lost when the section key goes (review finding, round 15)
+        legacy_runs = sec.pop("runs", None)
+        if legacy_runs is not None:
+            for arms_d in sec["queries"].values():
+                for entry_d in arms_d.values():
+                    entry_d.setdefault("runs", legacy_runs)
         with open(args.out, "w") as f:
             f.write(json.dumps(prior) + "\n")
     print(json.dumps(out_obj))
