@@ -56,6 +56,24 @@ driver artifact itself states whether the headline wall is
 trustworthy or should be read via task_total + the detail line's
 reference vectors.
 
+Round 16 (VERDICT r15 #1/#3 + ADVICE r15): three self-certification
+gaps closed. (a) The burst reference probes sample ~30 ms instants and
+provably under-observe sustained contention (r15 attempt 1: every
+burst ref in band, wall still 18 % over the r13 record) — each pass
+now also records a SUSTAINED yardstick: the per-pass wall of the
+pinned ``YARDSTICK_QUERY`` (a full bandwidth-bound scan+agg through
+the real Spark path, already timed in every pass, zero added cost)
+plus a ~1 s continuous bandwidth probe (``sustained_ref``) at start
+and end; the final line carries ``wall_norm`` — the headline scaled
+by the yardstick's committed quiet value — so walls compare across
+host regimes. (b) Per-query MIN PROVENANCE: the detail line records
+which pass supplied each query's minimum and which of those passes
+were degraded; the final line's ``min_degraded`` count makes the
+headline self-certifying per query, not just per run. (c) The final
+line's ``retries`` field discloses contention-gate extra passes next
+to ``runs`` (ADVICE r15: the declared run count must match the passes
+that produced the minima).
+
 Round 13 (VERDICT r12 #1): the driver captures only the last ~2000
 stdout chars, and round 12's task_sec map pushed the single line past
 that window (BENCH_r12.json parsed null). Output is now TWO lines:
@@ -103,6 +121,27 @@ MEM_REF_MT_QUIET_MAX = 0.07
 #: extra full catalog passes the contention gate may add (bounded: a
 #: persistently noisy host must not turn the bench into a spin loop).
 MAX_CONTENTION_RETRIES = 2
+
+#: The per-pass SUSTAINED in-band reference workload (round 16,
+#: VERDICT r15 #1): one pinned catalog query whose per-PASS wall is
+#: recorded alongside the burst reference probes. ``pricing_summary``
+#: is the TPC-H Q1 shape — one full lineitem scan + grouped aggregate,
+#: bandwidth-bound for ~2 s through the exact JVM/parquet/shuffle path
+#: the bench measures — so it observes sustained contention the ~30 ms
+#: burst probes structurally cannot (the r15 open question: attempt 1
+#: ran every burst ref in band and still landed 18 % above the r13
+#: record). It is already timed in every pass (and sits in the top-10
+#: re-measure set), so the yardstick costs ZERO extra wall.
+YARDSTICK_QUERY = "pricing_summary"
+
+#: Committed quiet-day value for :data:`YARDSTICK_QUERY`'s per-pass
+#: wall at sf0.1 (round 16): min-of-pass values observed on passes
+#: whose burst refs were all in-band across the round-16 anchor
+#: attempts (1.83-1.95 s quiet vs 2.05-2.6 s contended). ``wall_norm``
+#: on the final line is ``value * (this / observed yardstick min)`` —
+#: an estimate of what the headline would read on a quiet host, making
+#: round-over-round walls comparable across host regimes.
+YARDSTICK_QUIET_SEC = 1.85
 
 
 def ref_vector() -> dict:
@@ -190,6 +229,9 @@ def build_final_line(
     sf,
     streaming_rates: dict | None = None,
     degraded_passes: int = 0,
+    retries: int = 0,
+    min_degraded: int = 0,
+    wall_norm: float | None = None,
 ) -> str:
     """Serialize the compact final stdout line the driver parses.
 
@@ -203,23 +245,45 @@ def build_final_line(
     0 means every pass's wall is defensible; equal to the total pass
     count means the host never offered a quiet window and the headline
     should be read via task_total + the detail line's reference
-    vectors instead."""
+    vectors instead.
+
+    Round 16 additions (VERDICT r15 #3 + ADVICE r15):
+
+    * ``retries`` — contention-gate extra full passes actually run, so
+      the artifact's pass accounting is ``runs + retries`` (+ top-10
+      passes), not just the declared ``runs``;
+    * ``min_degraded`` — how many queries' reported minima came from a
+      pass flagged degraded: 0 makes the headline fully
+      self-certifying (every per-query min has a quiet provenance)
+      even when some passes were contended; the per-query list is on
+      the detail line (``min_degraded_queries``);
+    * ``wall_norm`` — the headline scaled by the sustained in-band
+      yardstick (:data:`YARDSTICK_QUERY`) against its committed quiet
+      value: an estimate of the quiet-host wall, null when the
+      yardstick was not observed."""
     out = {
         "metric": "catalog_total_wall_clock",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "runs": runs,
+        "retries": retries,
         "loadavg_1min": {"start": load_start, "end": load_end},
         "task_total": task_total,
         "degraded_passes": degraded_passes,
+        "min_degraded": min_degraded,
+        "wall_norm": wall_norm,
         "queries": timings,
         "sf": sf,
     }
     if streaming_rates is not None:
-        # key kept from rounds 5-9 (single-pipeline figure) so
-        # cross-round diffs stay mechanical
-        out["streaming_events_per_sec"] = streaming_rates["user_activity"]
-        out["streaming_events_per_sec_by_pipeline"] = streaming_rates
+        # round 16: the two redundant streaming keys (full map + a
+        # duplicated single-pipeline value) compacted to one — the
+        # final-line budget absorbed the new provenance fields instead.
+        # Safe: the driver's default bench run never sets
+        # SPARK_GRAFT_BENCH_STREAMING, so no driver artifact carries
+        # the old keys; BASELINE.md streaming history comes from
+        # tools/stream_anchor.py.
+        out["streaming_ev_s"] = streaming_rates
     return json.dumps(out)
 
 
@@ -300,6 +364,46 @@ def mem_ref_mt_sec(n_threads: int = 32) -> float:
     return round(el, 4)
 
 
+def sustained_ref(duration_sec: float = 1.2, n_threads: int = 32) -> dict:
+    """SUSTAINED aggregate-bandwidth reference (round 16, VERDICT r15
+    #1): the :func:`mem_ref_mt_sec` reduction repeated back-to-back for
+    ~``duration_sec`` over arrays allocated once. The burst probe
+    samples a ~30 ms instant; hypervisor contention that arrives in
+    bursts longer than the probe but shorter than a pass can dodge it
+    (the r15 attempt-1 signature: every burst ref in band, wall still
+    18 % high). Reporting the per-iteration MEDIAN and P90 over a
+    ~1 s window observes the sustained regime directly: med ≈ quiet
+    band + p90 ≈ med means genuinely quiet; med in band + p90 spiking
+    means bursty contention the single-sample probe may have missed."""
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    arrays = [
+        np.ones(8 * 1024 * 1024, dtype=np.float64) for _ in range(n_threads)
+    ]
+    for a in arrays:
+        a[::4096] = 2.0
+    iters: list[float] = []
+    with ThreadPoolExecutor(n_threads) as ex:
+        # one unrecorded warm iteration absorbs pool spin-up
+        list(ex.map(lambda a: float(a.sum()), arrays))
+        t_end = _time.perf_counter() + duration_sec
+        while _time.perf_counter() < t_end:
+            t0 = _time.perf_counter()
+            totals = list(ex.map(lambda a: float(a.sum()), arrays))
+            iters.append(_time.perf_counter() - t0)
+            assert all(t > 0 for t in totals)
+    iters.sort()
+    n = len(iters)
+    return {
+        "iters": n,
+        "med_sec": round(iters[n // 2], 4),
+        "p90_sec": round(iters[min(n - 1, int(n * 0.9))], 4),
+    }
+
+
 def warm_up(spark, sf_dir: str) -> None:
     """Session warm-up: JVM, codegen, parquet footer caches — AND the
     Python worker fleet (the first mapInPandas in a session forks 32
@@ -340,8 +444,12 @@ def main() -> None:
             "overwrite"
         ).save()
         elapsed = round(time.perf_counter() - start, 3)
+        pass_idx = len(loadavg["passes"])  # pass currently running
+        if name == YARDSTICK_QUERY:
+            yardstick.append([pass_idx, elapsed])
         if name not in timings or elapsed < timings[name]:
             timings[name] = elapsed
+            min_pass[name] = pass_idx
         task_ms = wm.delta_ms()
         if task_ms is not None:
             task = round(task_ms / 1000.0, 3)
@@ -350,6 +458,7 @@ def main() -> None:
 
     loadavg["post_warmup"] = _load1()
     refs = [ref_vector()]
+    sustained = [sustained_ref()]
 
     def _timed_pass(names) -> None:
         for name in names:
@@ -364,6 +473,8 @@ def main() -> None:
     top_runs = int(os.environ.get("SPARK_GRAFT_BENCH_TOP_RUNS", "5"))
     timings: dict[str, float] = {}
     task_timings: dict[str, float] = {}
+    min_pass: dict[str, int] = {}
+    yardstick: list[list] = []  # [pass_idx, elapsed] per observation
     for run in range(n_runs):
         _timed_pass(sorted(CATALOG))
     # Contention gate (round 15, VERDICT r14 What's-wrong #2): if NO
@@ -387,6 +498,27 @@ def main() -> None:
     for _ in range(max(0, top_runs - n_runs)):
         _timed_pass(top10)
     degraded = degraded_pass_indices(_mem_mt())
+    sustained.append(sustained_ref())
+    # Per-query min provenance (round 16, VERDICT r15 #3): which
+    # queries' reported minima came from a degraded pass. Contention
+    # only ever inflates a wall, so in practice minima land on quiet
+    # passes — recording it makes that checkable per query instead of
+    # argued per round.
+    degraded_set = set(degraded)
+    min_degraded_queries = sorted(
+        n for n, p in min_pass.items() if p in degraded_set
+    )
+    # Quiet-host wall estimate via the sustained yardstick (round 16,
+    # VERDICT r15 #1): min over the yardstick's per-pass observations
+    # (min = least-disturbed, the bench's standing rule). Only at
+    # sf0.1 — the committed quiet value is an sf0.1 measurement, so at
+    # any other SF the ratio would be meaningless; null there.
+    yard_min = min((el for _, el in yardstick), default=None)
+    wall_norm = (
+        round(sum(timings.values()) * YARDSTICK_QUIET_SEC / yard_min, 3)
+        if yard_min and sf == "0.1"
+        else None
+    )
 
     # A partial task_timings map (REST died mid-bench) would sum to a
     # misleadingly SMALL total that a cross-round diff reads as a big
@@ -410,6 +542,14 @@ def main() -> None:
         "mem_ref_mt_sec": [r["mem_ref_mt_sec"] for r in refs],
         "degraded_pass_indices": degraded,
         "contention_retries": contention_retries,
+        "sustained_ref": sustained,
+        "yardstick": {
+            "query": YARDSTICK_QUERY,
+            "quiet_sec": YARDSTICK_QUIET_SEC,
+            "per_pass": yardstick,
+        },
+        "min_pass": min_pass,
+        "min_degraded_queries": min_degraded_queries,
         "rest_degraded": wm.dead,
     }
     print(json.dumps(detail))
@@ -429,6 +569,9 @@ def main() -> None:
         sf=float(sf) if sf.replace(".", "").isdigit() else sf,
         streaming_rates=rates,
         degraded_passes=len(degraded),
+        retries=contention_retries,
+        min_degraded=len(min_degraded_queries),
+        wall_norm=wall_norm,
     )
     # fail LOUD before the driver's capture window truncates silently
     # (an explicit raise, not assert — asserts vanish under python -O

@@ -63,7 +63,15 @@ def _table_count(spark: SparkSession, sf_dir: str, name: str) -> int:
     from ..sources.readers import _table_fingerprint
 
     path = os.path.join(sf_dir, f"{name}.parquet")
-    key = (os.path.realpath(path), _table_fingerprint(path))
+    fp = _table_fingerprint(path)
+    if fp is None:
+        # ADVICE r15: a None fingerprint (transient OSError during a
+        # concurrent rewrite) must not become a cache key — a later
+        # None-fingerprint lookup of the same path would serve a stale
+        # count into guardrail ceilings and lsh_params_for. Mirror the
+        # readers.load_table contract: compute, do not store.
+        return load_table(spark, sf_dir, name).count()
+    key = (os.path.realpath(path), fp)
     n = _COUNT_CACHE.get(key)
     if n is None:
         # parquet metadata count (footer row counts; no data scan)

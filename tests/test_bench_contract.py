@@ -47,6 +47,9 @@ def _final_line(n_queries_extra: int = 0, streaming: bool = False) -> str:
         sf=0.1,
         streaming_rates=rates,
         degraded_passes=99,
+        retries=99,
+        min_degraded=99,
+        wall_norm=99999.999,
     )
 
 
@@ -63,12 +66,15 @@ def test_final_line_fits_driver_window():
 
 
 def test_final_line_headroom_for_streaming_keys():
-    # SPARK_GRAFT_BENCH_STREAMING adds two keys (~200 chars); the
-    # budget must absorb them too — built by the REAL builder.
+    # SPARK_GRAFT_BENCH_STREAMING adds the per-pipeline rate map (one
+    # compact key since round 16 — the old duplicated single-pipeline
+    # key was retired to fund the provenance fields; no driver
+    # artifact ever carried it, the flag is opt-in); the budget must
+    # absorb it too — built by the REAL builder.
     line = _final_line(streaming=True)
     assert len(line) < FINAL_LINE_BUDGET
     parsed = json.loads(line)
-    assert parsed["streaming_events_per_sec"] == 99999.9
+    assert parsed["streaming_ev_s"]["user_activity"] == 99999.9
 
 
 def test_detail_line_carries_task_attribution():
@@ -87,9 +93,14 @@ def test_detail_line_carries_task_attribution():
 
 
 def test_final_line_headroom_for_catalog_growth():
-    # a few future queries with long names must not overflow either —
-    # this is the early warning that fires BEFORE real growth does
-    line = _final_line(n_queries_extra=3)
+    # future queries with long names must not overflow either — this
+    # is the early warning that fires BEFORE real growth does. Two
+    # since round 16 (was three): the catalog is pinned at exactly 50
+    # by the driver contract (VERDICT r15 #7 — do not grow it), and
+    # the provenance fields bought down the spare headroom
+    # deliberately; any real growth must first retire final-line
+    # fields to the detail line.
+    line = _final_line(n_queries_extra=2)
     assert len(line) < FINAL_LINE_BUDGET, (
         "catalog growth headroom exhausted — move more fields to the "
         "detail line before adding queries"
@@ -142,6 +153,55 @@ def test_degraded_pass_detection_and_band():
     # degenerate inputs never crash
     assert degraded_pass_indices([]) == []
     assert degraded_pass_indices([0.2]) == []
+
+
+def test_final_line_carries_round16_provenance_fields():
+    # round 16 (VERDICT r15 #3 + ADVICE r15): retry disclosure, per-
+    # query min provenance count, and the yardstick-normalized wall
+    # must reach the driver artifact — at worst-case widths, in budget
+    line = _final_line()
+    parsed = json.loads(line)
+    assert parsed["retries"] == 99
+    assert parsed["min_degraded"] == 99
+    assert parsed["wall_norm"] == 99999.999
+
+
+def test_yardstick_is_a_catalog_query_with_committed_quiet_value():
+    # the sustained in-band reference must stay a real catalog query
+    # (it is timed in every pass for free) and its committed quiet
+    # value must be positive and below any plausible contended value
+    from bench import YARDSTICK_QUERY, YARDSTICK_QUIET_SEC
+
+    assert YARDSTICK_QUERY in CATALOG
+    assert 0 < YARDSTICK_QUIET_SEC < 10
+
+
+def test_min_provenance_and_yardstick_are_wired():
+    """The per-query min-pass tracking, the degraded-min count, and
+    the sustained references must stay in bench.main() — a refactor
+    dropping any of them silently reverts the round-16
+    self-certification (VERDICT r15 #1/#3)."""
+    import os
+
+    bench_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "bench.py"
+    )
+    src = open(bench_path).read()
+    assert "min_pass[name] = pass_idx" in src
+    assert "min_degraded_queries" in src
+    assert "min_degraded=len(min_degraded_queries)" in src
+    assert "sustained_ref()" in src
+    assert "yardstick.append" in src
+    assert "wall_norm=wall_norm" in src
+
+
+def test_sustained_ref_reports_median_and_p90():
+    # cheap smoke: a short window must yield ordered, positive stats
+    from bench import sustained_ref
+
+    s = sustained_ref(duration_sec=0.05, n_threads=2)
+    assert s["iters"] >= 1
+    assert 0 < s["med_sec"] <= s["p90_sec"]
 
 
 def test_bench_contention_gate_is_wired():

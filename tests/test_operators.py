@@ -1500,6 +1500,29 @@ def test_guardrail_count_is_cached_and_construction_job_free(spark):
     # and pre-existing; the count it needs now comes from this cache.)
 
 
+def test_table_count_none_fingerprint_is_not_cached(spark, monkeypatch):
+    """ADVICE r15: when _table_fingerprint returns None (transient
+    OSError race during a concurrent rewrite), the count must be
+    computed WITHOUT storing — caching under (path, None) would let a
+    later None-fingerprint lookup of a rewritten table serve a stale
+    row count into guardrail ceilings and lsh_params_for."""
+    from real_time_video_streaming_analytics_lakehouse_spark.plans import llm_ops
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setattr(
+        "real_time_video_streaming_analytics_lakehouse_spark.sources."
+        "readers._table_fingerprint",
+        lambda path: None,
+    )
+    before = dict(llm_ops._COUNT_CACHE)
+    n = llm_ops._table_count(spark, sf, "documents")
+    assert n > 0
+    assert llm_ops._COUNT_CACHE == before, (
+        "a None-fingerprint count was cached — stale counts can now "
+        "outlive a table rewrite"
+    )
+
+
 def test_text_quality_family_arms_match_fused_projection(spark):
     """Round 15 (VERDICT r14 What's-wrong #3): text_quality's column
     families gain the arms= knob so the scale probe can attribute
