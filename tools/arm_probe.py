@@ -26,6 +26,18 @@ throughput to hypervisor contention: wall up + task flat + mem_ref_mt
 spiking = host, not plan. Default runs bumped 2 → 3 to match the
 bench/scale-probe min-of-N methodology.
 
+Round 16 (VERDICT r15 What's-wrong #1): the probe now ACTS on those
+references the way bench.py does instead of leaving interpretation to
+the reader. Each arm's measurement window is bracketed by
+``mem_ref_mt_sec`` samples; when both sides of every window for an arm
+exceed the committed quiet band (``bench.MEM_REF_MT_QUIET_MAX``), the
+probe re-measures that arm (one extra run over both tiers per retry,
+bounded by ``MAX_ARM_RETRIES``) until one window ran quiet — so the
+min-of-N walls have a defensible member — and every entry carries its
+own ``degraded`` flag plus the raw ``ref_mem_mt`` brackets. A
+round-15-style contaminated re-measure (refs 0.138–0.258 during the
+stopcap/minhash rows) is now machine-flagged in the artifact itself.
+
 Usage::
 
     python tools/arm_probe.py [--runs N] [--copies N] [--out SCALING.json]
@@ -56,7 +68,11 @@ os.environ.setdefault("SPARK_GRAFT_UI", "true")
 
 from scale_probe import SF_DIRS, _materialize_tier, timed_noop  # noqa: E402
 
-from bench import TaskTimeWatermark, ref_vector  # noqa: E402
+from bench import (  # noqa: E402
+    MEM_REF_MT_QUIET_MAX,
+    TaskTimeWatermark,
+    ref_vector,
+)
 from real_time_video_streaming_analytics_lakehouse_spark.plans import (  # noqa: E402
     events_views,
     llm_ops,
@@ -90,6 +106,12 @@ SPECS: dict[str, list[tuple[str, ...]]] = {
     # ngram_arm_split_x30), not worth re-paying per probe run.
     "ngram_jaccard_top_pairs": [("stopcap",)],
 }
+
+#: extra measurement windows (one run over both tiers each) the
+#: contention gate may add per arm — bounded like bench.py's
+#: MAX_CONTENTION_RETRIES so a persistently noisy host cannot turn a
+#: probe run into a spin loop.
+MAX_ARM_RETRIES = 2
 
 #: measured by default — ngram needs explicit selection (see above).
 DEFAULT_QUERIES = [
@@ -154,23 +176,50 @@ def main() -> None:
             best: dict[str, float] = {}
             task_best: dict[str, float] = {}
             jobs: dict[str, int] = {}
-            for _ in range(args.runs):
-                for tier, d in (("0.1", base_dir), (xkey, tier_dir)):
-                    wm.advance()
-                    el, j = timed_noop(
-                        spark,
-                        lambda: fn(spark, d, arms=arms),
-                        f"{name}[{label}] @ {d}",
-                    )
-                    task_ms = wm.delta_ms()
-                    if tier not in best or el < best[tier]:
-                        best[tier] = el
-                    if task_ms is not None:
-                        t = round(task_ms / 1000.0, 3)
-                        if tier not in task_best or t < task_best[tier]:
-                            task_best[tier] = t
-                    jobs[tier] = max(jobs.get(tier, 0), j)
-            refs.append(ref_vector())
+
+            def _measure(n_runs: int) -> None:
+                for _ in range(n_runs):
+                    for tier, d in (("0.1", base_dir), (xkey, tier_dir)):
+                        wm.advance()
+                        el, j = timed_noop(
+                            spark,
+                            lambda: fn(spark, d, arms=arms),
+                            f"{name}[{label}] @ {d}",
+                        )
+                        task_ms = wm.delta_ms()
+                        if tier not in best or el < best[tier]:
+                            best[tier] = el
+                        if task_ms is not None:
+                            t = round(task_ms / 1000.0, 3)
+                            if (
+                                tier not in task_best
+                                or t < task_best[tier]
+                            ):
+                                task_best[tier] = t
+                        jobs[tier] = max(jobs.get(tier, 0), j)
+
+            # Contention gate (round 16, VERDICT r15 What's-wrong #1):
+            # a measurement window is the refs bracket around a batch
+            # of runs; retry (bounded, one run per retry) until one
+            # window has BOTH brackets inside the quiet band, so the
+            # min-of-N walls have a defensible member — the bench.py
+            # rule applied per arm.
+            windows: list[list[float]] = []
+            arm_retries = 0
+            while True:
+                before = refs[-1]["mem_ref_mt_sec"]
+                _measure(args.runs if not windows else 1)
+                refs.append(ref_vector())
+                after = refs[-1]["mem_ref_mt_sec"]
+                windows.append([before, after])
+                if max(before, after) <= MEM_REF_MT_QUIET_MAX:
+                    break
+                if arm_retries >= MAX_ARM_RETRIES:
+                    break
+                arm_retries += 1
+            quiet = any(
+                max(w) <= MEM_REF_MT_QUIET_MAX for w in windows
+            )
             entry = {
                 "0.1": best["0.1"],
                 xkey: best[xkey],
@@ -178,6 +227,9 @@ def main() -> None:
                 "jobs": jobs["0.1"],
                 f"jobs_{xkey}": jobs[xkey],
                 "runs": args.runs,
+                "arm_retries": arm_retries,
+                "degraded": not quiet,
+                "ref_mem_mt": windows,
             }
             if task_best:
                 entry["task_sec"] = task_best.get("0.1")
@@ -192,8 +244,15 @@ def main() -> None:
         "and text_quality arms are column families over a shared base "
         "— attribute a family as (family - base); task_sec = executor "
         "task time (REST stage watermark, min over the same runs); "
-        "'refs' = bench.ref_vector() samples (start, post-warm, after "
-        "each arm) for the queries in 'refs_queries' (VERDICT r14 #1)"
+        "each entry self-reports its contention context (round 16, "
+        "VERDICT r15 #1/#2): 'ref_mem_mt' = [before, after] "
+        "mem_ref_mt_sec brackets per measurement window, 'arm_retries' "
+        "= bounded quiet-window retries fired, 'degraded' = no window "
+        "ran with both brackets inside bench.MEM_REF_MT_QUIET_MAX — a "
+        "degraded wall should not be compared round-over-round; "
+        "'refs'/'refs_queries' = the LATEST invocation's full "
+        "bench.ref_vector() samples, 'refs_runs' = the per-invocation "
+        "history (appended on merge, ADVICE r15)"
     )
     out_obj = {
         section: {
@@ -220,6 +279,23 @@ def main() -> None:
         # each entry.
         sec["note"] = note
         sec["queries"] = {**sec.get("queries", {}), **report}
+        # ADVICE r15: a subset re-measure must not DESTROY the host
+        # context of surviving entries from earlier invocations —
+        # refs/refs_queries describe only the latest invocation, and
+        # the appended refs_runs history keeps every prior invocation's
+        # reference vectors next to the entries they covered. (Since
+        # round 16 each entry also embeds its own ref_mem_mt brackets,
+        # so even refs-less legacy merges stay attributable.)
+        sec.setdefault("refs_runs", [])
+        if sec.get("refs") and sec.get("refs_queries") and not any(
+            r.get("refs") == sec["refs"] for r in sec["refs_runs"]
+        ):
+            # preserve the pre-round-16 single-slot refs as the first
+            # history record before overwriting them
+            sec["refs_runs"].append(
+                {"queries": sec["refs_queries"], "refs": sec["refs"]}
+            )
+        sec["refs_runs"].append({"queries": names, "refs": refs})
         sec["refs"] = refs
         sec["refs_queries"] = names
         # retire the section-level 'runs' — but first backfill it into
