@@ -361,6 +361,7 @@ def semantic_dedup(
     centroids: list[list[float]] | None = None,
     keep_policy: str | tuple[str, ...] = "min_id",
     cc_strategy: str = "adaptive",
+    max_cluster_vectors: int | None = _COSINE_PAIRS_DEFAULT_MAX,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication", arXiv:2303.09540):
@@ -421,6 +422,24 @@ def semantic_dedup(
     callers whose ε-edge set is bounded by construction (the
     oracle-anchor plans cap their corpora). The bound is enforced in
     the task, failing the action loudly if exceeded.
+
+    ``max_cluster_vectors`` (round 16, VERDICT r15 #4 — completing the
+    ``cosine_pairs.max_vectors`` pattern): the within-cluster pairing
+    is O(n_c²) per cluster by contract, and ``n_clusters=1`` on an
+    unbounded corpus is exactly the all-pairs regime ``cosine_pairs``
+    refuses — but the grouped path skips that guard (its bound is the
+    caller's clustering), so a direct ``semantic_dedup`` call
+    previously had NO ceiling. By default execution now raises when
+    any cluster holds more than this many vectors. Same lazy shape as
+    the ``cosine_pairs`` guard: a per-cluster count aggregate
+    broadcast-joined back and checked per row with ``assert_true`` —
+    zero construction jobs, the refusal surfaces at execution as a
+    SparkRuntimeException naming this knob. The correct response is
+    raising ``n_clusters`` (``semdedup_params_for`` holds cluster
+    size ≈ ``target_cluster_size`` ≪ this ceiling, so a derived
+    operating point never trips it); pass ``None`` to opt in (the
+    construction-bounded catalog anchors do, with their reasoning
+    inline).
     """
     from .clustering import assign_clusters, kmeans
     from .graph import connected_components, connected_components_bounded
@@ -474,8 +493,41 @@ def semantic_dedup(
             # zero-job contract — there, runtime ReusedExchange covers
             # the shared subtrees and the corpus is caller-bounded.
             assigned = assigned.localCheckpoint(eager=False)
+    pairs_input = assigned
+    if max_cluster_vectors is not None:
+        # Lazy per-cluster ceiling (round 16): k rows of counts,
+        # broadcast back onto the members so the FIRST pairing task
+        # refuses before any quadratic work. Only the pairing input is
+        # guarded — the CC/members paths below stay linear regardless.
+        ccounts = assigned.groupBy("cluster").agg(
+            F.count("*").alias("_cn")
+        )
+        pairs_input = (
+            assigned.join(F.broadcast(ccounts), "cluster")
+            .filter(
+                F.assert_true(
+                    F.col("_cn") <= F.lit(max_cluster_vectors),
+                    F.concat_ws(
+                        "",
+                        F.lit("ScaleGuardrail: semantic_dedup cluster "),
+                        F.col("cluster").cast("string"),
+                        F.lit(" holds "),
+                        F.col("_cn").cast("string"),
+                        F.lit(
+                            f" vectors > max_cluster_vectors="
+                            f"{max_cluster_vectors} (within-cluster "
+                            f"pairing is O(n_c^2) by contract). Raise "
+                            f"n_clusters (semdedup_params_for derives "
+                            f"one) or pass max_cluster_vectors=None "
+                            f"to opt in."
+                        ),
+                    ),
+                ).isNull()
+            )
+            .drop("_cn")
+        )
     pairs = cosine_pairs(
-        assigned,
+        pairs_input,
         threshold=threshold,
         id_col=id_col,
         vec_col=vec_col,

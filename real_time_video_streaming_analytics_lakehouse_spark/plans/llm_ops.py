@@ -1659,10 +1659,17 @@ def embedding_dedup_clusters(
     )
 
     def build_both() -> DataFrame:
+        # max_cluster_vectors=None (round 16): the corpus is capped at
+        # _EXACT_CLUSTER_MAX_VEC (<=500) by construction, so the
+        # library's per-cluster ceiling can never bind here — opting
+        # out keeps the catalog default plan byte-identical across
+        # rounds (bench history comparability), the r15 cosine_pairs
+        # wrapper precedent.
         return semantic_dedup(
             emb, threshold=0.4, num_blocks=2, centroids=[basis[0]],
             keep_policy=pair_policies,
             cc_strategy="bounded_lazy",
+            max_cluster_vectors=None,
         ).select(
             F.when(F.col("policy") == "min_id", F.lit("exact"))
             .otherwise(F.lit("centroid_outlier")).alias("arm"),
@@ -1671,9 +1678,12 @@ def embedding_dedup_clusters(
         )
 
     def build_k4() -> DataFrame:
+        # max_cluster_vectors=None: same construction-bounded corpus
+        # reasoning as build_both (<=1000 with the planted x2 copies).
         return semantic_dedup(
             corpus, threshold=0.9, num_blocks=2,
             centroids=basis[:k_derived], cc_strategy="bounded_lazy",
+            max_cluster_vectors=None,
         ).select(
             F.lit("semdedup_k4").alias("arm"), "vec_id", "cluster",
             F.col("representative").alias("cluster_id"), "keep",

@@ -838,6 +838,70 @@ def test_semdedup_params_scale_linearly(spark):
         assert rows[vid]["keep"] == 1 and rows[twin]["keep"] == 0
 
 
+def test_semantic_dedup_lazy_guard_on_cluster_size(spark):
+    """Round 16 (VERDICT r15 #4): semantic_dedup's within-cluster
+    pairing is the same O(n^2)-by-contract shape cosine_pairs refuses
+    ungrouped — a direct library call (e.g. n_clusters=1 on an
+    unbounded corpus) now trips a lazy per-cluster ceiling at
+    execution; construction stays job-free; None opts in with results
+    bit-identical to the guarded under-ceiling run."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = spark.range(30).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 5).cast("double") + 1.0,
+            (F.col("id") % 2).cast("double") + 1.0,
+        ).alias("embedding"),
+    )
+    # under the ceiling: normal result (single cluster of 30 <= 100)
+    ok = semantic_dedup(
+        emb, n_clusters=1, threshold=0.99, max_cluster_vectors=100
+    )
+    ok_rows = sorted(map(tuple, ok.collect()))
+    assert ok_rows
+    # over the ceiling: construction silent + job-free, execution
+    # raises naming the knob
+    sc = spark.sparkContext
+    sc.setJobGroup("semdedup-guard-probe", "construction-only probe")
+    try:
+        guarded = semantic_dedup(
+            emb,
+            n_clusters=1,
+            threshold=0.99,
+            max_cluster_vectors=10,
+            cc_strategy="bounded_lazy",
+        )
+        jobs = sc.statusTracker().getJobIdsForGroup(
+            "semdedup-guard-probe"
+        )
+        assert not jobs, f"guard construction launched jobs {jobs}"
+    finally:
+        sc.setJobGroup("", "")
+    with pytest.raises(Exception, match="max_cluster_vectors"):
+        guarded.collect()
+    # opt-in disables; bit-identical to the guarded under-ceiling run
+    opted = semantic_dedup(
+        emb, n_clusters=1, threshold=0.99, max_cluster_vectors=None
+    )
+    assert sorted(map(tuple, opted.collect())) == ok_rows
+    # the guarded multi-cluster path passes when every cluster fits
+    # the ceiling (30 vectors can never exceed 30 in any cluster,
+    # regardless of how k-means balances them)
+    multi = semantic_dedup(
+        emb,
+        n_clusters=4,
+        threshold=0.99,
+        max_cluster_vectors=30,
+    )
+    assert multi.count() == 30
+
+
 def test_cosine_pairs_lazy_guard_on_ungrouped_corpus(spark):
     """Round 15 (VERDICT r14 #6): the library-level cosine_pairs now
     enforces the ungrouped O(n^2) ceiling lazily — construction stays
