@@ -135,13 +135,15 @@ MAX_CONTENTION_RETRIES = 2
 YARDSTICK_QUERY = "pricing_summary"
 
 #: Committed quiet-day value for :data:`YARDSTICK_QUERY`'s per-pass
-#: wall at sf0.1 (round 16): min-of-pass values observed on passes
-#: whose burst refs were all in-band across the round-16 anchor
-#: attempts (1.83-1.95 s quiet vs 2.05-2.6 s contended). ``wall_norm``
-#: on the final line is ``value * (this / observed yardstick min)`` —
-#: an estimate of what the headline would read on a quiet host, making
-#: round-over-round walls comparable across host regimes.
-YARDSTICK_QUIET_SEC = 1.85
+#: wall at sf0.1 (round 16): the min-of-pass observations on the two
+#: round-16 anchor attempts where EVERY reference — burst and
+#: sustained — stayed in band end-to-end (per-pass minima 1.74 and
+#: 1.795; quiet passes ranged 1.74-2.05, the contended attempt's
+#: 1.96-2.91). ``wall_norm`` on the final line is
+#: ``value * (this / observed yardstick min)`` — an estimate of what
+#: the headline would read on a quiet host, making round-over-round
+#: walls comparable across host regimes.
+YARDSTICK_QUIET_SEC = 1.74
 
 
 def ref_vector() -> dict:
