@@ -366,6 +366,21 @@ def mem_ref_mt_sec(n_threads: int = 32) -> float:
     return round(el, 4)
 
 
+def yardstick_quiet_min(
+    yardstick: list, degraded_set: set
+) -> float | None:
+    """Min yardstick observation, preferring quiet-flagged passes.
+
+    ``yardstick`` holds ``[pass_idx, elapsed]`` observations. A
+    degraded pass's yardstick is itself contention-inflated, so using
+    it for normalization under-corrects — quiet-pass observations win
+    whenever any exist; an all-degraded run falls back to the overall
+    min (the least-bad estimate, and the final line's
+    ``degraded_passes`` already tells the reader to distrust it)."""
+    quiet = [el for p, el in yardstick if p not in degraded_set]
+    return min(quiet or (el for _, el in yardstick), default=None)
+
+
 def sustained_ref(duration_sec: float = 1.2, n_threads: int = 32) -> dict:
     """SUSTAINED aggregate-bandwidth reference (round 16, VERDICT r15
     #1): the :func:`mem_ref_mt_sec` reduction repeated back-to-back for
@@ -512,10 +527,14 @@ def main() -> None:
     )
     # Quiet-host wall estimate via the sustained yardstick (round 16,
     # VERDICT r15 #1): min over the yardstick's per-pass observations
-    # (min = least-disturbed, the bench's standing rule). Only at
-    # sf0.1 — the committed quiet value is an sf0.1 measurement, so at
-    # any other SF the ratio would be meaningless; null there.
-    yard_min = min((el for _, el in yardstick), default=None)
+    # (min = least-disturbed, the bench's standing rule), PREFERRING
+    # observations from quiet-flagged passes when any exist — on a
+    # contended run a degraded-pass yardstick is itself inflated and
+    # would under-correct (r16 attempt 3: degraded-pass min 1.96 gave
+    # wall_norm 59.0 against a plausible quiet ~55). Only at sf0.1 —
+    # the committed quiet value is an sf0.1 measurement, so at any
+    # other SF the ratio would be meaningless; null there.
+    yard_min = yardstick_quiet_min(yardstick, degraded_set)
     wall_norm = (
         round(sum(timings.values()) * YARDSTICK_QUIET_SEC / yard_min, 3)
         if yard_min and sf == "0.1"

@@ -195,6 +195,23 @@ def test_min_provenance_and_yardstick_are_wired():
     assert "wall_norm=wall_norm" in src
 
 
+def test_yardstick_quiet_min_prefers_quiet_passes():
+    """The wall_norm normalizer must not use a contention-inflated
+    yardstick when a quiet observation exists (r16 attempt 3 showed a
+    degraded-pass min under-correcting by ~4 s)."""
+    from bench import yardstick_quiet_min
+
+    obs = [[0, 2.2], [1, 1.9], [2, 1.7]]
+    # pass 2 degraded: its 1.7 (global min) must NOT win
+    assert yardstick_quiet_min(obs, {2}) == 1.9
+    # no degraded passes: plain min
+    assert yardstick_quiet_min(obs, set()) == 1.7
+    # all degraded: fall back to overall min rather than None
+    assert yardstick_quiet_min(obs, {0, 1, 2}) == 1.7
+    # no observations at all: None (wall_norm goes null)
+    assert yardstick_quiet_min([], set()) is None
+
+
 def test_sustained_ref_reports_median_and_p90():
     # cheap smoke: a short window must yield ordered, positive stats
     from bench import sustained_ref
