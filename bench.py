@@ -339,6 +339,23 @@ def mem_ref_sec() -> float:
     return round(el, 4)
 
 
+def _bandwidth_arrays(n_threads: int) -> list:
+    """One 64 MB float64 array per thread, poked to defeat constant
+    folding — the shared workload of the burst (:func:`mem_ref_mt_sec`)
+    and sustained (:func:`sustained_ref`) aggregate-bandwidth probes.
+    Shared so a calibration change (array size, poke stride) cannot
+    silently decouple the burst quiet band from the sustained one it
+    is read against."""
+    import numpy as np
+
+    arrays = [
+        np.ones(8 * 1024 * 1024, dtype=np.float64) for _ in range(n_threads)
+    ]
+    for a in arrays:
+        a[::4096] = 2.0
+    return arrays
+
+
 def mem_ref_mt_sec(n_threads: int = 32) -> float:
     """AGGREGATE memory-bandwidth reference: wall seconds for
     ``n_threads`` concurrent 64 MB numpy reductions (sum releases the
@@ -351,13 +368,7 @@ def mem_ref_mt_sec(n_threads: int = 32) -> float:
     import time as _time
     from concurrent.futures import ThreadPoolExecutor
 
-    import numpy as np
-
-    arrays = [
-        np.ones(8 * 1024 * 1024, dtype=np.float64) for _ in range(n_threads)
-    ]
-    for a in arrays:
-        a[::4096] = 2.0
+    arrays = _bandwidth_arrays(n_threads)
     start = _time.perf_counter()
     with ThreadPoolExecutor(n_threads) as ex:
         totals = list(ex.map(lambda a: float(a.sum()), arrays))
@@ -395,13 +406,7 @@ def sustained_ref(duration_sec: float = 1.2, n_threads: int = 32) -> dict:
     import time as _time
     from concurrent.futures import ThreadPoolExecutor
 
-    import numpy as np
-
-    arrays = [
-        np.ones(8 * 1024 * 1024, dtype=np.float64) for _ in range(n_threads)
-    ]
-    for a in arrays:
-        a[::4096] = 2.0
+    arrays = _bandwidth_arrays(n_threads)
     iters: list[float] = []
     with ThreadPoolExecutor(n_threads) as ex:
         # one unrecorded warm iteration absorbs pool spin-up

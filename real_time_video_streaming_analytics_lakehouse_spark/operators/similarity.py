@@ -183,6 +183,40 @@ def cosine_topk(
 _COSINE_PAIRS_DEFAULT_MAX = 100_000
 
 
+def _attach_count_ceiling(
+    df: DataFrame,
+    limit: int,
+    message: Column,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Attach a LAZY row-count ceiling to ``df``: count rows per
+    ``group_cols`` (globally when empty), broadcast-join the counts
+    back, and fail the first task whose (group's) count exceeds
+    ``limit`` via ``assert_true`` — a SparkRuntimeException carrying
+    ``message`` (a Column, so it can interpolate the offending count
+    ``_cn`` and group values). Zero construction jobs by design; the
+    shared scaffolding of the :func:`cosine_pairs` and
+    :func:`semantic_dedup` scale guards (round 16 — previously two
+    hand-rolled copies that could drift)."""
+    gcols = list(group_cols)
+    if gcols:
+        cnt = df.groupBy(*gcols).agg(F.count("*").alias("_cn"))
+        joined = df.join(F.broadcast(cnt), gcols)
+    else:
+        cnt = (
+            df.agg(F.count("*").alias("_cn"))
+            .withColumn("_gk", F.lit(1))
+        )
+        joined = (
+            df.withColumn("_gk", F.lit(1))
+            .join(F.broadcast(cnt), "_gk")
+            .drop("_gk")
+        )
+    return joined.filter(
+        F.assert_true(F.col("_cn") <= F.lit(limit), message).isNull()
+    ).drop("_cn")
+
+
 def cosine_pairs(
     embeddings: DataFrame,
     threshold: float = 0.4,
@@ -251,44 +285,29 @@ def cosine_pairs(
     ]
     mapping = spark.createDataFrame(tasks, "blk INT, ti INT, tj INT")
     gcols = list(group_cols)
-    rep = (
-        # NULL vectors would crash the block matmul's np.stack; a NULL
-        # embedding is pairable with nothing, so exclude it.
-        embeddings.filter(F.col(vec_col).isNotNull())
-        .select(id_col, vec_col, *gcols)
-        .withColumn("blk", F.pmod(F.hash(F.col(id_col)), F.lit(num_blocks)))
-        .join(F.broadcast(mapping), "blk")
+    # NULL vectors would crash the block matmul's np.stack; a NULL
+    # embedding is pairable with nothing, so exclude it.
+    base = embeddings.filter(F.col(vec_col).isNotNull()).select(
+        id_col, vec_col, *gcols
     )
     if not gcols and max_vectors is not None:
-        cnt = (
-            embeddings.filter(F.col(vec_col).isNotNull())
-            .agg(F.count("*").alias("_n"))
-            .withColumn("_gk", F.lit(1))
+        base = _attach_count_ceiling(
+            base,
+            max_vectors,
+            F.concat_ws(
+                "",
+                F.lit("ScaleGuardrail: exact all-pairs cosine over "),
+                F.col("_cn").cast("string"),
+                F.lit(
+                    f" vectors exceeds max_vectors={max_vectors} "
+                    f"(O(n^2) by contract). Bucket first (LSH/IVF) "
+                    f"or pass max_vectors=None to opt in."
+                ),
+            ),
         )
-        rep = (
-            rep.withColumn("_gk", F.lit(1))
-            .join(F.broadcast(cnt), "_gk")
-            .filter(
-                F.assert_true(
-                    F.col("_n") <= F.lit(max_vectors),
-                    F.concat_ws(
-                        "",
-                        F.lit(
-                            "ScaleGuardrail: exact all-pairs cosine "
-                            "over "
-                        ),
-                        F.col("_n").cast("string"),
-                        F.lit(
-                            f" vectors exceeds max_vectors="
-                            f"{max_vectors} (O(n^2) by contract). "
-                            f"Bucket first (LSH/IVF) or pass "
-                            f"max_vectors=None to opt in."
-                        ),
-                    ),
-                ).isNull()
-            )
-            .drop("_gk", "_n")
-        )
+    rep = base.withColumn(
+        "blk", F.pmod(F.hash(F.col(id_col)), F.lit(num_blocks))
+    ).join(F.broadcast(mapping), "blk")
     pair_cols = ["id_a", "id_b", "cosine"]
     out_schema = ", ".join(
         [
@@ -499,32 +518,24 @@ def semantic_dedup(
         # broadcast back onto the members so the FIRST pairing task
         # refuses before any quadratic work. Only the pairing input is
         # guarded — the CC/members paths below stay linear regardless.
-        ccounts = assigned.groupBy("cluster").agg(
-            F.count("*").alias("_cn")
-        )
-        pairs_input = (
-            assigned.join(F.broadcast(ccounts), "cluster")
-            .filter(
-                F.assert_true(
-                    F.col("_cn") <= F.lit(max_cluster_vectors),
-                    F.concat_ws(
-                        "",
-                        F.lit("ScaleGuardrail: semantic_dedup cluster "),
-                        F.col("cluster").cast("string"),
-                        F.lit(" holds "),
-                        F.col("_cn").cast("string"),
-                        F.lit(
-                            f" vectors > max_cluster_vectors="
-                            f"{max_cluster_vectors} (within-cluster "
-                            f"pairing is O(n_c^2) by contract). Raise "
-                            f"n_clusters (semdedup_params_for derives "
-                            f"one) or pass max_cluster_vectors=None "
-                            f"to opt in."
-                        ),
-                    ),
-                ).isNull()
-            )
-            .drop("_cn")
+        pairs_input = _attach_count_ceiling(
+            assigned,
+            max_cluster_vectors,
+            F.concat_ws(
+                "",
+                F.lit("ScaleGuardrail: semantic_dedup cluster "),
+                F.col("cluster").cast("string"),
+                F.lit(" holds "),
+                F.col("_cn").cast("string"),
+                F.lit(
+                    f" vectors > max_cluster_vectors="
+                    f"{max_cluster_vectors} (within-cluster pairing "
+                    f"is O(n_c^2) by contract). Raise n_clusters "
+                    f"(semdedup_params_for derives one) or pass "
+                    f"max_cluster_vectors=None to opt in."
+                ),
+            ),
+            group_cols=("cluster",),
         )
     pairs = cosine_pairs(
         pairs_input,

@@ -177,7 +177,9 @@ def main() -> None:
             task_best: dict[str, float] = {}
             jobs: dict[str, int] = {}
 
-            def _measure(n_runs: int) -> None:
+            min_window: dict[str, int] = {}
+
+            def _measure(n_runs: int, window_idx: int) -> None:
                 for _ in range(n_runs):
                     for tier, d in (("0.1", base_dir), (xkey, tier_dir)):
                         wm.advance()
@@ -189,6 +191,7 @@ def main() -> None:
                         task_ms = wm.delta_ms()
                         if tier not in best or el < best[tier]:
                             best[tier] = el
+                            min_window[tier] = window_idx
                         if task_ms is not None:
                             t = round(task_ms / 1000.0, 3)
                             if (
@@ -203,12 +206,17 @@ def main() -> None:
             # of runs; retry (bounded, one run per retry) until one
             # window has BOTH brackets inside the quiet band, so the
             # min-of-N walls have a defensible member — the bench.py
-            # rule applied per arm.
+            # rule applied per arm. Each window re-samples its OWN
+            # before-bracket: the previous window's after-sample may be
+            # the very spike that flagged it, and reusing it would make
+            # the first retry provably unable to certify quiet (review
+            # finding, round 16).
             windows: list[list[float]] = []
             arm_retries = 0
             while True:
+                refs.append(ref_vector())
                 before = refs[-1]["mem_ref_mt_sec"]
-                _measure(args.runs if not windows else 1)
+                _measure(args.runs if not windows else 1, len(windows))
                 refs.append(ref_vector())
                 after = refs[-1]["mem_ref_mt_sec"]
                 windows.append([before, after])
@@ -217,9 +225,10 @@ def main() -> None:
                 if arm_retries >= MAX_ARM_RETRIES:
                     break
                 arm_retries += 1
-            quiet = any(
-                max(w) <= MEM_REF_MT_QUIET_MAX for w in windows
-            )
+            win_flags = [
+                max(w) > MEM_REF_MT_QUIET_MAX for w in windows
+            ]
+            quiet = not all(win_flags)
             entry = {
                 "0.1": best["0.1"],
                 xkey: best[xkey],
@@ -229,6 +238,12 @@ def main() -> None:
                 "runs": args.runs,
                 "arm_retries": arm_retries,
                 "degraded": not quiet,
+                # bench-style min provenance (review finding, round
+                # 16): an entry can be degraded:false yet have a
+                # minimum supplied by a flagged window — disclose it.
+                "min_from_degraded": any(
+                    win_flags[w] for w in min_window.values()
+                ),
                 "ref_mem_mt": windows,
             }
             if task_best:
@@ -246,10 +261,13 @@ def main() -> None:
         "task time (REST stage watermark, min over the same runs); "
         "each entry self-reports its contention context (round 16, "
         "VERDICT r15 #1/#2): 'ref_mem_mt' = [before, after] "
-        "mem_ref_mt_sec brackets per measurement window, 'arm_retries' "
-        "= bounded quiet-window retries fired, 'degraded' = no window "
-        "ran with both brackets inside bench.MEM_REF_MT_QUIET_MAX — a "
-        "degraded wall should not be compared round-over-round; "
+        "mem_ref_mt_sec brackets per measurement window (each window "
+        "re-samples its own before-bracket), 'arm_retries' = bounded "
+        "quiet-window retries fired, 'degraded' = no window ran with "
+        "both brackets inside bench.MEM_REF_MT_QUIET_MAX, "
+        "'min_from_degraded' = some tier's reported min wall came "
+        "from a flagged window — a degraded or min_from_degraded "
+        "wall should not be compared round-over-round; "
         "'refs'/'refs_queries' = the LATEST invocation's full "
         "bench.ref_vector() samples, 'refs_runs' = the per-invocation "
         "history (appended on merge, ADVICE r15)"

@@ -52,7 +52,6 @@ from check_correctness import table_hash  # noqa: E402
 
 from real_time_video_streaming_analytics_lakehouse_spark.plans import (  # noqa: E402
     CATALOG,
-    events_views,
     llm_ops,
 )
 from real_time_video_streaming_analytics_lakehouse_spark.session import get_spark  # noqa: E402
@@ -87,11 +86,11 @@ FAMILIES: dict[str, tuple[tuple[str, ...], ...]] = {
 
 
 def _query_fn(name: str):
-    for mod in (llm_ops, events_views):
-        fn = getattr(mod, name, None)
-        if fn is not None:
-            return fn
-    raise AttributeError(f"no plans module defines {name}")
+    # the catalog IS the registry — resolving through it (rather than
+    # a getattr sweep over the plans modules) guarantees the gate
+    # witnesses exactly the function the driver runs, and fails loudly
+    # for retired names (review finding, round 16)
+    return CATALOG[name].fn
 
 
 def _frame_hash(df) -> tuple[str, int, list[str]]:
@@ -129,11 +128,20 @@ def check_stacked(spark, sf_dir: str, name: str, arms) -> dict:
     cols_ok = True
     for a in arms:
         adf = fn(spark, sf_dir, arms=(a,))
-        cols_ok = cols_ok and adf.columns == fused_cols
+        if adf.columns != fused_cols:
+            # a schema drift is already a FAIL — do not feed the
+            # mismatched rows to the hasher, whose column indexing
+            # would crash and abort the whole gate (the artifact must
+            # stay complete on a red run; review finding, round 16)
+            cols_ok = False
+            per_arm[a] = -1
+            continue
         rows = [tuple(r) for r in adf.collect()]
         per_arm[a] = len(rows)
         all_rows.extend(rows)
-    union_hash = table_hash(all_rows, fused_cols)
+    union_hash = (
+        table_hash(all_rows, fused_cols) if cols_ok else None
+    )
     return {
         "mode": "stacked_union",
         "pass": cols_ok and union_hash == fused_hash,
@@ -146,20 +154,30 @@ def check_stacked(spark, sf_dir: str, name: str, arms) -> dict:
 
 def check_families(spark, sf_dir: str, name: str, families) -> dict:
     fn = _query_fn(name)
+    # execute the fused plan ONCE and project column subsets
+    # driver-side — per-family fused.select() re-executions would
+    # multiply this check's wall by the family count for identical
+    # hashes (review finding, round 16)
     fused = fn(spark, sf_dir)
+    fused_rows = [tuple(r) for r in fused.collect()]
+    idx = {c: i for i, c in enumerate(fused.columns)}
     results: dict[str, bool] = {}
     ok = True
     for fam in families:
         label = "+".join(fam) if fam else "base"
         fdf = fn(spark, sf_dir, arms=fam)
         fam_hash, fam_rows, fam_cols = _frame_hash(fdf)
-        missing = [c for c in fam_cols if c not in fused.columns]
-        if missing:
+        if any(c not in idx for c in fam_cols):
             results[label] = False
             ok = False
             continue
-        proj_hash, proj_rows, _ = _frame_hash(fused.select(*fam_cols))
-        good = fam_hash == proj_hash and fam_rows == proj_rows
+        proj = [
+            tuple(r[idx[c]] for c in fam_cols) for r in fused_rows
+        ]
+        good = (
+            fam_hash == table_hash(proj, fam_cols)
+            and fam_rows == len(proj)
+        )
         results[label] = good
         ok = ok and good
     return {"mode": "family_projection", "pass": ok, "families": results}

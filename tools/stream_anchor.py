@@ -222,19 +222,23 @@ def main() -> None:
     for tag, single in (("single_batch", True), ("incremental", False)):
         tasks_l: list = []
         batches_l: list = []
-        i_before = len(refs) - 1
-        rates = [
-            _registry_drain(
-                spark, raw, n, single,
-                wm=wm, tasks=tasks_l,
-                batch_ms=None if single else batches_l,
+        rates: list = []
+        pass_flags: list = []
+        # one bracket per DRAIN, not per configuration (review
+        # finding, round 16): a burst confined to one pass must not
+        # hide behind the other pass's quiet end-sample
+        for _ in range(args.passes):
+            i_before = len(refs) - 1
+            rates.append(
+                _registry_drain(
+                    spark, raw, n, single,
+                    wm=wm, tasks=tasks_l,
+                    batch_ms=None if single else batches_l,
+                )
             )
-            for _ in range(args.passes)
-        ]
-        refs.append(ref_vector())
-        degraded[f"registry_{tag}"] = _window_degraded(
-            i_before, len(refs) - 1
-        )
+            refs.append(ref_vector())
+            pass_flags.append(_window_degraded(i_before, len(refs) - 1))
+        degraded[f"registry_{tag}"] = pass_flags
         out[f"registry_{tag}_ev_s"] = max(rates)
         out[f"registry_{tag}_runs"] = rates
         if tasks_l:
