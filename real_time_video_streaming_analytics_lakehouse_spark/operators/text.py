@@ -442,7 +442,45 @@ def shingle_array(words: Column, size: int = 3) -> Column:
     shingle expression :func:`exploded_word_shingles` explodes,
     exposed so callers that already hold a token array (e.g. a plan
     deriving several shingle UNIVERSES from one tokenization) can
-    shingle without re-splitting the text."""
+    shingle without re-splitting the text.
+
+    Round 16 (guide §1.2 "per-task work"): small ``size`` uses the
+    shifted-``zip_with`` formulation the char-level :func:`shingles`
+    already uses — ``size-1`` whole-array zips whose lambda is a
+    2-arg concat — instead of ``transform(sequence(...))`` whose
+    per-ELEMENT lambda evaluates ``slice(words, i+1, size)`` +
+    ``concat_ws`` through the interpreted HOF path (measured ~1.7x
+    slower at size=3 on the sf0.1 corpus; both sites noop-sink
+    timed). Large ``size`` keeps the transform formulation: the zip
+    chain costs ``size-1`` array passes, and at size=13 (the
+    decontamination 13-grams) transform measured ~1.4x FASTER than
+    the chain. Output is bit-identical either way (same windows in
+    the same positional order, same partial-window clamp — the
+    ``when(y NULL, x)`` zip lambda reproduces ``concat_ws``'s
+    NULL-skip exactly; pinned by test)."""
+    if size <= 4:
+        s = F.size(words)
+        win = words
+        for off in range(1, size):
+            shifted = F.slice(words, off + 1, F.greatest(s - off, F.lit(1)))
+            win = F.zip_with(
+                win,
+                shifted,
+                lambda x, y: F.when(y.isNull(), x).otherwise(
+                    F.concat(x, F.lit(" "), y)
+                ),
+            )
+        # NULL token array: the transform formulation yields [""]
+        # (greatest(NULL,1)=1 + concat_ws's NULL-skip), not NULL —
+        # replicate it so the two formulations stay bit-identical on
+        # every input (pinned by test).
+        return F.when(
+            words.isNull(), F.array(F.lit(""))
+        ).otherwise(
+            F.array_distinct(
+                F.slice(win, 1, F.greatest(s - (size - 1), F.lit(1)))
+            )
+        )
     n = F.greatest(F.size(words) - (size - 1), F.lit(1))
     return F.array_distinct(
         F.transform(
@@ -1361,21 +1399,38 @@ def ngram_jaccard_pairs_grouped(
     template shingles — where the previous keep-side SEMI join
     shuffled the entire shingle frame.
 
+    Round 16 (guide §2.3 "narrower types" / §1.2): every stage after
+    the explode keys on ``xxhash64(sh)`` instead of the shingle
+    STRING — the :func:`contaminated_ids` precedent ("the 13-gram
+    strings themselves never shuffle"). The checkpoint, the df-cap
+    aggregate, the sizes aggregate and the inverted-index pair join
+    all carry an 8-byte long where they carried a ~20-80 byte string,
+    and every join/groupBy comparison is a long equality instead of a
+    string equality. Counts are unchanged unless two DISTINCT shingle
+    strings collide in 64 bits (p ≈ n²/2⁶⁵; the test corpus has no
+    collision — pinned by test, and the driver oracle re-checks the
+    string-side counts end-to-end every round). Hashing also lets the
+    PRE-drop frame checkpoint (hash rows are ~3-5x narrower than the
+    string rows whose materialization GC-thrashed an 8g heap at the
+    synthetic 10x tier — the round-12 reason the df aggregate used to
+    re-run the whole shingle explode): the explode now runs ONCE per
+    execution, and the df aggregate + anti join read the checkpointed
+    hash frame (their identical subtrees collapse to one
+    ReusedExchange/ReusedBroadcast at runtime).
+
     Per-arm top-k stays TakeOrdered (orderBy+limit per arm over the
     once-materialized scored frame, then a window over ≤ arms·top_n
     survivors for the rank column) — never a global sort of all
     scored pairs."""
     caps = {k: v for k, v in (max_shingle_df or {}).items()
             if v is not None}
+    sh = sh.select(
+        arm_col, F.col(id_col), F.xxhash64("sh").alias("_h")
+    ).localCheckpoint(eager=False)
+    # ^ consumed by every stage below (df cap + sizes + both join
+    # sides); without materialization each reference re-runs the
+    # shingle explode.
     if caps:
-        # deliberately NOT checkpointed here: the df aggregate and the
-        # anti join would share a materialized frame, but at scale the
-        # pre-drop shingle union is the largest frame in the plan
-        # (every (arm, doc, shingle) string — measured GC-thrashing an
-        # 8g heap at the synthetic 10x tier) while the explode feeding
-        # it is a cheap linear map; re-running the explode for the df
-        # aggregate trades ~one corpus scan for the peak-memory high
-        # water mark. Only the post-drop frame (below) materializes.
         capped = sorted(caps)
         cap_of = F.lit(None)
         for a in capped:
@@ -1384,20 +1439,17 @@ def ngram_jaccard_pairs_grouped(
             )
         drop = (
             sh.filter(F.col(arm_col).isin(capped))
-            .groupBy(arm_col, "sh")
+            .groupBy(arm_col, "_h")
             .agg(F.count("*").alias("_df"))
             .filter(F.col("_df") > cap_of)
-            .select(arm_col, "sh")
+            .select(arm_col, "_h")
         )
-        sh = sh.join(F.broadcast(drop), [arm_col, "sh"], "left_anti")
-    sh = sh.localCheckpoint(eager=False)
-    # ^ consumed three times (sizes + both join sides); without
-    # materialization each reference re-runs the shingle explode.
+        sh = sh.join(F.broadcast(drop), [arm_col, "_h"], "left_anti")
     sizes = sh.groupBy(arm_col, id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.select(arm_col, F.col(id_col).alias("doc_a"), "sh")
-    b = sh.select(arm_col, F.col(id_col).alias("doc_b"), "sh")
+    a = sh.select(arm_col, F.col(id_col).alias("doc_a"), "_h")
+    b = sh.select(arm_col, F.col(id_col).alias("doc_b"), "_h")
     shared = (
-        a.join(b, [arm_col, "sh"])
+        a.join(b, [arm_col, "_h"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy(arm_col, "doc_a", "doc_b")
         .agg(F.count("*").alias("shared"))

@@ -1086,15 +1086,24 @@ def ngram_jaccard_top_pairs(
         F.filter(F.col("_w"), lambda x: x != F.lit("")),
         boiler_w,
     )
-    # two projections: a_ex is multiply-referenced below (output +
-    # otherwise branch), so CollapseProject keeps it un-inlined and
-    # odd docs shingle exactly once
+    # three projections (round 16, guide §1.2): a_ex AND the planted
+    # token array _wc are each materialized behind their own
+    # multiply-referenced alias so CollapseProject keeps them
+    # un-inlined — odd docs shingle exactly once, and the stopcap
+    # shingle expression references a plain attribute instead of
+    # re-evaluating the filter+concat planted expression at each of
+    # its ~5 whole-array reference sites (noop-sink measured ~25 %
+    # off the even-doc shingle stage).
     arr = w_df.select(
-        "doc_id", "_w", shingle_array(F.col("_w")).alias("a_ex")
+        "doc_id",
+        "_w",
+        planted_w.alias("_wc"),
+    ).select(
+        "doc_id", "_wc", shingle_array(F.col("_w")).alias("a_ex")
     ).select(
         "doc_id",
         "a_ex",
-        F.when(F.col("doc_id") % 2 == 0, shingle_array(planted_w))
+        F.when(F.col("doc_id") % 2 == 0, shingle_array(F.col("_wc")))
         .otherwise(F.col("a_ex"))
         .alias("a_cap"),
     )

@@ -1568,3 +1568,94 @@ def test_text_quality_family_arms_match_fused_projection(spark):
                 assert same(r[c], want[c]), (fam, r["doc_id"], c)
     with pytest.raises(ValueError, match="unknown arms"):
         text_quality(spark, sf, arms=("bogus",))
+
+
+def test_shingle_array_zip_and_transform_formulations_identical(spark):
+    """Round 16: ``shingle_array`` picks the shifted-zip_with
+    formulation for small sizes and the transform formulation for
+    large ones (guide §1.2 per-task-work). Both must produce
+    BIT-IDENTICAL arrays — same windows, same positional order, same
+    partial-window clamp — on every edge shape (empty text, 1 word,
+    size-1 words, exactly size words, NULL text)."""
+    from pyspark.sql import functions as F
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.text import (
+        shingle_array,
+        tokens,
+    )
+
+    corpus = [
+        ("d0", None),
+        ("d1", ""),
+        ("d2", "one"),
+        ("d3", "two words"),
+        ("d4", "a b c"),
+        ("d5", "a b c d e f g h i j k l m n"),
+        ("d6", "x x x x x"),  # duplicates exercise array_distinct
+    ]
+    df = spark.createDataFrame(corpus, "doc_id string, text string")
+    w_df = df.select("doc_id", tokens("text").alias("_w"))
+
+    def transform_formulation(words, size):
+        n = F.greatest(F.size(words) - (size - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(words, (i + 1).cast("int"), size)
+                ),
+            )
+        )
+
+    for size in (2, 3, 4, 5, 13):
+        got = w_df.select(
+            "doc_id", shingle_array(F.col("_w"), size).alias("a")
+        )
+        ref = w_df.select(
+            "doc_id", transform_formulation(F.col("_w"), size).alias("a")
+        )
+        bad = (
+            got.join(ref.withColumnRenamed("a", "b"), "doc_id")
+            .filter(~F.col("a").eqNullSafe(F.col("b")))
+            .count()
+        )
+        assert bad == 0, f"size={size}: formulations diverge"
+
+
+def test_ngram_grouped_hash_keys_collision_free_on_corpus(spark):
+    """Round 16: ``ngram_jaccard_pairs_grouped`` keys every stage on
+    ``xxhash64(sh)`` instead of the shingle string (the
+    contaminated_ids precedent). Counts are unchanged iff no two
+    DISTINCT shingle strings collide in 64 bits on the corpus — pin
+    that property on the test corpus, both arms of the catalog query
+    (exact + planted-boilerplate stopcap universes)."""
+    from pyspark.sql import functions as F
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.text import (
+        exploded_word_shingles,
+    )
+    from real_time_video_streaming_analytics_lakehouse_spark.plans.llm_ops import (
+        _BOILERPLATE,
+    )
+    from real_time_video_streaming_analytics_lakehouse_spark.sources.readers import (
+        load_table,
+    )
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat_ws(" ", "text", F.lit(_BOILERPLATE)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    for frame in (docs, planted):
+        sh = exploded_word_shingles(frame).select("sh").distinct()
+        n_str = sh.count()
+        n_hash = sh.select(F.xxhash64("sh")).distinct().count()
+        assert n_str == n_hash, (
+            f"xxhash64 collision on corpus: {n_str} strings -> "
+            f"{n_hash} hashes"
+        )

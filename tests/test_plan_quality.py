@@ -287,12 +287,18 @@ def test_top_query_shuffle_exchange_counts_pinned(spark):
         "latest_event_per_user": 1,
         "merge_upsert_events": 1,
         "multimodal_pipeline": 1,
-        # 3 per arm branch (df agg + pair join + sizes join above the
-        # checkpointed shingle scan): the all-pairs scored frame is
-        # deliberately NOT checkpointed (see ngram_jaccard_pairs_grouped
-        # — materializing it measured ~2x wall at the 10x tier), so the
-        # per-arm joins are visible in the final plan again
-        "ngram_jaccard_top_pairs": 6,
+        # Round 16: the checkpoint moved BELOW the stop-shingle df
+        # aggregate + anti join (the explode now runs once and every
+        # stage keys on xxhash64 longs — see ngram_jaccard_pairs_grouped),
+        # so the df-agg exchange is now VISIBLE in the final plan once
+        # per consuming subtree (static count 13). At runtime the
+        # identical df-agg subtrees collapse to ONE exchange +
+        # ReusedBroadcast (stage-profiled: one 228k-row df-agg stage
+        # per execution, same as before the refactor); the per-arm
+        # pair/sizes joins are unchanged. The all-pairs scored frame
+        # stays un-checkpointed (materializing it measured ~2x wall at
+        # the 10x tier).
+        "ngram_jaccard_top_pairs": 13,
         "order_priority_profile": 2,
         "part_supp_multikey": 2,
         "part_type_share": 2,
