@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .similarity import _as_double, _codebook_sample, _dot, _norm
+from .util import local_relation
 
 
 def _train(embeddings: DataFrame, n_clusters: int, n_subspaces: int,
@@ -138,8 +139,11 @@ def _model_table(spark: SparkSession, centroids, books) -> DataFrame:
         for m, book in enumerate(books)
         for i, c in enumerate(book)
     ]
-    return spark.createDataFrame(
-        rows, "component string, m int, idx int, vals array<double>"
+    # local_relation: one Arrow batch decoded JVM-side — the pickle
+    # path would run a Python-worker stage per materialization (round
+    # 16, guide §4 — see operators.util.local_relation).
+    return local_relation(
+        spark, rows, "component string, m int, idx int, vals array<double>"
     )
 
 

@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .util import local_relation
+
 
 def _large_star(e: DataFrame) -> DataFrame:
     """Connect every strictly-larger neighbor of each node to the
@@ -202,8 +204,12 @@ def connected_components(
         if stats is not None:
             stats["rounds"] = 0
         idt = nodes.schema[node_col].dataType.simpleString()
-        label_df = nodes.sparkSession.createDataFrame(
-            labels, f"u {idt}, label {idt}"
+        # local_relation, not createDataFrame(list): the label map is
+        # consumed by TWO broadcast joins below, and the pickle path
+        # would run a defaultParallelism-task Python stage per build
+        # (round 16, guide §4 — see local_relation).
+        label_df = local_relation(
+            nodes.sparkSession, labels, f"u {idt}, label {idt}"
         )
         # label_df is bounded (<= 2*driver_max_edges node rows): hint
         # the broadcast so neither join shuffles the (possibly huge)

@@ -20,6 +20,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .util import local_relation
+
 
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -283,7 +285,10 @@ def cosine_pairs(
         for tj in range(ti, num_blocks)
         for blk in {ti, tj}
     ]
-    mapping = spark.createDataFrame(tasks, "blk INT, ti INT, tj INT")
+    # local_relation, not createDataFrame(list): the pickle path would
+    # re-run a 32-task Python stage at EVERY broadcast build of this
+    # 7-row table (round 16, guide §4 — see local_relation).
+    mapping = local_relation(spark, tasks, "blk INT, ti INT, tj INT")
     gcols = list(group_cols)
     # NULL vectors would crash the block matmul's np.stack; a NULL
     # embedding is pairable with nothing, so exclude it.

@@ -63,6 +63,56 @@ def atomic_swap_dir(live_path: str, tmp_path: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
+def local_relation(spark, rows, schema: str) -> DataFrame:
+    """Bounded driver-side rows → DataFrame, evaluated in the JVM.
+
+    A plain ``createDataFrame(list_of_tuples)`` builds a PICKLED Python
+    RDD: every materialization (each broadcast build, each action) runs
+    a ``defaultParallelism``-task Python-worker stage, and on this
+    Spark/Python build each such task pays ~0.15-0.4 s of worker
+    protocol overhead (``worker_util.setup_spark_files`` calls
+    ``importlib.invalidate_caches()`` per task, and Python 3.11's
+    ``zipimporter.invalidate_caches`` unconditionally re-reads the
+    whole pyspark.zip table of contents) — measured 11 s task-time /
+    0.7 s wall for a SEVEN-ROW mapping table on local[32] (guide §4:
+    eliminate the Python boundary; §1.2: per-task work). The Arrow
+    path (``createDataFrame(pandas_df)`` with
+    ``spark.sql.execution.arrow.pyspark.enabled``) ships the same rows
+    as Arrow record batches decoded entirely JVM-side: measured
+    0.1 s wall, ZERO Python tasks, identical values and schema.
+
+    Rows must be position-aligned tuples/lists matching ``schema`` (a
+    DDL string). Falls back to the plain path for empty input (nothing
+    ever evaluates) or when pandas is unavailable.
+    """
+    rows = list(rows)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    try:
+        import pandas as pd
+    except ImportError:  # pragma: no cover - pandas ships with the env
+        return spark.createDataFrame(rows, schema)
+    # top-level DDL column names (commas inside array<...>/struct<...>
+    # and decimal(p,s) do not split fields)
+    names, depth, start = [], 0, 0
+    for i, ch in enumerate(schema + ","):
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            names.append(schema[start:i].strip().split()[0])
+            start = i + 1
+    pdf = pd.DataFrame(
+        {n: [r[i] for r in rows] for i, n in enumerate(names)},
+        # object dtype end-to-end: None stays None (never coerced to
+        # NaN by a numeric column), ints never become floats; the
+        # explicit schema drives the Arrow cast.
+        dtype=object,
+    )
+    return spark.createDataFrame(pdf, schema)
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition ONLY if the input is under-parallelized.
 

@@ -188,7 +188,13 @@ def doc_token_stats(
         learned = train_bpe(
             mini, num_merges=_BPE_NUM_MERGES, min_frequency=2
         )
-        merges = spark.createDataFrame(
+        # local_relation: JVM-evaluated local rows — the pickle path
+        # would run a Python-worker stage per materialization (round
+        # 16, guide §4 — see operators.util.local_relation).
+        from ..operators.util import local_relation
+
+        merges = local_relation(
+            spark,
             [(i, a, b) for i, (a, b) in enumerate(learned)],
             "rank INT, a STRING, b STRING",
         )

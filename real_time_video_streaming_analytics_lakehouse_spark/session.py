@@ -44,6 +44,16 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for driver<->JVM transfers (guide §6): toPandas and
+    # createDataFrame(pandas) go through Arrow record batches decoded
+    # JVM-side instead of pickled Python RDDs. Load-bearing for
+    # operators.util.local_relation — the pickle path materializes a
+    # defaultParallelism-task PYTHON stage per broadcast build of even
+    # a 7-row mapping table (~0.3 s/task of worker protocol overhead
+    # on this build; see local_relation's docstring for the measured
+    # numbers). Runtime-settable, so driver-created vanilla sessions
+    # pick it up through apply_runtime_confs.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
     # File-listing parallelism for reads that pass explicit file lists
     # (the native txtable read hands Spark one path per live entry).
     # Spark's default is 10000 TASKS whenever >32 paths are listed —

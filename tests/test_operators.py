@@ -1659,3 +1659,48 @@ def test_ngram_grouped_hash_keys_collision_free_on_corpus(spark):
             f"xxhash64 collision on corpus: {n_str} strings -> "
             f"{n_hash} hashes"
         )
+
+
+def test_local_relation_matches_pickled_path(spark):
+    """Round 16: ``operators.util.local_relation`` builds bounded
+    driver-side rows through Arrow (JVM-evaluated — no Python-worker
+    stage per materialization). Values, schema, and NULL handling must
+    be identical to the plain ``createDataFrame(list)`` path on every
+    shape the call sites use: ints, strings with None, nested
+    array<double>, and nested-generic DDL whose commas must not split
+    column names."""
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.util import (
+        local_relation,
+    )
+
+    cases = [
+        (
+            [(0, 0, 0), (1, 0, 1), (1, 1, 1)],
+            "blk INT, ti INT, tj INT",
+        ),
+        (
+            [(0, "ab", None), (1, None, "z")],
+            "rank INT, a STRING, b STRING",
+        ),
+        (
+            [("centroid", -1, 0, [1.0, 2.5]), ("codebook", 2, 1, None)],
+            "component string, m int, idx int, vals array<double>",
+        ),
+        (
+            [({"k": 1}, [("x", 2)])],
+            "m map<string,int>, s array<struct<a:string,b:int>>",
+        ),
+    ]
+    for rows, schema in cases:
+        got = local_relation(spark, rows, schema)
+        ref = spark.createDataFrame(rows, schema)
+        assert got.schema == ref.schema, schema
+        assert sorted(map(repr, got.collect())) == sorted(
+            map(repr, ref.collect())
+        ), schema
+    # empty input: falls back to the plain empty-relation path
+    empty = local_relation(spark, [], "u BIGINT, label BIGINT")
+    assert empty.count() == 0 and [f.name for f in empty.schema] == [
+        "u",
+        "label",
+    ]
