@@ -495,6 +495,53 @@ def shingle_array(words: Column, size: int = 3) -> Column:
     )
 
 
+def shingle_hash_array(words: Column, size: int = 3) -> Column:
+    """64-bit hashes of the distinct word-n-gram shingles of a token
+    array — the integer-only sibling of :func:`shingle_array` for
+    pipelines that only ever JOIN/COUNT shingles and never emit the
+    strings (round 16, guide §1.2 per-task work + §2.3 shuffle fewer
+    bytes).
+
+    :func:`shingle_array` + ``xxhash64(sh)`` builds every window
+    STRING (two ``concat`` allocations per window) and then hashes
+    ~3-word strings; this column hashes each WORD once
+    (``xxhash64(w)``) and combines the ``size`` word hashes per window
+    with ``xxhash64(h_prefix, h_word)`` — fixed-width integer work,
+    zero string allocation, same shifted-``zip_with`` shape. Measured
+    ~2.5x less executor CPU on the sf0.1 shingle stage (noop-sink).
+
+    Correspondence to the string path: a window's hash is a
+    deterministic function of its word TUPLE, and (whitespace
+    tokenization — tokens contain no spaces) the space-joined window
+    string is a bijective encoding of the same tuple, so two windows
+    collide here iff their strings were distinct but collide through
+    the xxhash64 fold — probability ≈ n²/2⁶⁴, absent on the test
+    corpora (pinned by test, and any cross-engine count the hash
+    feeds is re-derived string-side by the DuckDB oracle every
+    round). Edge semantics mirror :func:`shingle_array` exactly:
+    NULL token array → ``[xxhash64('')]`` (the string path's ``[""]``
+    hashed), short docs → the single partial window (the
+    ``when(y NULL, x)`` zip lambda is the NULL-skip), empty text's
+    ``[""]`` token array → ``[xxhash64('')]``."""
+    wh = F.transform(words, lambda w: F.xxhash64(w))
+    s = F.size(wh)
+    win = wh
+    for off in range(1, size):
+        shifted = F.slice(wh, off + 1, F.greatest(s - off, F.lit(1)))
+        win = F.zip_with(
+            win,
+            shifted,
+            lambda x, y: F.when(y.isNull(), x).otherwise(F.xxhash64(x, y)),
+        )
+    return F.when(
+        words.isNull(), F.array(F.xxhash64(F.lit("")))
+    ).otherwise(
+        F.array_distinct(
+            F.slice(win, 1, F.greatest(s - (size - 1), F.lit(1)))
+        )
+    )
+
+
 def exploded_word_shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", size: int = 3
 ) -> DataFrame:
@@ -1379,8 +1426,9 @@ def ngram_jaccard_pairs_grouped(
     id_col: str = "doc_id",
     top_n: int = 50,
     arm_col: str = "arm",
-    arms: tuple[str, ...] = ("all",),
+    arms: tuple = ("all",),
     max_shingle_df: dict | None = None,
+    hashed: bool = False,
 ) -> DataFrame:
     """Shared-stage multi-arm core of :func:`ngram_jaccard_pairs`
     (round 12, VERDICT r11 #2): ``sh`` is an already-exploded
@@ -1421,11 +1469,21 @@ def ngram_jaccard_pairs_grouped(
     Per-arm top-k stays TakeOrdered (orderBy+limit per arm over the
     once-materialized scored frame, then a window over ≤ arms·top_n
     survivors for the rank column) — never a global sort of all
-    scored pairs."""
+    scored pairs.
+
+    ``hashed=True`` (round 16): ``sh``'s shingle column already holds
+    64-bit hashes (:func:`shingle_hash_array`) — skip the string
+    ``xxhash64`` here; the caller never built shingle strings at all.
+    ``arms`` may likewise hold any orderable key type (e.g. tinyint
+    arm ids instead of method strings — narrower exchange rows and
+    integer key compares in every join/groupBy; the caller re-attaches
+    the display string after this returns)."""
     caps = {k: v for k, v in (max_shingle_df or {}).items()
             if v is not None}
     sh = sh.select(
-        arm_col, F.col(id_col), F.xxhash64("sh").alias("_h")
+        arm_col,
+        F.col(id_col),
+        (F.col("sh") if hashed else F.xxhash64("sh")).alias("_h"),
     ).localCheckpoint(eager=False)
     # ^ consumed by every stage below (df cap + sizes + both join
     # sides); without materialization each reference re-runs the

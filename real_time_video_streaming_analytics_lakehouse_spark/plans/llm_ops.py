@@ -1061,7 +1061,7 @@ def ngram_jaccard_top_pairs(
     explicitly when it re-measures the arm."""
     from ..operators.text import (
         ngram_jaccard_pairs_grouped,
-        shingle_array,
+        shingle_hash_array,
         stop_shingle_cap,
         tokens,
     )
@@ -1100,25 +1100,36 @@ def ngram_jaccard_top_pairs(
     # re-evaluating the filter+concat planted expression at each of
     # its ~5 whole-array reference sites (noop-sink measured ~25 %
     # off the even-doc shingle stage).
+    #
+    # Round 16, second pass (guide §1.2 + §2.3): shingle STRINGS are
+    # never built — :func:`shingle_hash_array` hashes each word once
+    # and folds the window hashes with xxhash64(long, long) (integer
+    # work, zero string allocation), and the arm key is a TINYINT id
+    # through every downstream join/groupBy (the method string is
+    # re-attached on the final 50·arms rows). Identical output:
+    # window-hash ≡ shingle-string up to 64-bit collisions the corpus
+    # test pins absent, and the driver oracle re-derives every count
+    # string-side.
     arr = w_df.select(
         "doc_id",
         "_w",
         planted_w.alias("_wc"),
     ).select(
-        "doc_id", "_wc", shingle_array(F.col("_w")).alias("a_ex")
+        "doc_id", "_wc", shingle_hash_array(F.col("_w")).alias("a_ex")
     ).select(
         "doc_id",
         "a_ex",
-        F.when(F.col("doc_id") % 2 == 0, shingle_array(F.col("_wc")))
+        F.when(F.col("doc_id") % 2 == 0, shingle_hash_array(F.col("_wc")))
         .otherwise(F.col("a_ex"))
         .alias("a_cap"),
     )
+    arm_ids = {"exact": 0, "stopcap": 1}
     arm_structs = {
         "exact": F.struct(
-            F.lit("exact").alias("method"), F.col("a_ex").alias("a")
+            F.lit(0).cast("tinyint").alias("mid"), F.col("a_ex").alias("a")
         ),
         "stopcap": F.struct(
-            F.lit("stopcap").alias("method"), F.col("a_cap").alias("a")
+            F.lit(1).cast("tinyint").alias("mid"), F.col("a_cap").alias("a")
         ),
     }
     unknown = set(arms) - set(arm_structs)
@@ -1128,15 +1139,23 @@ def ngram_jaccard_top_pairs(
         "doc_id",
         F.explode(F.array(*[arm_structs[a] for a in arms])).alias("s"),
     ).select(
-        F.col("s.method").alias("method"), "doc_id",
+        F.col("s.mid").alias("_mid"), "doc_id",
         F.explode("s.a").alias("sh"),
     )
-    return ngram_jaccard_pairs_grouped(
+    out = ngram_jaccard_pairs_grouped(
         sh_all,
         top_n=50,
-        arm_col="method",
-        arms=tuple(arms),
-        max_shingle_df={"stopcap": stop_shingle_cap(n_docs)},
+        arm_col="_mid",
+        arms=tuple(arm_ids[a] for a in arms),
+        max_shingle_df={arm_ids["stopcap"]: stop_shingle_cap(n_docs)},
+        hashed=True,
+    )
+    method = F.when(F.col("_mid") == 0, F.lit("exact")).otherwise(
+        F.lit("stopcap")
+    )
+    return out.select(
+        method.alias("method"), "doc_a", "doc_b", "shared",
+        "words_a", "words_b", "jaccard", "rk",
     )
 
 

@@ -1661,6 +1661,132 @@ def test_ngram_grouped_hash_keys_collision_free_on_corpus(spark):
         )
 
 
+def test_shingle_hash_array_injective_on_corpus(spark):
+    """Round 16 (optimization): the catalog's ngram entry never builds
+    shingle STRINGS — ``shingle_hash_array`` folds per-word xxhash64
+    values per window. A window hash is a deterministic function of
+    the word tuple and the joined string encodes the same tuple
+    bijectively, so results are unchanged iff the fold is injective on
+    the corpus universes. Pin, on both the raw and planted corpora:
+
+    * per-doc set size: ``size(shingle_array)`` (string-distinct) ==
+      ``size(shingle_hash_array)`` (hash-distinct) — no within-doc
+      collision;
+    * global distinct count: distinct strings == distinct hashes —
+      no cross-doc collision (two docs' distinct strings must not
+      share a hash, or `shared` counts would silently rise)."""
+    from pyspark.sql import functions as F
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.text import (
+        shingle_array,
+        shingle_hash_array,
+        tokens,
+    )
+    from real_time_video_streaming_analytics_lakehouse_spark.plans.llm_ops import (
+        _BOILERPLATE,
+    )
+    from real_time_video_streaming_analytics_lakehouse_spark.sources.readers import (
+        load_table,
+    )
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat_ws(" ", "text", F.lit(_BOILERPLATE)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    for frame in (docs, planted):
+        w = frame.select("doc_id", tokens("text").alias("_w"))
+        both = w.select(
+            "doc_id",
+            shingle_array(F.col("_w")).alias("a_str"),
+            shingle_hash_array(F.col("_w")).alias("a_hash"),
+        )
+        bad = both.filter(F.size("a_str") != F.size("a_hash")).count()
+        assert bad == 0, f"{bad} docs with within-doc hash collisions"
+        n_str = (
+            both.select(F.explode("a_str").alias("s")).distinct().count()
+        )
+        n_hash = (
+            both.select(F.explode("a_hash").alias("h")).distinct().count()
+        )
+        assert n_str == n_hash, (
+            f"cross-doc collision: {n_str} strings -> {n_hash} hashes"
+        )
+
+
+def test_ngram_top_pairs_hashed_identical_to_string_formulation(spark):
+    """Round 16 (optimization): the hashed/tinyint-armed catalog entry
+    must be ROW-IDENTICAL to the pre-optimization string-keyed
+    formulation (string shingles through the grouped core, method
+    strings as arm keys) — the optimization changes keys and plan
+    shape, never the result."""
+    from pyspark.sql import functions as F
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.text import (
+        ngram_jaccard_pairs_grouped,
+        shingle_array,
+        stop_shingle_cap,
+        tokens,
+    )
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.util import (
+        ensure_parallelism,
+    )
+    from real_time_video_streaming_analytics_lakehouse_spark.plans import CATALOG
+    from real_time_video_streaming_analytics_lakehouse_spark.plans.llm_ops import (
+        _BOILERPLATE,
+        _table_count,
+    )
+    from real_time_video_streaming_analytics_lakehouse_spark.sources.readers import (
+        load_table,
+    )
+
+    from .conftest import SF_DIR
+
+    new = CATALOG["ngram_jaccard_top_pairs"].fn(spark, SF_DIR).collect()
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n_docs = _table_count(spark, SF_DIR, "documents")
+    boiler_w = F.split(F.lit(_BOILERPLATE), " ")
+    w_df = ensure_parallelism(docs).select(
+        "doc_id", tokens("text").alias("_w")
+    )
+    planted_w = F.concat(
+        F.filter(F.col("_w"), lambda x: x != F.lit("")), boiler_w
+    )
+    arr = w_df.select("doc_id", "_w", planted_w.alias("_wc")).select(
+        "doc_id", "_wc", shingle_array(F.col("_w")).alias("a_ex")
+    ).select(
+        "doc_id",
+        "a_ex",
+        F.when(F.col("doc_id") % 2 == 0, shingle_array(F.col("_wc")))
+        .otherwise(F.col("a_ex"))
+        .alias("a_cap"),
+    )
+    sh_all = arr.select(
+        "doc_id",
+        F.explode(F.array(
+            F.struct(F.lit("exact").alias("method"), F.col("a_ex").alias("a")),
+            F.struct(F.lit("stopcap").alias("method"), F.col("a_cap").alias("a")),
+        )).alias("s"),
+    ).select(
+        F.col("s.method").alias("method"), "doc_id",
+        F.explode("s.a").alias("sh"),
+    )
+    old = ngram_jaccard_pairs_grouped(
+        sh_all,
+        top_n=50,
+        arm_col="method",
+        arms=("exact", "stopcap"),
+        max_shingle_df={"stopcap": stop_shingle_cap(n_docs)},
+    ).collect()
+    assert sorted(map(tuple, new)) == sorted(map(tuple, old))
+
+
 def test_local_relation_matches_pickled_path(spark):
     """Round 16: ``operators.util.local_relation`` builds bounded
     driver-side rows through Arrow (JVM-evaluated — no Python-worker
