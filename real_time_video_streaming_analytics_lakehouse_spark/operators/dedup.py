@@ -198,7 +198,10 @@ def simhash_candidates(
     sf0.1. Default is 4 x 16-bit chunks (exact for hamming <= 3); raise
     ``chunks`` only for corpora with near-uniform signatures.
     """
-    toks = df.select(
+    # bytes-derived repartition (round 16, guide §2.5) — the union of
+    # two single-partition frames otherwise runs the token explode +
+    # 64-sum signature aggregate two-task-wide.
+    toks = ensure_parallelism(df).select(
         F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
     )
     # Hash once per token behind a projection boundary: referencing

@@ -113,20 +113,77 @@ def local_relation(spark, rows, schema: str) -> DataFrame:
     return spark.createDataFrame(pdf, schema)
 
 
+#: compressed-input bytes per repartition target partition for
+#: :func:`ensure_parallelism` — ~64 KB of compressed text is ~0.5–1 MB
+#: raw ≈ 0.1–0.3 s of shingle/hash CPU per task, comfortably above the
+#: measured per-task fixed overhead (~20–50 ms scheduling + Python
+#: worker protocol) while still fanning real work out. Round 16: the
+#: previous target (always ``defaultParallelism``) spread a 584 KB
+#: corpus over 32 near-empty tasks; interleaved A/B at sf0.1 measured
+#: doc_dedup_fingerprints wall 4.4 → 3.1 s (task 92 → 20 s) and
+#: ngram_jaccard_top_pairs wall 3.5 → 2.6 s (task 59 → 20 s) at the
+#: bytes-derived count vs 32 (guide §2: derive partitioning from input
+#: size, not a constant tuned for either local mode or the cluster).
+ENSURE_PARALLELISM_BYTES_PER_PARTITION = 64 * 1024
+
+
+def _scan_bytes(df: DataFrame) -> int | None:
+    """Total size of the local files feeding ``df``'s scan, or None
+    when the plan has no file scan (ExistingRDD, in-memory relation)
+    or any file is not local/stat-able."""
+    try:
+        files = df.inputFiles()
+        if not files:
+            return None
+        total = 0
+        for f in files:
+            path = f.removeprefix("file:")
+            if "://" in path:
+                return None
+            total += os.path.getsize(path)
+        return total
+    except Exception:
+        return None
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition ONLY if the input is under-parallelized.
 
     Small dimension-style tables often arrive as a single parquet file →
     one partition → a CPU-bound operator (shingling, hashing, vector
     math) runs single-threaded. One cheap round-robin shuffle of the
-    narrow input unlocks every core.
+    narrow input unlocks the cores the input can actually feed.
+
+    The target is derived from the INPUT SIZE (round 16, guide §2.5):
+    one partition per :data:`ENSURE_PARALLELISM_BYTES_PER_PARTITION`
+    of compressed input, clamped to [2, defaultParallelism] — a tiny
+    corpus must not be sprayed across ``defaultParallelism`` near-empty
+    tasks whose fixed per-task overhead (scheduling, Python worker
+    protocol, block-manager round trips) dwarfs their work; a corpus
+    big enough to feed every core still gets every core. When the
+    input size is unknowable (no file scan under ``df``) the target
+    falls back to ``defaultParallelism`` (the pre-round-16 behavior).
 
     At 100 TB inputs already carry thousands of partitions, so this is a
     no-op there — it never *reduces* partitioning and never repartitions
     a well-partitioned input.
     """
     sc = df.sparkSession.sparkContext
-    target = min_partitions or sc.defaultParallelism
+    if min_partitions is not None:
+        target = min_partitions
+    else:
+        nbytes = _scan_bytes(df)
+        target = (
+            sc.defaultParallelism
+            if nbytes is None
+            else max(
+                2,
+                min(
+                    sc.defaultParallelism,
+                    -(-nbytes // ENSURE_PARALLELISM_BYTES_PER_PARTITION),
+                ),
+            )
+        )
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

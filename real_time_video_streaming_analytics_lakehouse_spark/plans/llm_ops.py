@@ -35,6 +35,7 @@ from ..operators.text import (
     top_tfidf_term,
     winnow_fingerprints_vec,
 )
+from ..operators.util import ensure_parallelism
 from ..sources.readers import load_table
 from .catalog import QuerySpec
 
@@ -161,6 +162,10 @@ def doc_token_stats(
     if trainer not in ("bounded", "distributed"):
         raise ValueError(f"unknown BPE trainer {trainer!r}")
 
+    # Round 16: ensure_parallelism here was tried and REJECTED
+    # (interleaved A/B at sf0.1: the un-repartitioned scan is >= as
+    # fast — the lang groupBy already exchanges, so the repartition
+    # only adds a shuffle in front of it).
     d = _docs(spark, sf_dir)
     n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
     re_tokens = F.size(
@@ -459,6 +464,13 @@ def text_quality(
     if unknown:
         raise ValueError(f"unknown arms {sorted(unknown)}")
 
+    # Round 16: ensure_parallelism on this scan was tried and
+    # REJECTED (interleaved A/B at sf0.1: wall 3.06 -> 4.21 s): the
+    # checkpointed feature frame carries token ARRAYS, and spreading
+    # it over ~10 partitions multiplies every family subtree's
+    # block-manager reads of fat rows; the single-partition
+    # materialization is cheaper than the parallelism it buys at this
+    # row width (the doc_dedup/ngram inputs that DID win are narrow).
     d = _docs(spark, sf_dir)
     feat = add_text_features(
         d, extra=[F.col("lang"), tokens("text").alias("_w")]
@@ -794,13 +806,22 @@ def doc_dedup_fingerprints(
     column-projected row-identical to the fused result (test-pinned).
     """
     from ..operators.text import contaminated_ids, winnow_dup_spans
+    from ..operators.util import ensure_parallelism
 
     _ARM_NAMES = ("holdout", "winnow", "span")
     unknown = set(arms) - set(_ARM_NAMES)
     if unknown:
         raise ValueError(f"unknown arms {sorted(unknown)}")
 
-    d = _docs(spark, sf_dir)
+    # Round 16 (guide §2.5 input skew / §1.2): the documents table is
+    # one parquet file → one scan partition, so every per-doc
+    # expression here (winnow Arrow UDF, 13-gram shingling, the
+    # rolling-hash char fold, md5) ran single-task — the profile
+    # showed a serial chain of 1-task stages, wall ~5.9 s at ~2x
+    # parallelism. One cheap round-robin repartition of the narrow
+    # input unlocks all cores; no-op at scale (never reduces
+    # partitioning).
+    d = ensure_parallelism(_docs(spark, sf_dir))
     groups = exact_dedup_groups(d, "text", "doc_id")
     per_doc = d.select(
         "doc_id",

@@ -264,7 +264,15 @@ def test_top_query_shuffle_exchange_counts_pinned(spark):
         "daily_user_metrics": 2,
         "device_platform_quality": 2,
         "dim_time_generate": 0,
-        "doc_dedup_fingerprints": 9,
+        # round 16 (optimization): 9 -> 13 — the four extra are the
+        # bytes-derived ensure_parallelism round-robin repartitions of
+        # the 584 KB documents scan, one per consumer subtree of `d`
+        # (per-doc projection, exact-dup groups, winnow, span); the
+        # subtrees are identical so AQE collapses them to ONE
+        # ReusedExchange at runtime. Measured wall 5.9 -> 3.0 s at
+        # sf0.1 (the scan was single-partition and every per-doc
+        # expression ran single-task).
+        "doc_dedup_fingerprints": 13,
         # round 14: +5 for the BPE arms, all over the BOUNDED
         # every-17th-doc mini-corpus — word-type groupBy, the
         # single-group applyInPandas trainer, the merge-array agg
