@@ -198,10 +198,12 @@ def simhash_candidates(
     sf0.1. Default is 4 x 16-bit chunks (exact for hamming <= 3); raise
     ``chunks`` only for corpora with near-uniform signatures.
     """
-    # bytes-derived repartition (round 16, guide §2.5) — the union of
-    # two single-partition frames otherwise runs the token explode +
-    # 64-sum signature aggregate two-task-wide.
-    toks = ensure_parallelism(df).select(
+    # Round 16: ensure_parallelism here was tried and REVERTED — the
+    # two-partition token explode feeds a partial aggregate that the
+    # exchange re-spreads anyway, and interleaved A/B at sf0.1 showed
+    # the wrapped variant >= the unwrapped one (min 4.39 vs 4.07 s;
+    # the fused query also regressed in-bench with the wrap).
+    toks = df.select(
         F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
     )
     # Hash once per token behind a projection boundary: referencing
