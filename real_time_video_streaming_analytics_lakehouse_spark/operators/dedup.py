@@ -104,8 +104,16 @@ def minhash_lsh_candidates(
     from .text import exploded_word_shingles
 
     rows_per_band = num_perm // bands
+    # Explicit full-width repartition target (round 16): the signature
+    # aggregate is CPU-DENSE (num_perm min-slot updates per shingle
+    # row — ~64 ops/row), so unlike the overhead-bound text pipelines
+    # it genuinely uses every core even on a small corpus; the
+    # bytes-derived default would under-provision it.
     exploded = exploded_word_shingles(
-        ensure_parallelism(df), id_col, text_col, shingle_size
+        ensure_parallelism(
+            df, df.sparkSession.sparkContext.defaultParallelism
+        ),
+        id_col, text_col, shingle_size,
     ).withColumnRenamed("sh", "shingle")
     rnd = _random.Random(0xC0FFEE)  # fixed seed: signatures reproducible
     perms = [
