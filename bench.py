@@ -135,15 +135,23 @@ MAX_CONTENTION_RETRIES = 2
 YARDSTICK_QUERY = "pricing_summary"
 
 #: Committed quiet-day value for :data:`YARDSTICK_QUERY`'s per-pass
-#: wall at sf0.1 (round 16): the min-of-pass observations on the two
-#: round-16 anchor attempts where EVERY reference — burst and
-#: sustained — stayed in band end-to-end (per-pass minima 1.74 and
-#: 1.795; quiet passes ranged 1.74-2.05, the contended attempt's
-#: 1.96-2.91). ``wall_norm`` on the final line is
+#: wall at sf0.1. Round-16 calibration (dated 2026-08-17): 1.74, the
+#: min-of-pass observations on the two fully quiet-certified anchor
+#: attempts. RECALIBRATED 2026-08-18 (VERDICT r16 #7): the host now
+#: reproducibly beats that value — r16 end-of-round attempt 4 observed
+#: per-pass minima 1.542–1.601, and the round-17 opening anchor
+#: (sustained_ref med 0.017/0.018, p90 0.020-0.023 — quiet by the
+#: sustained probe on both brackets) observed 1.632 — so 1.74 made
+#: ``wall_norm`` OVER-correct (scale a quiet wall UP) whenever the
+#: yardstick ran at its true quiet speed. 1.60 is the median of the
+#: quiet-regime minima observed across those runs (1.542, 1.601,
+#: 1.632). pricing_summary's plan was untouched in both rounds
+#: (git-verified), so this is a host-regime recalibration, not a
+#: query change. ``wall_norm`` on the final line is
 #: ``value * (this / observed yardstick min)`` — an estimate of what
 #: the headline would read on a quiet host, making round-over-round
 #: walls comparable across host regimes.
-YARDSTICK_QUIET_SEC = 1.74
+YARDSTICK_QUIET_SEC = 1.60
 
 
 def ref_vector() -> dict:
@@ -234,6 +242,8 @@ def build_final_line(
     retries: int = 0,
     min_degraded: int = 0,
     wall_norm: float | None = None,
+    cpus: int | None = None,
+    parallelism: int | None = None,
 ) -> str:
     """Serialize the compact final stdout line the driver parses.
 
@@ -262,13 +272,24 @@ def build_final_line(
     * ``wall_norm`` — the headline scaled by the sustained in-band
       yardstick (:data:`YARDSTICK_QUERY`) against its committed quiet
       value: an estimate of the quiet-host wall, null when the
-      yardstick was not observed."""
+      yardstick was not observed.
+
+    Round 17 (VERDICT r16 #2): ``cpus`` (the honored
+    ``$SPARK_GRAFT_CPUS`` → ``local[N]`` master) and ``parallelism``
+    (``sc.defaultParallelism`` actually observed in the session) — the
+    artifact's own witness that the env contract was honored, so a
+    scaling sweep whose walls barely move (overhead-bound SFs) is
+    distinguishable from a bench that ignored the env
+    (``suspect_cpus_ignored`` fired in PERF_r16 on exactly that
+    ambiguity)."""
     out = {
         "metric": "catalog_total_wall_clock",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "runs": runs,
         "retries": retries,
+        "cpus": cpus,
+        "parallelism": parallelism,
         "loadavg_1min": {"start": load_start, "end": load_end},
         "task_total": task_total,
         "degraded_passes": degraded_passes,
@@ -286,7 +307,25 @@ def build_final_line(
         # the old keys; BASELINE.md streaming history comes from
         # tools/stream_anchor.py.
         out["streaming_ev_s"] = streaming_rates
-    return json.dumps(out)
+    # Compact separators (round 17): the default ", "/": " spends one
+    # budget char per key and per comma (~130 chars at 50 queries) on
+    # whitespace the JSON parser ignores — dropping it funds the
+    # cpus/parallelism witness fields (VERDICT r16 #2) without
+    # retiring any existing field or headroom test.
+    return json.dumps(out, separators=(",", ":"))
+
+
+def _master_cores(master: str) -> int | None:
+    """Core count parsed from a ``local[N]`` master, else None — the
+    final line's witness that ``$SPARK_GRAFT_CPUS`` reached the
+    session (VERDICT r16 #2). Parsed from the LIVE SparkContext, not
+    the env var, so a bug that dropped the env on the way to the
+    master would be visible in the artifact."""
+    if master.startswith("local[") and master.endswith("]"):
+        inner = master[len("local["):-1]
+        if inner.isdigit():
+            return int(inner)
+    return None
 
 
 def _load1() -> float:
@@ -598,6 +637,8 @@ def main() -> None:
         retries=contention_retries,
         min_degraded=len(min_degraded_queries),
         wall_norm=wall_norm,
+        cpus=_master_cores(spark.sparkContext.master),
+        parallelism=spark.sparkContext.defaultParallelism,
     )
     # fail LOUD before the driver's capture window truncates silently
     # (an explicit raise, not assert — asserts vanish under python -O

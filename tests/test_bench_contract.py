@@ -50,6 +50,8 @@ def _final_line(n_queries_extra: int = 0, streaming: bool = False) -> str:
         retries=99,
         min_degraded=99,
         wall_norm=99999.999,
+        cpus=9999,
+        parallelism=9999,
     )
 
 
@@ -164,6 +166,26 @@ def test_final_line_carries_round16_provenance_fields():
     assert parsed["retries"] == 99
     assert parsed["min_degraded"] == 99
     assert parsed["wall_norm"] == 99999.999
+
+
+def test_final_line_carries_scaling_self_witness():
+    # round 17 (VERDICT r16 #2): the artifact must witness the honored
+    # core count and the session's defaultParallelism so a
+    # low-core-count sweep whose walls barely move (overhead-bound SF)
+    # is distinguishable from a bench that ignored $SPARK_GRAFT_CPUS
+    line = _final_line()
+    parsed = json.loads(line)
+    assert parsed["cpus"] == 9999
+    assert parsed["parallelism"] == 9999
+
+
+def test_master_cores_parses_local_masters_only():
+    from bench import _master_cores
+
+    assert _master_cores("local[32]") == 32
+    assert _master_cores("local[8]") == 8
+    assert _master_cores("local[*]") is None
+    assert _master_cores("spark://host:7077") is None
 
 
 def test_yardstick_is_a_catalog_query_with_committed_quiet_value():
