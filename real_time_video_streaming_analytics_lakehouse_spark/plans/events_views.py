@@ -678,15 +678,30 @@ def daily_user_metrics_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     (day, user) grouping; collect_set states stay small (bounded label
     domains), so the agg is map-side combinable."""
     e = _events(spark, sf_dir)
+    # Round 17 (VERDICT r16 #4): the two COUNT(DISTINCT ...) aggregates
+    # are expressed as size(collect_set(...)) — exactly equal values
+    # (both ignore NULLs; cast back to the count's LONG), but the
+    # single-pass set-aggregate plan replaces the planner's Expand
+    # rewrite, which multiplied EVERY event row ×3 (one projection per
+    # distinct column + one for the regular aggregates, each copy
+    # carrying the wide device/country CASE strings) and needed a
+    # second exchange. The set states stay bounded: event_type is a
+    # label domain and a (day, user) group holds ≤48 distinct 30-min
+    # buckets by construction, so this is safe at any scale — unlike a
+    # user-id distinct, where collect_set state would grow with the
+    # corpus (user_activity_5min deliberately keeps the two-phase
+    # distinct plan for exactly that reason).
     return e.groupBy(F.to_date("ts").alias("day"), F.col("user_id")).agg(
         F.count("*").alias("interaction_events"),
         F.count(F.when(F.col("event_type") == "view", 1)).alias(
             "videos_watched"
         ),
-        F.count_distinct("event_type").alias("unique_content_types"),
-        F.count_distinct(
-            floor_div(epoch_us(F.col("ts")), 1_800_000_000)
-        ).alias("sessions_count"),
+        F.size(F.collect_set("event_type")).cast("long").alias(
+            "unique_content_types"
+        ),
+        F.size(
+            F.collect_set(floor_div(epoch_us(F.col("ts")), 1_800_000_000))
+        ).cast("long").alias("sessions_count"),
         money_sum(
             F.when(
                 F.col("event_type") == "purchase", F.col("value")
