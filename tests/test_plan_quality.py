@@ -261,7 +261,10 @@ def test_top_query_shuffle_exchange_counts_pinned(spark):
         "customer_order_profile": 3,
         "customers_without_orders": 0,
         "daily_active_users": 2,
-        "daily_user_metrics": 2,
+        # round 17 (VERDICT r16 #4): 2 -> 1 — the two COUNT(DISTINCT)
+        # aggregates became size(collect_set(...)), removing the
+        # planner's Expand x3 rewrite and its second exchange
+        "daily_user_metrics": 1,
         "device_platform_quality": 2,
         "dim_time_generate": 0,
         # round 16 (optimization): 9 -> 13 — the four extra are the
@@ -326,7 +329,12 @@ def test_top_query_shuffle_exchange_counts_pinned(spark):
         # per-stratum percentile_approx aggregate (partial+final on the
         # tiny lang-keyed table; the corpus pass itself joins the
         # broadcast thresholds map-only, the 100 TB contract)
-        "text_quality": 23,
+        # round 17 (VERDICT r16 #3): 23 -> 17 — the lang-id, tfidf,
+        # bm25 and token-mode families now read ONE shared
+        # materialized per-(doc, lang, word) count instead of each
+        # re-exploding the checkpoint and re-aggregating (task_sec
+        # 11.9 -> 4.9 at sf0.1; plans/r17/text_quality_{before,after})
+        "text_quality": 17,
         "top_revenue_orders": 1,
         "training_mix_sample": 1,
         "user_activity_5min": 4,
