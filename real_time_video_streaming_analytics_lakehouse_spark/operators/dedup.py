@@ -104,15 +104,20 @@ def minhash_lsh_candidates(
     from .text import exploded_word_shingles
 
     rows_per_band = num_perm // bands
-    # Explicit full-width repartition target (round 16): the signature
-    # aggregate is CPU-DENSE (num_perm min-slot updates per shingle
-    # row — ~64 ops/row), so unlike the overhead-bound text pipelines
-    # it genuinely uses every core even on a small corpus; the
-    # bytes-derived default would under-provision it.
+    # Bytes-derived repartition target (round 17, reverting the
+    # round-16 full-width pin): the pin assumed the 64-slot aggregate
+    # was CPU-dense enough to feed every core, but a quiet-host
+    # stage_profile showed the 32-task signature stage at 20.7 s
+    # executorRunTime with only 4.8 s CPU — ~0.5 s/task of fixed
+    # blocked overhead on near-empty tasks. At the bytes-derived
+    # width (10 at sf0.1) the same stage runs 1.5 s / 1.1 s CPU and
+    # the query's task_total drops 11–15 s → 2.0–2.5 s. (The r16 A/B
+    # that justified the pin ran on a contended host whose wall
+    # swings masked this; the quiet interleaved A/B is decisive.) At
+    # scale the input arrives wide and the helper is a no-op either
+    # way.
     exploded = exploded_word_shingles(
-        ensure_parallelism(
-            df, df.sparkSession.sparkContext.defaultParallelism
-        ),
+        ensure_parallelism(df),
         id_col, text_col, shingle_size,
     ).withColumnRenamed("sh", "shingle")
     rnd = _random.Random(0xC0FFEE)  # fixed seed: signatures reproducible
