@@ -265,20 +265,32 @@ def interval_join(
     many bins. Pass ``None`` to opt in to unbounded replication.
     """
     if bin_width_us is None:
+        left_lens = left.select(
+            (epoch_us(F.col(left_end)) - epoch_us(F.col(left_start)))
+            .alias("_len")
+        )
+        # Self-join shortcut (round 17): when the caller passes the
+        # SAME frame with the same interval columns on both sides
+        # (customer_order_profile's overlap self-join), the union
+        # would scan it twice for a p75 that is duplication-invariant
+        # (quantiles of S ∪ S equal quantiles of S) — derive from one
+        # scan. The derived width only affects replication, never the
+        # join's output rows, so this cannot change results even at
+        # the sketch's approximation margin.
+        self_join = left is right and (left_start, left_end) == (
+            right_start, right_end,
+        )
         lens = (
-            left.select(
-                (epoch_us(F.col(left_end)) - epoch_us(F.col(left_start)))
-                .alias("_len")
-            )
-            .unionByName(
+            left_lens
+            if self_join
+            else left_lens.unionByName(
                 right.select(
                     (epoch_us(F.col(right_end))
                      - epoch_us(F.col(right_start))).alias("_len")
                 )
             )
-            .agg(F.percentile_approx("_len", 0.75).alias("_p"))
-            .head()  # bounded: 1 row
-        )
+        ).agg(F.percentile_approx("_len", 0.75).alias("_p")).head()
+        # ^ bounded: 1 row
         bin_width_us = max(int(lens["_p"] or 0), 1)
     keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
     clash = {
