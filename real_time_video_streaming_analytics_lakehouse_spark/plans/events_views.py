@@ -876,20 +876,28 @@ def user_activity_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
         window_start_sec("ts", 300).alias("window_start_sec"),
         "event_type",
     ).agg(*aggs).withColumn("window_kind", F.lit("tumbling"))
-    w = F.window(F.col("ts"), "5 minutes", "1 minute")
+    # Round 17 (guide §2.3 — shuffle narrower types): the sliding arm
+    # used ``F.window(ts, 5 min, 1 min)``, whose Expand carries a
+    # struct<timestamp, timestamp> grouping key through both distinct-
+    # aggregate exchanges. An event at t lies in window start s iff
+    # s = minute_floor(t) − k minutes for k ∈ 0..4, so the five
+    # assignments are one explode over k with an 8-byte LONG key —
+    # exactly the oracle's formulation ((epoch_us // 60e6 − k) · 60),
+    # same rows by construction.
     sliding = (
-        e.groupBy(w.alias("w"), F.col("event_type"))
-        .agg(*aggs)
-        .select(
-            floor_div(epoch_us(F.col("w.start")), 1_000_000).alias(
-                "window_start_sec"
-            ),
-            "event_type",
-            "events_cnt",
-            "users",
-            "total_value",
-            F.lit("sliding").alias("window_kind"),
+        e.select(
+            "ts", "event_type", "user_id", "value",
+            F.explode(F.sequence(F.lit(0), F.lit(4))).alias("_k"),
         )
+        .groupBy(
+            (
+                (floor_div(epoch_us(F.col("ts")), 60_000_000) - F.col("_k"))
+                * 60
+            ).alias("window_start_sec"),
+            F.col("event_type"),
+        )
+        .agg(*aggs)
+        .withColumn("window_kind", F.lit("sliding"))
     )
     return tumbling.unionByName(sliding)
 
