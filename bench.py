@@ -426,9 +426,18 @@ def yardstick_quiet_min(
     it for normalization under-corrects — quiet-pass observations win
     whenever any exist; an all-degraded run falls back to the overall
     min (the least-bad estimate, and the final line's
-    ``degraded_passes`` already tells the reader to distrust it)."""
-    quiet = [el for p, el in yardstick if p not in degraded_set]
-    return min(quiet or (el for _, el in yardstick), default=None)
+    ``degraded_passes`` already tells the reader to distrust it).
+
+    Pass 0 is additionally excluded whenever any later observation
+    exists (round 17): the FIRST execution of the yardstick query in a
+    process pays its own whole-stage-codegen compilation, so its wall
+    is structurally inflated (observed 2.99–17.4 s against a 1.6–1.8 s
+    steady state). A run whose only quiet pass was pass 0 previously
+    normalized against that cold value and emitted a nonsense
+    ``wall_norm`` (observed 30.8 for a 57.6 s run)."""
+    obs = [o for o in yardstick if o[0] != 0] or yardstick
+    quiet = [el for p, el in obs if p not in degraded_set]
+    return min(quiet or (el for _, el in obs), default=None)
 
 
 def sustained_ref(duration_sec: float = 1.2, n_threads: int = 32) -> dict:

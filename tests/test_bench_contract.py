@@ -232,6 +232,15 @@ def test_yardstick_quiet_min_prefers_quiet_passes():
     assert yardstick_quiet_min(obs, {0, 1, 2}) == 1.7
     # no observations at all: None (wall_norm goes null)
     assert yardstick_quiet_min([], set()) is None
+    # round 17: pass 0 pays the yardstick's own codegen — it must be
+    # excluded whenever later observations exist, even when it is the
+    # ONLY quiet pass (the observed failure: quiet cold 2.99 beat the
+    # degraded-but-warm 1.79 and wall_norm over-corrected 2x)
+    cold = [[0, 2.99], [1, 1.9], [2, 1.79]]
+    assert yardstick_quiet_min(cold, {1, 2}) == 1.79
+    assert yardstick_quiet_min(cold, set()) == 1.79
+    # a single pass-0-only run still yields a value, never None
+    assert yardstick_quiet_min([[0, 2.99]], set()) == 2.99
 
 
 def test_sustained_ref_reports_median_and_p90():
