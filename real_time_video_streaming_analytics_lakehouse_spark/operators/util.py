@@ -130,7 +130,13 @@ ENSURE_PARALLELISM_BYTES_PER_PARTITION = 64 * 1024
 def _scan_bytes(df: DataFrame) -> int | None:
     """Total size of the local files feeding ``df``'s scan, or None
     when the plan has no file scan (ExistingRDD, in-memory relation)
-    or any file is not local/stat-able."""
+    or any file is not local/stat-able.
+
+    Single-scan assumption (ADVICE r16): ``inputFiles`` sums over
+    EVERY scan in the plan, so on a multi-table frame (a join) this
+    would overcount and over-provision the repartition target. Every
+    current caller passes a single-table scan; a caller wrapping a
+    join should derive its own target instead."""
     try:
         files = df.inputFiles()
         if not files:
@@ -173,11 +179,15 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
         target = min_partitions
     else:
         nbytes = _scan_bytes(df)
+        # Floor at 2 ONLY when the session has ≥2 cores (ADVICE r16):
+        # on local[1] the old max(2, ...) exceeded defaultParallelism
+        # and added a repartition shuffle that buys nothing.
+        floor = min(2, sc.defaultParallelism)
         target = (
             sc.defaultParallelism
             if nbytes is None
             else max(
-                2,
+                floor,
                 min(
                     sc.defaultParallelism,
                     -(-nbytes // ENSURE_PARALLELISM_BYTES_PER_PARTITION),

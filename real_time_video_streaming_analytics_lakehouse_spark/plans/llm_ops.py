@@ -841,7 +841,6 @@ def doc_dedup_fingerprints(
     column-projected row-identical to the fused result (test-pinned).
     """
     from ..operators.text import contaminated_ids, winnow_dup_spans
-    from ..operators.util import ensure_parallelism
 
     _ARM_NAMES = ("holdout", "winnow", "span")
     unknown = set(arms) - set(_ARM_NAMES)
@@ -1121,7 +1120,7 @@ def ngram_jaccard_top_pairs(
         stop_shingle_cap,
         tokens,
     )
-    from ..operators.util import ScaleGuardrailError, ensure_parallelism
+    from ..operators.util import ScaleGuardrailError
 
     docs = _docs(spark, sf_dir)
     # cached metadata count (lsh_params precedent; ADVICE r14 cache)
@@ -1206,9 +1205,15 @@ def ngram_jaccard_top_pairs(
         max_shingle_df={arm_ids["stopcap"]: stop_shingle_cap(n_docs)},
         hashed=True,
     )
-    method = F.when(F.col("_mid") == 0, F.lit("exact")).otherwise(
-        F.lit("stopcap")
-    )
+    # Label map built from arm_ids (ADVICE r16): a hardcoded
+    # when/otherwise silently labeled any future arm id 'stopcap';
+    # the chain now falls through to NULL, which the knob-gate and
+    # stacked-union identity checks would catch immediately.
+    method = F.lit(None).cast("string")
+    for name, mid in arm_ids.items():
+        method = F.when(F.col("_mid") == mid, F.lit(name)).otherwise(
+            method
+        )
     return out.select(
         method.alias("method"), "doc_a", "doc_b", "shared",
         "words_a", "words_b", "jaccard", "rk",
